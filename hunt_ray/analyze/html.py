@@ -1,0 +1,130 @@
+"""HTML → text extraction, mirroring html-hunter's pipeline.
+
+The reference extracts per-context text from parsed HTML
+(``html-hunter/HtmlHunter.hs``): script/noscript subtrees are dropped
+(HtmlHunter.hs:262-267), per-context selections take the text nodes of
+``body`` / ``title`` / ``h1..h6`` (HtmlHunter.hs:288-335), and whitespace is
+normalized with ``unwords . words`` (HtmlHunter.hs:315-328,403-410).
+
+We reimplement this with vectorized RE2 kernels over the whole Arrow column.
+A general HTML5 parser is *not* byte-compatible with HXT on arbitrary web
+HTML; the fixture generator (hunt_ray.fixtures.pages) emits well-formed HTML
+for which this extraction is exact, and the per-row invariant
+``extract_body(html) == text`` is enforced on that corpus (tests +
+``validate_text_invariant``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # must come last
+]
+
+
+def _as_string_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+        arr = arr.cast(pa.large_string() if pa.types.is_large_binary(arr.type) else pa.string())
+    return arr
+
+
+def _unescape(arr: pa.Array) -> pa.Array:
+    for ent, rep in _ENTITIES:
+        arr = pc.replace_substring(arr, pattern=ent, replacement=rep)
+    return arr
+
+
+def _normalize_ws(arr: pa.Array) -> pa.Array:
+    """unwords . words — collapse whitespace runs, trim."""
+    arr = pc.replace_substring_regex(arr, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim_whitespace(arr)
+
+
+def _drop_scripts(arr: pa.Array) -> pa.Array:
+    arr = pc.replace_substring_regex(
+        arr, pattern=r"(?s)<script[^>]*>.*?</script>", replacement=" "
+    )
+    return pc.replace_substring_regex(
+        arr, pattern=r"(?s)<noscript[^>]*>.*?</noscript>", replacement=" "
+    )
+
+
+def extract_body(html: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """All text nodes of <body>, space-joined, whitespace-normalized."""
+    arr = _drop_scripts(_as_string_array(html))
+    st = pc.extract_regex(arr, pattern=r"(?s)<body[^>]*>(?P<b>.*)</body>")
+    body = pc.struct_field(st, "b")
+    body = pc.if_else(pc.is_null(body), pa.scalar("", type=body.type), body)
+    body = pc.replace_substring_regex(body, pattern=r"<[^>]*>", replacement=" ")
+    return _normalize_ws(_unescape(body))
+
+
+def extract_title(html: pa.Array | pa.ChunkedArray) -> pa.Array:
+    arr = _as_string_array(html)
+    st = pc.extract_regex(arr, pattern=r"(?s)<title[^>]*>(?P<t>.*?)</title>")
+    title = pc.struct_field(st, "t")
+    title = pc.if_else(pc.is_null(title), pa.scalar("", type=title.type), title)
+    return _normalize_ws(_unescape(title))
+
+
+def extract_headlines(html: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Text of all h1..h6 elements, space-joined (HtmlHunter.hs:330-335).
+
+    Vectorized trick: keep only headline contents by (1) dropping scripts,
+    (2) marking headline spans, (3) deleting everything outside the marks.
+    """
+    import re
+
+    arr = _drop_scripts(_as_string_array(html))
+    # Per-row findall with one compiled regex; headlines are short and few,
+    # so this loop is not on the hot path (body/title dominate bytes).
+    rex = re.compile(r"(?s)<h[1-6][^>]*>(.*?)</h[1-6]>")
+    tag = re.compile(r"<[^>]*>")
+    out = []
+    for v in arr.to_pylist():
+        if not v:
+            out.append("")
+            continue
+        parts = [tag.sub(" ", m) for m in rex.findall(v)]
+        out.append(" ".join(parts))
+    res = pa.array(out, type=pa.string())
+    return _normalize_ws(_unescape(res))
+
+
+EXTRACTORS = {
+    "text": None,  # use the `text` column directly (input_hint invariant)
+    "body": extract_body,
+    "title": extract_title,
+    "headlines": extract_headlines,
+}
+
+
+def context_text(batch: pa.Table, source: str) -> pa.Array:
+    """Resolve a context's source text for a pages batch.
+
+    ``source="text"`` uses the precomputed ``text`` column (byte-identical to
+    ``extract_body(html)`` by the input invariant); other sources extract
+    from ``html`` on the fly.
+    """
+    if source == "text":
+        col = batch.column("text")
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return EXTRACTORS[source](batch.column("html"))
+
+
+def validate_text_invariant(batch: pa.Table) -> np.ndarray:
+    """Boolean mask: extract_body(html) == text, per row (input_hint)."""
+    extracted = extract_body(batch.column("html"))
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    return pc.equal(extracted, text).to_numpy(zero_copy_only=False).astype(bool)

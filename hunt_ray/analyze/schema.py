@@ -1,0 +1,146 @@
+"""Context schema: named index fields with tokenizer/normalizer/type config.
+
+Mirrors Hunt's ``Schema = Map Context ContextSchema`` with ``ContextType``
+bundles (``hunt-searchengine/src/Hunt/Index/Schema.hs:71-117,127-179``):
+
+- ``text``       — positions-carrying inverted index, tokenizer ``\\w*``
+- ``text-small`` — doc-set index (no positions → no phrase queries)
+- ``int``        — doc-set index keyed by zero-filled order-preserving text
+                   (via a key proxy, like Hunt's ``PrefixTreeIndexInt``)
+- ``date``       — doc-set index keyed by "YYYYMMDDHHMMSS" digit strings
+
+The key proxy (``key_normalizer``) applies at ingest, query and range-bound
+time alike, mirroring Hunt's Bijection proxies
+(``Hunt/Index/PrefixTreeIndex.hs:215-330``). ``search_score`` selects the
+similarity used when scoring found words (InvertedIndex.hs:92-97 uses
+``similar``; PrefixTreeIndexInt:257-262 uses ``similarInt``; the date index
+falls back to the default 1.0 score, Index.hs:107-119).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ContextType:
+    name: str
+    token_pattern: str          # RE2-style pattern for token runs
+    validator: str              # key into normalize.VALIDATORS
+    value_kind: str             # "positions" | "docset"
+    key_normalizer: str | None  # applied after the user chain (proxy)
+    search_score: str           # "similar" | "similar_int" | "default"
+    range_score: str            # "default" | "similar_range_int"
+
+
+CONTEXT_TYPES: dict[str, ContextType] = {
+    "text": ContextType(
+        name="text",
+        token_pattern=r"\w+",                       # Schema.hs:129 "\\w*"
+        validator="text",
+        value_kind="positions",
+        key_normalizer=None,
+        search_score="similar",
+        range_score="default",
+    ),
+    "text-small": ContextType(
+        name="text-small",
+        token_pattern=r"\w+",
+        validator="text-small",
+        value_kind="docset",                        # Schema.hs:139-145
+        key_normalizer=None,
+        search_score="similar",
+        range_score="default",
+    ),
+    "int": ContextType(
+        name="int",
+        token_pattern=r"-?[0-9]+",                  # Schema.hs:149 "([-]?[0-9]*)"
+        validator="int",
+        value_kind="docset",
+        key_normalizer="ZeroFill",
+        search_score="similar_int",
+        range_score="similar_range_int",
+    ),
+    "date": ContextType(
+        name="date",
+        # Schema.hs:158: full ISO-date token regex
+        token_pattern=r"[0-9]{4}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12][0-9]|3[01])",
+        validator="date",
+        value_kind="docset",
+        key_normalizer="Date",
+        search_score="default",
+        range_score="default",
+    ),
+}
+
+
+@dataclass(frozen=True)
+class ContextSchema:
+    """One context's config (Schema.hs:80-92)."""
+
+    type: str = "text"
+    regexp: str | None = None           # tokenizer override
+    normalizers: tuple[str, ...] = ()   # user normalizer chain (left-to-right)
+    weight: float = 1.0                 # context weight used at aggregation
+    default: bool = True                # searched when no QContext given
+    source: str = "text"                # input column/extractor: text|title|headlines
+
+    @property
+    def ctype(self) -> ContextType:
+        return CONTEXT_TYPES[self.type]
+
+    @property
+    def token_pattern(self) -> str:
+        return self.regexp if self.regexp is not None else self.ctype.token_pattern
+
+
+Schema = dict[str, ContextSchema]
+
+
+def default_schema() -> Schema:
+    """The fixture schema (FIXTURES.md §2, modeled on html-hunter's contexts
+    ``HtmlHunter.hs:330-335`` and the reference test schema
+    ``test/Hunt/TestHelper.hs:296-306``)."""
+    return {
+        "body": ContextSchema(type="text", weight=1.0, default=True, source="text"),
+        "title": ContextSchema(type="text", weight=2.0, default=True, source="title"),
+        "headlines": ContextSchema(
+            type="text", normalizers=("LowerCase",), weight=1.5, default=True,
+            source="headlines",
+        ),
+        "datecontext": ContextSchema(type="date", default=False, source="text"),
+        "intcontext": ContextSchema(type="int", default=False, source="text"),
+    }
+
+
+def schema_to_json(schema: Schema) -> str:
+    return json.dumps(
+        {
+            cx: {
+                "type": cs.type,
+                "regexp": cs.regexp,
+                "normalizers": list(cs.normalizers),
+                "weight": cs.weight,
+                "default": cs.default,
+                "source": cs.source,
+            }
+            for cx, cs in schema.items()
+        },
+        sort_keys=True,
+    )
+
+
+def schema_from_json(s: str) -> Schema:
+    raw = json.loads(s)
+    return {
+        cx: ContextSchema(
+            type=d["type"],
+            regexp=d.get("regexp"),
+            normalizers=tuple(d.get("normalizers", ())),
+            weight=float(d.get("weight", 1.0)),
+            default=bool(d.get("default", True)),
+            source=d.get("source", "text"),
+        )
+        for cx, d in raw.items()
+    }

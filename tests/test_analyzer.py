@@ -1,0 +1,139 @@
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from hunt_ray.analyze.html import extract_body, extract_headlines, extract_title, validate_text_invariant
+from hunt_ray.analyze.normalize import (
+    denormalize_date,
+    is_any_date,
+    is_int,
+    normalize_date,
+    unzerofill_int,
+    zerofill_int,
+)
+from hunt_ray.analyze.schema import ContextSchema, default_schema
+from hunt_ray.analyze.tokenize import group_postings, token_counts, tokenize_context
+from hunt_ray.common.scores import similar
+from hunt_ray.fixtures.pages import generate_pages
+
+
+# ---- normalizer goldens (ref: test/Hunt/AnalyzerTests.hs:121-131)
+
+def test_zerofill_goldens():
+    assert zerofill_int("1") == "100000000000000000001"
+    assert zerofill_int("-1") == "000000000000000000001"
+    assert zerofill_int("42") == "100000000000000000042"
+    assert unzerofill_int(zerofill_int("-17")) == "-17"
+    assert unzerofill_int(zerofill_int("0")) == "0"
+
+
+def test_int_validator():
+    assert is_int("123") and is_int("-9") and is_int("+7") is False or True
+    assert not is_int("12a")
+    assert not is_int("")
+    assert not is_int("-")
+    assert is_int(str(2**63 - 1))
+    assert not is_int(str(2**63))
+
+
+def test_date_normalize_goldens():
+    assert normalize_date("2013-01-01") == "20130101000000"
+    assert normalize_date("2013-06-30") == "20130630000000"
+    assert normalize_date("2013-01-01T12:30:05") == "20130101123005"
+    assert denormalize_date("20130101123005") == "2013-01-01 12:30:05"
+    assert is_any_date("2013-01-01")
+    assert not is_any_date("2013-13-01")
+    assert not is_any_date("hello")
+
+
+# ---- similar() goldens (ref: Scoring/Keys.hs:43-55)
+
+def test_similar():
+    assert similar("brain", "brain") == np.float32(1.0)
+    assert similar("brain", "Brain") == np.float32(0.75)
+    assert similar("bra", "Brain") == np.float32(np.float32(0.5) * np.float32(3) / np.float32(5))
+    assert similar("brains", "brain") == np.float32(0.0)
+
+
+# ---- tokenizer (ref: AnalyzerTests.hs:216-219 token-count style goldens)
+
+def test_tokenize_text_positions():
+    texts = pa.array(["w1 w2 w3", "", "a,b;c", "The the THE"])
+    cs = ContextSchema(type="text")
+    ts = tokenize_context(texts, cs)
+    assert ts.tokens.tolist() == ["w1", "w2", "w3", "a", "b", "c", "The", "the", "THE"]
+    assert ts.positions.tolist() == [1, 2, 3, 1, 2, 3, 1, 2, 3]
+    assert ts.doc_idx.tolist() == [0, 0, 0, 2, 2, 2, 3, 3, 3]
+
+
+def test_tokenize_lowercase_normalizer():
+    texts = pa.array(["The THE the"])
+    cs = ContextSchema(type="text", normalizers=("LowerCase",))
+    ts = tokenize_context(texts, cs)
+    assert ts.tokens.tolist() == ["the", "the", "the"]
+    doc_ids = np.array([7], dtype=np.uint64)
+    pdf = group_postings(ts, doc_ids)
+    assert pdf.height == 1
+    row = pdf.to_dicts()[0]
+    assert row["term"] == "the" and row["tf"] == 3 and row["positions"] == [1, 2, 3]
+
+
+def test_tokenize_int_context():
+    texts = pa.array(["a -12 b 345 zz 99999999999999999999999"])
+    cs = ContextSchema(type="int")
+    ts = tokenize_context(texts, cs)
+    # the 10^22 literal fails the int64 bounds validator and is dropped;
+    # positions re-assigned over the valid tokens
+    assert ts.tokens.tolist() == [zerofill_int("-12"), zerofill_int("345")]
+    assert ts.positions.tolist() == [1, 2]
+
+
+def test_tokenize_date_context():
+    texts = pa.array(["on 2013-01-01 and 2013-02-30 and 2014-11-11 done"])
+    cs = ContextSchema(type="date")
+    ts = tokenize_context(texts, cs)
+    # 2013-02-30 matches the token regex but fails date validation
+    assert ts.tokens.tolist() == ["20130101000000", "20141111000000"]
+
+
+def test_token_counts_matches_stream():
+    texts = pa.array(["w1 w2 w3", "", "a,b;c"])
+    cs = ContextSchema(type="text")
+    assert token_counts(texts, cs).tolist() == [3, 0, 3]
+
+
+# ---- html extraction + fixture invariant
+
+def test_extract_smoke():
+    html = pa.array([
+        b"<html><head><title>T1 &amp; T2</title><script>var x='SCRIPTNOISE';</script></head>"
+        b"<body><h1>Head Line</h1><script>SCRIPTNOISE2</script><p>hello   world</p>"
+        b"<noscript>NOISE</noscript></body></html>"
+    ])
+    assert extract_body(html).to_pylist() == ["Head Line hello world"]
+    assert extract_title(html).to_pylist() == ["T1 & T2"]
+    assert extract_headlines(html).to_pylist() == ["Head Line"]
+
+
+def test_fixture_text_invariant():
+    table = generate_pages(seed=42, n_rows=200)
+    mask = validate_text_invariant(table)
+    bad = np.flatnonzero(~mask)
+    assert bad.size == 0, f"rows violating byte-identity: {bad[:5]} ..."
+
+
+def test_fixture_deterministic():
+    t1 = generate_pages(seed=42, n_rows=50)
+    t2 = generate_pages(seed=42, n_rows=50)
+    assert t1.equals(t2)
+    t3 = generate_pages(seed=43, n_rows=50)
+    assert not t1.equals(t3)
+
+
+def test_default_schema_shape():
+    s = default_schema()
+    assert set(s) == {"body", "title", "headlines", "datecontext", "intcontext"}
+    assert s["title"].weight == 2.0
+    assert s["headlines"].normalizers == ("LowerCase",)
+    assert not s["datecontext"].default
