@@ -1,0 +1,463 @@
+"""Ray-Data index build pipeline: pages parquet → partitioned inverted index.
+
+Physical plan (SURVEY.md §4.2, idiomatic Ray Data):
+
+1. ``read_parquet(pages)`` with column pruning
+2. docs pass: stateless ``map_batches`` → doc table (doc_id, url, weight,
+   lang, per-context doc lengths) → ``write_parquet(docs/)``
+3. postings pass: **actor-pool** ``map_batches(AnalyzerStage)`` (compiled
+   schema state lives in ``__init__``, one analyzer per actor — mirrors
+   Hunt's analyzer chain closure, ``Hunt/Index/Schema/Analyze.hs:47-85``)
+   emitting flat ``(context, term, doc_id, tf, positions, part, salt)`` rows
+   over zero-copy Arrow
+4. THE shuffle: ``groupby(["part", "salt"]).map_groups`` — the posting-list
+   build (Hunt's ``Map.fromListWith mappend``,
+   ``SegmentIndex/IndexWriter.hs:91-97``) becomes a term-range-partitioned
+   sort. **Head-term skew is handled explicitly**: terms whose sampled df
+   exceeds a threshold are salted by ``doc_id % S`` so one stopword's
+   postings spread over S parallel run-writers; a per-part merge task then
+   stitches the ≤S sorted runs back into one sorted partition.
+5. merge+encode: per part, merge runs → delta+varbyte chunk encode
+   (codec.py) → ``postings/part=K.parquet`` + ``dict/part=K.parquet``,
+   completion record with lineage → manifest generation commit
+   (Hunt's ``gen_N``, ``SegmentIndex.hs:94-113``).
+
+Partitioning is by **term range** (sample-quantile boundaries), not term
+hash, so prefix and range scans touch a contiguous partition span — the
+distributed analog of Hunt's sorted ``.tv`` term dictionary
+(``SegmentIndex/Directory/TermInfos.hs:168-289``).
+
+Resumability: per-part completion records keyed by a params hash; a rerun
+skips completed parts (driver north_rule: resumable from per-partition
+checkpoints with lineage + metrics).
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..analyze.html import context_text
+from ..analyze.schema import Schema, default_schema, schema_from_json, schema_to_json
+from ..analyze.tokenize import group_postings, token_counts, tokenize_context
+from ..common.hashing import doc_ids_for_urls
+from .codec import DICT_SCHEMA, POSTINGS_SCHEMA, encode_term_chunks
+from .manifest import Manifest, params_hash
+
+
+@dataclass
+class BuildConfig:
+    schema: Schema = field(default_factory=default_schema)
+    num_partitions: int = 8
+    salt_buckets: int = 4
+    hot_df_ratio: float = 0.10      # sampled df/doc ratio above which a term is "hot"
+    chunk_docs: int = 4096
+    batch_size: int = 1024
+    analyzer_concurrency: tuple[int, int] | int = (1, 8)
+    sample_max_docs: int = 2000
+    min_rows_per_docfile: int = 100_000
+
+    def params(self, files: list[str]) -> dict:
+        return {
+            "schema": schema_to_json(self.schema),
+            "num_partitions": self.num_partitions,
+            "salt_buckets": self.salt_buckets,
+            "hot_df_ratio": self.hot_df_ratio,
+            "chunk_docs": self.chunk_docs,
+            "files": files,
+        }
+
+
+def _expand_files(pages_path: str | list[str]) -> list[str]:
+    if isinstance(pages_path, list):
+        return sorted(pages_path)
+    if os.path.isdir(pages_path):
+        return sorted(globmod.glob(os.path.join(pages_path, "*.parquet")))
+    return sorted(globmod.glob(pages_path))
+
+
+def _read_columns(schema: Schema) -> list[str]:
+    cols = {"url", "text"}
+    if any(cs.source in ("title", "headlines", "body") for cs in schema.values()):
+        cols.add("html")
+    return sorted(cols)
+
+
+# ------------------------------------------------------------------ sampling
+
+def sample_terms(files: list[str], cfg: BuildConfig) -> tuple[list[str], list[str]]:
+    """Driver-side sample → (partition boundaries, hot terms).
+
+    Reads up to ``sample_max_docs`` rows from the first file(s) with plain
+    pyarrow (no Ray), tokenizes the default text contexts, and derives
+    term-range boundaries (distinct-term quantiles) plus the hot-term set
+    for salting. At 100 TB this stays cheap: the sample is a handful of row
+    groups, and boundary skew only affects balance, not correctness.
+    """
+    want = cfg.sample_max_docs
+    tables = []
+    for f in files:
+        t = pq.read_table(f, columns=["url", "text"])
+        tables.append(t)
+        want -= t.num_rows
+        if want <= 0:
+            break
+    sample = pa.concat_tables(tables)
+    if sample.num_rows > cfg.sample_max_docs:
+        sample = sample.slice(0, cfg.sample_max_docs)
+    n_docs = max(1, sample.num_rows)
+
+    text_cxs = [cs for cs in cfg.schema.values() if cs.ctype.value_kind == "positions" and cs.source == "text"]
+    cs = text_cxs[0] if text_cxs else next(iter(cfg.schema.values()))
+    ts = tokenize_context(sample.column("text").combine_chunks(), cs)
+    if len(ts.tokens) == 0:
+        return [], []
+    df = (
+        pl.DataFrame({"term": pl.Series(ts.tokens, dtype=pl.String), "d": ts.doc_idx})
+        .group_by("term")
+        .agg(df=pl.col("d").n_unique())
+    )
+    terms_sorted = df.sort("term")["term"].to_list()
+    P = cfg.num_partitions
+    if len(terms_sorted) <= P:
+        boundaries = terms_sorted[1:]
+    else:
+        idx = [round(i * len(terms_sorted) / P) for i in range(1, P)]
+        boundaries = [terms_sorted[i] for i in idx]
+    hot = df.filter(pl.col("df") > cfg.hot_df_ratio * n_docs)["term"].to_list()
+    return boundaries, sorted(hot)
+
+
+# ------------------------------------------------------------------ stages
+
+class AnalyzerStage:
+    """Actor-pool stage: pages batch → flat posting rows.
+
+    State (parsed schema, partition boundaries, hot-term set) is built once
+    per actor in ``__init__`` (the Ray analog of Hunt's per-insert analyzer
+    closure, Analyze.hs:59-68).
+    """
+
+    def __init__(self, schema_json: str, boundaries: list[str], hot_terms: list[str],
+                 salt_buckets: int):
+        self.schema = schema_from_json(schema_json)
+        self.boundaries = np.asarray(boundaries, dtype=object)
+        self.hot = frozenset(hot_terms)
+        self.salt_buckets = max(1, salt_buckets)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = doc_ids_for_urls(batch.column("url"))
+        frames: list[pl.DataFrame] = []
+        for cx in sorted(self.schema):
+            cs = self.schema[cx]
+            texts = context_text(batch, cs.source)
+            stream = tokenize_context(texts, cs)
+            pdf = group_postings(stream, doc_ids)
+            if cs.ctype.value_kind != "positions":
+                # doc-set index kinds carry no positions (Schema.hs:139-145)
+                pdf = pdf.with_columns(positions=pl.lit([], dtype=pl.List(pl.UInt32)))
+            frames.append(pdf.with_columns(context=pl.lit(cx)))
+        big = pl.concat(frames) if frames else pl.DataFrame()
+        if big.height == 0:
+            return pa.table(
+                {
+                    "context": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.uint64()),
+                    "tf": pa.array([], pa.uint32()),
+                    "positions": pa.array([], pa.list_(pa.uint32())),
+                    "part": pa.array([], pa.int32()),
+                    "salt": pa.array([], pa.int32()),
+                }
+            )
+        terms = big["term"].to_numpy()
+        if self.boundaries.size:
+            part = np.searchsorted(self.boundaries, terms, side="right").astype(np.int32)
+        else:
+            part = np.zeros(big.height, dtype=np.int32)
+        if self.hot and self.salt_buckets > 1:
+            is_hot = np.fromiter((t in self.hot for t in terms), dtype=bool, count=len(terms))
+            salt = np.zeros(big.height, dtype=np.int32)
+            dids = big["doc_id"].to_numpy()
+            salt[is_hot] = (dids[is_hot] % np.uint64(self.salt_buckets)).astype(np.int32)
+        else:
+            salt = np.zeros(big.height, dtype=np.int32)
+        out = big.with_columns(part=pl.Series(part), salt=pl.Series(salt))
+        return out.select(["context", "term", "doc_id", "tf", "positions", "part", "salt"]).to_arrow()
+
+
+class DocsStage:
+    """Stateless map_batches: pages batch → doc-table rows with per-context
+    token counts (document lengths for BM25; Hunt keeps no lengths because
+    it has no BM25 — SURVEY.md §2.9 note)."""
+
+    def __init__(self, schema_json: str):
+        self.schema = schema_from_json(schema_json)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = doc_ids_for_urls(batch.column("url"))
+        url = batch.column("url")
+        url = url.combine_chunks() if isinstance(url, pa.ChunkedArray) else url
+        n = batch.num_rows
+        if "weight" in batch.column_names:
+            w = batch.column("weight").to_numpy(zero_copy_only=False).astype(np.float32)
+            w[w == 0.0] = 1.0  # toDefScore (Score.hs:50-52)
+        else:
+            w = np.ones(n, dtype=np.float32)
+        cols: dict[str, object] = {
+            "doc_id": pa.array(doc_ids, pa.uint64()),
+            "url": url,
+            "weight": pa.array(w, pa.float32()),
+        }
+        if "lang" in batch.column_names:
+            lang = batch.column("lang")
+            cols["lang"] = lang.combine_chunks() if isinstance(lang, pa.ChunkedArray) else lang
+        for cx in sorted(self.schema):
+            cs = self.schema[cx]
+            texts = context_text(batch, cs.source)
+            cols[f"len_{cx}"] = pa.array(token_counts(texts, cs), pa.uint32())
+        return pa.table(cols)
+
+
+def _atomic_write_parquet(table: pa.Table, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def make_run_writer(index_dir: str, gen: int):
+    """map_groups fn: one (part, salt) group → sorted run file + stats row."""
+
+    def write_run(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "salt": pa.array([], pa.int32()),
+                             "rows": pa.array([], pa.int64())})
+        part = int(group.column("part")[0].as_py())
+        salt = int(group.column("salt")[0].as_py())
+        body = group.drop_columns(["part", "salt"]).sort_by(
+            [("context", "ascending"), ("term", "ascending"), ("doc_id", "ascending")]
+        )
+        path = os.path.join(index_dir, "runs", f"gen_{gen}", f"part={part:05d}",
+                            f"run-{salt:03d}.parquet")
+        _atomic_write_parquet(body, path)
+        return pa.table({"part": pa.array([part], pa.int32()),
+                         "salt": pa.array([salt], pa.int32()),
+                         "rows": pa.array([group.num_rows], pa.int64())})
+
+    return write_run
+
+
+def make_part_merger(index_dir: str, gen: int, phash: str, cfg_chunk_docs: int,
+                     files: list[str]):
+    """map_batches fn over part-id items: merge runs → encoded partition."""
+
+    def merge_part(batch: pa.Table) -> pa.Table:
+        out_parts, out_rows, out_terms = [], [], []
+        for part in batch.column("part").to_pylist():
+            man = Manifest(index_dir)
+            if man.part_done(gen, part, phash):
+                out_parts.append(part); out_rows.append(-1); out_terms.append(-1)
+                continue
+            run_files = sorted(globmod.glob(
+                os.path.join(index_dir, "runs", f"gen_{gen}", f"part={part:05d}", "run-*.parquet")))
+            if run_files:
+                runs = [pq.read_table(f) for f in run_files]
+                merged = pa.concat_tables(runs).sort_by(
+                    [("context", "ascending"), ("term", "ascending"), ("doc_id", "ascending")]
+                ).combine_chunks()
+            else:
+                merged = None
+            n_rows, n_terms = _encode_partition(merged, index_dir, part, cfg_chunk_docs)
+            man.mark_part_done(gen, part, {
+                "params_hash": phash,
+                "part": part,
+                "rows": n_rows,
+                "terms": n_terms,
+                "runs": [os.path.basename(f) for f in run_files],
+                "lineage": {"inputs": files, "params_hash": phash},
+                "completed_at": time.time(),
+            })
+            out_parts.append(part); out_rows.append(n_rows); out_terms.append(n_terms)
+        return pa.table({"part": pa.array(out_parts, pa.int32()),
+                         "rows": pa.array(out_rows, pa.int64()),
+                         "terms": pa.array(out_terms, pa.int64())})
+
+    return merge_part
+
+
+def _encode_partition(merged: pa.Table | None, index_dir: str, part: int,
+                      chunk_docs: int) -> tuple[int, int]:
+    """Encode one sorted partition into postings + dict parquet files."""
+    post_rows: dict[str, list] = {k: [] for k in
+                                  ("context", "term", "chunk", "n_docs", "max_tf",
+                                   "last_doc_id", "doc_ids", "tfs", "positions")}
+    dict_rows: dict[str, list] = {k: [] for k in
+                                  ("context", "term", "term_lc", "df", "cf",
+                                   "max_tf", "n_chunks")}
+    n_rows = 0
+    if merged is not None and merged.num_rows:
+        n_rows = merged.num_rows
+        ctx = np.asarray(merged.column("context").to_pylist(), dtype=object)
+        trm = np.asarray(merged.column("term").to_pylist(), dtype=object)
+        dids = merged.column("doc_id").to_numpy()
+        tfs = merged.column("tf").to_numpy()
+        pos_col = merged.column("positions")
+        pos_col = pos_col.combine_chunks() if isinstance(pos_col, pa.ChunkedArray) else pos_col
+        pos_flat_all = np.asarray(pos_col.flatten(), dtype=np.uint64)
+        pos_counts = np.asarray(pa.compute.list_value_length(pos_col), dtype=np.int64)
+        pos_offsets_all = np.zeros(len(pos_counts) + 1, dtype=np.int64)
+        np.cumsum(pos_counts, out=pos_offsets_all[1:])
+        # (context, term) group boundaries over the sorted rows
+        new_grp = np.empty(n_rows, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (ctx[1:] != ctx[:-1]) | (trm[1:] != trm[:-1])
+        starts = np.flatnonzero(new_grp)
+        ends = np.r_[starts[1:], n_rows]
+        for s, e in zip(starts, ends):
+            term, context = trm[s], ctx[s]
+            t_dids, t_tfs = dids[s:e], tfs[s:e]
+            has_pos = pos_offsets_all[e] > pos_offsets_all[s]
+            chunks = encode_term_chunks(
+                t_dids, t_tfs,
+                pos_flat_all if has_pos else None,
+                pos_offsets_all[s:e + 1] if has_pos else None,
+                chunk_docs,
+            )
+            for c in chunks:
+                post_rows["context"].append(context)
+                post_rows["term"].append(term)
+                post_rows["chunk"].append(c["chunk"])
+                post_rows["n_docs"].append(c["n_docs"])
+                post_rows["max_tf"].append(c["max_tf"])
+                post_rows["last_doc_id"].append(c["last_doc_id"])
+                post_rows["doc_ids"].append(c["doc_ids"])
+                post_rows["tfs"].append(c["tfs"])
+                post_rows["positions"].append(c["positions"])
+            dict_rows["context"].append(context)
+            dict_rows["term"].append(term)
+            dict_rows["term_lc"].append(term.lower())
+            dict_rows["df"].append(int(e - s))
+            dict_rows["cf"].append(int(t_tfs.sum()))
+            dict_rows["max_tf"].append(int(t_tfs.max()))
+            dict_rows["n_chunks"].append(len(chunks))
+    post_tbl = pa.table(post_rows, schema=POSTINGS_SCHEMA)
+    dict_tbl = pa.table(dict_rows, schema=DICT_SCHEMA)
+    _atomic_write_parquet(post_tbl, os.path.join(index_dir, "postings", f"part={part:05d}.parquet"))
+    _atomic_write_parquet(dict_tbl, os.path.join(index_dir, "dict", f"part={part:05d}.parquet"))
+    return n_rows, len(dict_rows["term"])
+
+
+# ------------------------------------------------------------------ driver
+
+def build_index(pages_path: str | list[str], index_dir: str,
+                cfg: BuildConfig | None = None, *, resume: bool = True) -> dict:
+    """Build (or resume) an index generation. Returns the committed manifest."""
+    import ray.data as rd
+
+    cfg = cfg or BuildConfig()
+    files = _expand_files(pages_path)
+    if not files:
+        raise ValueError(f"no parquet files under {pages_path!r}")
+    phash = params_hash(cfg.params(files))
+    man = Manifest(index_dir)
+
+    latest = man.latest()
+    if resume and latest and latest.get("params_hash") == phash and latest.get("complete"):
+        return latest
+    gen = man.next_generation()
+    schema_json = schema_to_json(cfg.schema)
+
+    t0 = time.time()
+    boundaries, hot_terms = sample_terms(files, cfg)
+
+    read_cols = _read_columns(cfg.schema)
+
+    # docs pass
+    docs_dir = os.path.join(index_dir, "docs")
+    docs_meta = os.path.join(index_dir, "docs", "_meta.json")
+    docs_reused = False
+    if resume and os.path.exists(docs_meta):
+        import json
+        with open(docs_meta) as f:
+            if json.load(f).get("params_hash") == phash:
+                docs_reused = True
+    if not docs_reused:
+        ds = rd.read_parquet(files, columns=read_cols)
+        docs_ds = ds.map_batches(DocsStage, fn_constructor_args=(schema_json,),
+                                 batch_format="pyarrow", batch_size=cfg.batch_size,
+                                 concurrency=cfg.analyzer_concurrency)
+        docs_ds.write_parquet(docs_dir)
+        import json
+        with open(docs_meta, "w") as f:
+            json.dump({"params_hash": phash}, f)
+
+    # global stats (tiny aggregate)
+    stats = _doc_stats(docs_dir, cfg.schema)
+
+    # postings pass + shuffle + run write
+    completed = man.completed_parts(gen, phash, cfg.num_partitions) if resume else set()
+    todo = [k for k in range(cfg.num_partitions) if k not in completed]
+    if todo:
+        ds = rd.read_parquet(files, columns=read_cols)
+        flat = ds.map_batches(
+            AnalyzerStage,
+            fn_constructor_args=(schema_json, boundaries, hot_terms, cfg.salt_buckets),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.analyzer_concurrency,
+        )
+        run_stats = flat.groupby(["part", "salt"]).map_groups(
+            make_run_writer(index_dir, gen), batch_format="pyarrow"
+        )
+        _ = run_stats.take_all()  # small: one row per (part, salt)
+
+        merge_stats = rd.from_items([{"part": k} for k in todo]).map_batches(
+            make_part_merger(index_dir, gen, phash, cfg.chunk_docs, files),
+            batch_format="pyarrow", batch_size=1,
+        )
+        _ = merge_stats.take_all()  # small: one row per part
+
+    payload = {
+        "params_hash": phash,
+        "schema": schema_json,
+        "boundaries": boundaries,
+        "hot_terms": hot_terms,
+        "num_partitions": cfg.num_partitions,
+        "salt_buckets": cfg.salt_buckets,
+        "chunk_docs": cfg.chunk_docs,
+        "files": files,
+        "stats": stats,
+        "build_seconds": time.time() - t0,
+        "complete": True,
+    }
+    man.commit_generation(gen, payload)
+    return man.read_generation(gen)
+
+
+def _doc_stats(docs_dir: str, schema: Schema) -> dict:
+    """N + avgdl per context from the doc table (small aggregate)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean
+
+    files = sorted(globmod.glob(os.path.join(docs_dir, "*.parquet")))
+    ds = rd.read_parquet(files)
+    aggs = [Count()]
+    cxs = sorted(schema)
+    for cx in cxs:
+        aggs.append(Mean(f"len_{cx}", alias_name=f"avgdl_{cx}"))
+    row = ds.aggregate(*aggs)
+    n = row["count()"] if "count()" in row else row.get("count", 0)
+    out = {"n_docs": int(n)}
+    for cx in cxs:
+        v = row.get(f"avgdl_{cx}")
+        out[f"avgdl_{cx}"] = float(v) if v is not None else 0.0
+    return out

@@ -1,0 +1,344 @@
+"""Index reading: partition dictionaries + postings decode + doc table.
+
+The query-time analog of Hunt's in-memory ``ContextIndex`` + ``DocTable``
+(``Hunt/ContextIndex.hs:109-123``, ``Hunt/DocTable/HashedDocTable.hs``),
+re-expressed over the partitioned Parquet index that ``build.py`` writes.
+
+A ``PartitionReader`` owns one term-range partition: its sorted dictionary
+(binary-searchable, like the ``.tv`` term dictionary,
+``SegmentIndex/Directory/TermInfos.hs:72-110``) and its postings rows
+(decoded on demand, chunk-cached). An ``IndexReader`` routes lookups to the
+partitions a key can live in using the manifest's term-range boundaries —
+case-sensitive exact/prefix/range lookups touch only the covering span;
+case-insensitive lookups scan every partition's ``term_lc`` column.
+
+In serve mode each partition reader would live inside a query actor
+(one actor owns K partitions); locally we read in-process.
+"""
+
+from __future__ import annotations
+
+import bisect
+import os
+from dataclasses import dataclass
+from functools import lru_cache
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..analyze.normalize import denormalize_date, unzerofill_int
+from ..analyze.schema import Schema, schema_from_json
+from ..common import scores as sc
+from .codec import decode_doc_ids, decode_positions, decode_tfs
+from .manifest import Manifest
+
+MAX_CHAR = "\U0010ffff"
+
+
+@dataclass
+class Postings:
+    """Decoded posting list for one (context, term)."""
+
+    doc_ids: np.ndarray          # uint64, ascending
+    tfs: np.ndarray              # uint64
+    pos_flat: np.ndarray | None  # uint64 (None for doc-set kinds)
+    pos_offsets: np.ndarray | None
+
+    @property
+    def df(self) -> int:
+        return len(self.doc_ids)
+
+
+class PartitionReader:
+    def __init__(self, index_dir: str, part: int):
+        self.part = part
+        self.dict_tbl = pq.read_table(os.path.join(index_dir, "dict", f"part={part:05d}.parquet"))
+        self.post_path = os.path.join(index_dir, "postings", f"part={part:05d}.parquet")
+        self._post_tbl: pa.Table | None = None
+        self.terms: list[str] = self.dict_tbl.column("term").to_pylist()
+        self.contexts: list[str] = self.dict_tbl.column("context").to_pylist()
+        self.term_lc = np.asarray(self.dict_tbl.column("term_lc").to_pylist(), dtype=object)
+        self.df = self.dict_tbl.column("df").to_numpy()
+        self.max_tf = self.dict_tbl.column("max_tf").to_numpy()
+        self.n_chunks = self.dict_tbl.column("n_chunks").to_numpy()
+        # postings-row start offset per dict entry (rows ordered like dict)
+        self.post_row_start = np.zeros(len(self.terms) + 1, dtype=np.int64)
+        np.cumsum(self.n_chunks, out=self.post_row_start[1:])
+        # context → contiguous [lo, hi) span of dict entries
+        self.cx_span: dict[str, tuple[int, int]] = {}
+        lo = 0
+        for i in range(1, len(self.contexts) + 1):
+            if i == len(self.contexts) or self.contexts[i] != self.contexts[lo]:
+                self.cx_span[self.contexts[lo]] = (lo, i)
+                lo = i
+        self._postings_cache: dict[int, Postings] = {}
+
+    # -- dictionary lookups -----------------------------------------
+
+    def _span(self, context: str) -> tuple[int, int]:
+        return self.cx_span.get(context, (0, 0))
+
+    def lookup(self, op: str, context: str, key: str) -> list[int]:
+        """Dict-entry indices matching a TextSearchOp
+        (Case/NoCase/PrefixCase/PrefixNoCase — PrefixTreeIndex.hs:86-98)."""
+        lo, hi = self._span(context)
+        if lo == hi:
+            return []
+        if op == "case":
+            i = bisect.bisect_left(self.terms, key, lo, hi)
+            return [i] if i < hi and self.terms[i] == key else []
+        if op == "prefix_case":
+            i = bisect.bisect_left(self.terms, key, lo, hi)
+            j = bisect.bisect_left(self.terms, key + MAX_CHAR, lo, hi)
+            return list(range(i, j))
+        key_lc = key.lower()
+        span_lc = self.term_lc[lo:hi]
+        if op == "nocase":
+            mask = span_lc == key_lc
+        elif op == "prefix_nocase":
+            mask = np.fromiter((t.startswith(key_lc) for t in span_lc), dtype=bool,
+                               count=hi - lo)
+        else:
+            raise ValueError(op)
+        return (np.flatnonzero(mask) + lo).tolist()
+
+    def lookup_range(self, context: str, lb: str, ub: str) -> list[int]:
+        """Inclusive key-range scan (Index.hs:111-120)."""
+        lo, hi = self._span(context)
+        if lo == hi:
+            return []
+        i = bisect.bisect_left(self.terms, lb, lo, hi)
+        j = bisect.bisect_right(self.terms, ub, lo, hi)
+        return list(range(i, j))
+
+    # -- postings ---------------------------------------------------
+
+    def _postings_table(self) -> pa.Table:
+        if self._post_tbl is None:
+            self._post_tbl = pq.read_table(self.post_path)
+        return self._post_tbl
+
+    def postings(self, entry: int, *, with_positions: bool = True) -> Postings:
+        cached = self._postings_cache.get(entry)
+        if cached is not None and (cached.pos_flat is not None or not with_positions):
+            return cached
+        tbl = self._postings_table()
+        lo, hi = int(self.post_row_start[entry]), int(self.post_row_start[entry + 1])
+        doc_parts, tf_parts, pos_parts, off_parts = [], [], [], []
+        base = 0
+        any_pos = False
+        for r in range(lo, hi):
+            dblob = tbl.column("doc_ids")[r].as_py()
+            tblob = tbl.column("tfs")[r].as_py()
+            pblob = tbl.column("positions")[r].as_py()
+            dids = decode_doc_ids(dblob)
+            tfs = decode_tfs(tblob)
+            doc_parts.append(dids)
+            tf_parts.append(tfs)
+            if with_positions and pblob:
+                any_pos = True
+                flat, offs = decode_positions(pblob, tfs)
+                pos_parts.append(flat)
+                off_parts.append(offs[1:] + base)  # skip leading 0, rebase
+                base += len(flat)
+        doc_ids = np.concatenate(doc_parts) if doc_parts else np.empty(0, np.uint64)
+        tfs = np.concatenate(tf_parts) if tf_parts else np.empty(0, np.uint64)
+        if any_pos:
+            pos_flat = np.concatenate(pos_parts)
+            pos_offsets = np.concatenate([np.zeros(1, np.int64)] + off_parts)
+        else:
+            pos_flat, pos_offsets = None, None
+        p = Postings(doc_ids=doc_ids, tfs=tfs, pos_flat=pos_flat, pos_offsets=pos_offsets)
+        self._postings_cache[entry] = p
+        return p
+
+
+class IndexReader:
+    def __init__(self, index_dir: str, generation: int | None = None):
+        man = Manifest(index_dir)
+        gen_info = man.latest() if generation is None else man.read_generation(generation)
+        if gen_info is None:
+            raise FileNotFoundError(f"no committed generation under {index_dir}")
+        self.info = gen_info
+        self.index_dir = index_dir
+        self.schema: Schema = schema_from_json(gen_info["schema"])
+        self.boundaries: list[str] = gen_info["boundaries"]
+        self.num_partitions: int = gen_info["num_partitions"]
+        self.stats: dict = gen_info.get("stats", {})
+        self._parts: dict[int, PartitionReader] = {}
+        self._docs = None
+
+    # -- partition routing ------------------------------------------
+
+    def _part_of(self, key: str) -> int:
+        return bisect.bisect_right(self.boundaries, key)
+
+    def parts_for(self, op: str, key: str, ub: str | None = None) -> list[int]:
+        if op in ("nocase", "prefix_nocase"):
+            return list(range(self.num_partitions))
+        if op == "case":
+            return [self._part_of(key)]
+        if op == "prefix_case":
+            return list(range(self._part_of(key), self._part_of(key + MAX_CHAR) + 1))
+        if op == "range":
+            return list(range(self._part_of(key), self._part_of(ub if ub is not None else key) + 1))
+        raise ValueError(op)
+
+    def part(self, k: int) -> PartitionReader:
+        pr = self._parts.get(k)
+        if pr is None:
+            pr = self._parts[k] = PartitionReader(self.index_dir, k)
+        return pr
+
+    # -- scored search (searchSc / lookupRangeSc) -------------------
+
+    def _denorm(self, context: str, word: str) -> str:
+        kn = self.schema[context].ctype.key_normalizer
+        if kn == "ZeroFill":
+            return unzerofill_int(word)
+        if kn == "Date":
+            return denormalize_date(word)
+        return word
+
+    def search_sc(self, op: str, context: str, key: str, *,
+                  with_positions: bool = True) -> list[tuple[str, np.float32, Postings]]:
+        """All (found_word, similarity_score, postings) for a lookup.
+
+        Scoring mirrors the per-index searchSc implementations:
+        text → ``similar`` (InvertedIndex.hs:92-97), int → ``similarInt``
+        (PrefixTreeIndex.hs:257-262), date → default 1.0 (Index.hs:107-108).
+        Found words are returned in shortest-first order
+        (``toListShortestFirst``, PrefixTreeIndex.hs:86-98).
+        """
+        cs = self.schema[context]
+        score_kind = cs.ctype.search_score
+        results: list[tuple[str, np.float32, Postings]] = []
+        for k in self.parts_for(op, key):
+            if k >= self.num_partitions:
+                continue
+            pr = self.part(k)
+            for entry in pr.lookup(op, context, key):
+                word = pr.terms[entry]
+                disp = self._denorm(context, word)
+                if score_kind == "similar":
+                    s = sc.similar(key, word)
+                elif score_kind == "similar_int":
+                    s = _similar_int(self._denorm(context, key) if cs.ctype.key_normalizer else key, disp)
+                else:
+                    s = sc.DEF_SCORE
+                results.append((word, s, pr.postings(entry, with_positions=with_positions)))
+        results.sort(key=lambda t: (len(t[0]), t[0]))
+        return results
+
+    def lookup_range_sc(self, context: str, lb: str, ub: str, *,
+                        with_positions: bool = True) -> list[tuple[str, np.float32, Postings]]:
+        cs = self.schema[context]
+        results: list[tuple[str, np.float32, Postings]] = []
+        for k in self.parts_for("range", lb, ub):
+            if k >= self.num_partitions:
+                continue
+            pr = self.part(k)
+            for entry in pr.lookup_range(context, lb, ub):
+                word = pr.terms[entry]
+                if cs.ctype.range_score == "similar_range_int":
+                    s = _similar_range_int(unzerofill_int(lb), unzerofill_int(ub),
+                                           self._denorm(context, word))
+                else:
+                    s = sc.DEF_SCORE  # lookupRangeSc default (Index.hs:116-119)
+                results.append((word, s, pr.postings(entry, with_positions=with_positions)))
+        results.sort(key=lambda t: t[0])  # SM.toList ascending
+        return results
+
+    # -- doc table --------------------------------------------------
+
+    @property
+    def docs(self) -> "DocTable":
+        if self._docs is None:
+            self._docs = DocTable(os.path.join(self.index_dir, "docs"), self.schema)
+        return self._docs
+
+    def term_stats(self, context: str, term: str) -> tuple[int, int]:
+        """(df, max_tf) summed across partitions for one exact term."""
+        df = 0
+        mtf = 0
+        for k in self.parts_for("case", term):
+            if k >= self.num_partitions:
+                continue
+            pr = self.part(k)
+            for e in pr.lookup("case", context, term):
+                df += int(pr.df[e])
+                mtf = max(mtf, int(pr.max_tf[e]))
+        return df, mtf
+
+
+class DocTable:
+    """doc_id-sorted in-memory doc table (url, weight, per-context lengths).
+
+    Locally this loads the whole docs parquet; in serve mode it would be
+    doc-id-partitioned across hydration actors (SURVEY.md §2.4: hydration is
+    a broadcast of the top-k ids, never a shuffle).
+    """
+
+    def __init__(self, docs_dir: str, schema: Schema):
+        import glob as g
+
+        files = sorted(g.glob(os.path.join(docs_dir, "*.parquet")))
+        tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        order = np.argsort(tbl.column("doc_id").to_numpy(), kind="stable")
+        self.doc_id = tbl.column("doc_id").to_numpy()[order]
+        self.url = np.asarray(tbl.column("url").to_pylist(), dtype=object)[order]
+        self.weight = tbl.column("weight").to_numpy().astype(np.float32)[order]
+        self.lens: dict[str, np.ndarray] = {}
+        for cx in schema:
+            col = f"len_{cx}"
+            if col in tbl.column_names:
+                self.lens[cx] = tbl.column(col).to_numpy()[order]
+        self.n_docs = len(self.doc_id)
+
+    def rows_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.doc_id, doc_ids)
+        idx = np.clip(idx, 0, max(0, self.n_docs - 1))
+        ok = self.doc_id[idx] == doc_ids
+        if not ok.all():
+            raise KeyError("unknown doc_ids in lookup")
+        return idx
+
+    def urls_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        return self.url[self.rows_of(doc_ids)]
+
+    def weights_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        return self.weight[self.rows_of(doc_ids)]
+
+    def lens_of(self, context: str, doc_ids: np.ndarray) -> np.ndarray:
+        return self.lens[context][self.rows_of(doc_ids)]
+
+
+def _similar_int(searched: str, found: str) -> np.float32:
+    """similarInt (Scoring/Keys.hs:59-68): Gaussian bell around the target."""
+    try:
+        s, f = int(searched), int(found)
+    except ValueError:
+        return sc.NO_SCORE
+    return _similar_float(np.float32(s), np.float32(f))
+
+
+def _similar_range_int(lb: str, ub: str, found: str) -> np.float32:
+    """similarRangeInt (Keys.hs:70-82): bell around the range midpoint."""
+    try:
+        lo, hi, f = int(lb), int(ub), int(found)
+    except ValueError:
+        return sc.NO_SCORE
+    return _similar_float(np.float32(np.float32(lo + hi) / np.float32(2.0)), np.float32(f))
+
+
+def _similar_float(mu: np.float32, x: np.float32) -> np.float32:
+    """similarFloat/bellCurve (Keys.hs:84-99).
+
+    sigma = max(|mu|, 10) / 10 (backtick ``max`` binds tighter than ``/``).
+    """
+    sigma = np.float32(max(abs(float(mu)), 10.0) / 10.0)
+    two_sigma2 = np.float32(2.0) * sigma * sigma
+    d = np.float32(x - mu)
+    val = np.float32(np.exp(np.float32(-(d * d) / two_sigma2)))
+    return sc.mk_score(val)

@@ -1,0 +1,160 @@
+"""Query AST, mirroring Hunt's query grammar.
+
+Reference: ``Hunt/Query/Language/Grammar.hs:49-78`` (Query/BinOp/
+TextSearchType) and the smart constructors in ``Language/Builder.hs`` —
+n-ary ``QSeq`` with assoc-collection for And/Or/Phrase/Near/Follow and
+left-assoc for AndNot (Builder.hs:157-185).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Union
+
+# TextSearchType: QCase | QNoCase | QFuzzy (Grammar.hs:62-67)
+CASE = "case"
+NOCASE = "nocase"
+FUZZY = "fuzzy"
+
+# BinOp (Grammar.hs:70-78)
+AND = "and"
+OR = "or"
+AND_NOT = "and not"
+PHRASE = "phrase"
+
+
+@dataclass(frozen=True)
+class QWord:          # prefix search for a word
+    op: str
+    word: str
+
+
+@dataclass(frozen=True)
+class QFullWord:      # search for a complete word
+    op: str
+    word: str
+
+
+@dataclass(frozen=True)
+class QPhrase:        # transformed to QFullWord/QSeq Phrase at eval time
+    op: str
+    phrase: str
+
+
+@dataclass(frozen=True)
+class QContext:
+    contexts: tuple[str, ...]
+    query: "Query"
+
+
+@dataclass(frozen=True)
+class QBoost:
+    weight: float
+    query: "Query"
+
+
+@dataclass(frozen=True)
+class QRange:
+    lower: str
+    upper: str
+
+
+@dataclass(frozen=True)
+class Follow:
+    d: int
+
+    def __str__(self) -> str:
+        return f"follow {self.d}"
+
+
+@dataclass(frozen=True)
+class Near:
+    d: int
+
+    def __str__(self) -> str:
+        return f"near {self.d}"
+
+
+BinOp = Union[str, Follow, Near]
+
+
+@dataclass(frozen=True)
+class QSeq:
+    op: BinOp
+    args: tuple["Query", ...]
+
+
+Query = Union[QWord, QFullWord, QPhrase, QContext, QBoost, QRange, QSeq]
+
+
+def _collect_assoc(op: BinOp, qs: list[Query]) -> list[Query]:
+    """collectAssocs (Builder.hs:157-165): flatten same-op nested seqs."""
+    out: list[Query] = []
+    for q in qs:
+        if isinstance(q, QSeq) and q.op == op:
+            out.extend(q.args)
+        else:
+            out.append(q)
+    return out
+
+
+def _rem_single(q: Query) -> Query:
+    if isinstance(q, QSeq) and len(q.args) == 1:
+        return q.args[0]
+    return q
+
+
+def mk_assoc_seq(op: BinOp, qs: list[Query]) -> Query:
+    return _rem_single(QSeq(op, tuple(_collect_assoc(op, qs))))
+
+
+def mk_left_assoc_seq(op: BinOp, qs: list[Query]) -> Query:
+    """mkLeftAssocSeq (Builder.hs:171-179) — AndNot is left-assoc."""
+    if qs and isinstance(qs[0], QSeq) and qs[0].op == op:
+        qs = list(qs[0].args) + qs[1:]
+    return _rem_single(QSeq(op, tuple(qs)))
+
+
+def q_and(q1: Query, q2: Query) -> Query:
+    return mk_assoc_seq(AND, [q1, q2])
+
+
+def q_or(q1: Query, q2: Query) -> Query:
+    return mk_assoc_seq(OR, [q1, q2])
+
+
+def q_and_not(q1: Query, q2: Query) -> Query:
+    return mk_left_assoc_seq(AND_NOT, [q1, q2])
+
+
+def q_next(q1: Query, q2: Query) -> Query:
+    return mk_assoc_seq(PHRASE, [q1, q2])
+
+
+def q_near(d: int, q1: Query, q2: Query) -> Query:
+    return mk_assoc_seq(Near(d), [q1, q2])
+
+
+def q_phrase_words(ctor, text: str) -> Query:
+    """qPhrase' (Builder.hs:69-73): split on spaces; 1 word → plain query,
+    else QSeq Phrase of per-word queries."""
+    ws = text.split()
+    if len(ws) == 1:
+        return ctor(ws[0])
+    return mk_assoc_seq(PHRASE, [ctor(w) for w in ws])
+
+
+def is_local_cx_op(op: BinOp) -> bool:
+    """Phrase/Follow/Near run per-context-local (Processor.hs:503-507)."""
+    return op == PHRASE or isinstance(op, (Follow, Near))
+
+
+def set_fuzzy(q: Query) -> Query:
+    """setFuzzySearch (Builder.hs:200-204)."""
+    if isinstance(q, QWord):
+        return QWord(FUZZY, q.word)
+    if isinstance(q, QFullWord):
+        return QFullWord(FUZZY, q.word)
+    if isinstance(q, QPhrase):
+        return QPhrase(FUZZY, q.phrase)
+    return q

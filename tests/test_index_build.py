@@ -1,0 +1,97 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hunt_ray.index.build import BuildConfig, build_index
+from hunt_ray.index.reader import IndexReader
+
+
+@pytest.fixture(scope="module")
+def built_index(ray_session, pages_small, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("index"))
+    cfg = BuildConfig(num_partitions=4, salt_buckets=2, batch_size=64,
+                      analyzer_concurrency=2)
+    info = build_index(pages_small, idx_dir, cfg)
+    return idx_dir, info
+
+
+def test_build_commits_generation(built_index):
+    idx_dir, info = built_index
+    assert info["complete"] is True
+    assert info["generation"] == 0
+    assert info["stats"]["n_docs"] == 300
+    assert info["stats"]["avgdl_body"] > 0
+
+
+def test_reader_exact_term(built_index):
+    idx_dir, _ = built_index
+    rd = IndexReader(idx_dir)
+    res = rd.search_sc("case", "body", "brain")
+    assert len(res) == 1
+    word, score, post = res[0]
+    assert word == "brain" and score == np.float32(1.0)
+    assert post.df >= 1
+    assert np.all(post.doc_ids[:-1] <= post.doc_ids[1:])  # ascending
+    # tf == number of positions per doc
+    counts = np.diff(post.pos_offsets)
+    assert counts.tolist() == post.tfs.tolist()
+
+
+def test_reader_nocase_and_prefix(built_index):
+    idx_dir, _ = built_index
+    rd = IndexReader(idx_dir)
+    # "Brain" is indexed capitalized (canon doc title context has "Brain")
+    nocase = rd.search_sc("nocase", "body", "brain")
+    words = [w for w, _, _ in nocase]
+    assert "brain" in words
+    pref = rd.search_sc("prefix_case", "body", "bra")
+    assert all(w.startswith("bra") for w, _, _ in pref)
+    assert any(w == "brain" for w, _, _ in pref)
+    # prefix scores: 0.5 * len(key)/len(word) (Keys.hs:49-51)
+    for w, s, _ in pref:
+        if w == "brain":
+            assert s == np.float32(np.float32(0.5) * np.float32(3) / np.float32(5))
+
+
+def test_reader_range_date(built_index):
+    idx_dir, _ = built_index
+    rd = IndexReader(idx_dir)
+    res = rd.lookup_range_sc("datecontext", "20130101000000", "20130630000000")
+    assert len(res) >= 1
+    words = [w for w, _, _ in res]
+    assert "20130101000000" in words
+    assert all("20130101000000" <= w <= "20130630000000" for w in words)
+
+
+def test_head_term_salted_runs(built_index, pages_small):
+    idx_dir, info = built_index
+    assert "the" in info["hot_terms"]
+    # head term postings survive the salted build+merge intact
+    rd = IndexReader(idx_dir)
+    res = rd.search_sc("case", "body", "the")
+    assert len(res) == 1
+    _, _, post = res[0]
+    assert post.df >= 250  # "the" lands in nearly every doc
+    assert np.unique(post.doc_ids).size == post.df  # no dup docs after merge
+
+
+def test_docs_table(built_index):
+    idx_dir, _ = built_index
+    rd = IndexReader(idx_dir)
+    dt = rd.docs
+    assert dt.n_docs == 300
+    assert np.all(dt.weight == np.float32(1.0))
+    some = rd.search_sc("case", "body", "brain")[0][2].doc_ids[:3]
+    urls = dt.urls_of(some)
+    assert all(u.startswith("test://") for u in urls)
+
+
+def test_resume_skips_completed(built_index, pages_small):
+    idx_dir, info = built_index
+    cfg = BuildConfig(num_partitions=4, salt_buckets=2, batch_size=64,
+                      analyzer_concurrency=2)
+    info2 = build_index(pages_small, idx_dir, cfg)
+    # same params hash → same committed generation returned without rebuild
+    assert info2["generation"] == info["generation"]
+    assert info2["params_hash"] == info["params_hash"]
