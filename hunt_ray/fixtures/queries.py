@@ -1,0 +1,38 @@
+"""The reference-shaped query set (FIXTURES.md §3).
+
+One query per grammar production, modeled on the reference's interpreter and
+parser tests (``test/Hunt/InterpreterTests.hs:32-71``,
+``test/Hunt/QueryParserTests.hs:90-193``) over the fixture vocabulary.
+"""
+
+REFERENCE_QUERIES: list[tuple[str, str, str]] = [
+    # (qid-name, kind, query string)
+    ("word_nocase_prefix", "word", "brain"),
+    ("word_case_prefix", "fullword-case", "!Bra"),
+    ("word_case_prefix_lower", "fullword-case", "!bra"),
+    ("word_case_exact_missing", "fullword-case", "!Brain"),
+    ("fullword_nocase", "nocase", '"brain"'),
+    ("fullword_case_phrase", "phrase", '!"take over the world"'),
+    ("prefix_nocase", "prefix", "bra"),
+    ("quoted_word_prefix", "prefix", "'brain'"),
+    ("phrase_nocase", "phrase", '"take over the world"'),
+    ("phrase_two", "phrase", '"over the"'),
+    ("implicit_and", "and", "take world"),
+    ("and_explicit", "and", "take AND world"),
+    ("or_query", "or", "brain OR mission"),
+    ("andnot", "andnot", "the AND NOT mission"),
+    ("context_title", "context", "title:brain"),
+    ("context_multi", "multicontext", "title,headlines:brain"),
+    ("context_group", "context", "title:(brain OR date)"),
+    ("boost", "boost", "brain^2.5 OR mission"),
+    ("boosted_and", "boost", "take^4 AND world^8"),
+    ("seq_next", "phrase", "take ++ over ++ the ++ world"),
+    ("near_query", "near", "take NEAR 2 world"),
+    ("follow_query", "follow", "take FOLLOW 3 world"),
+    ("date_range", "range", "datecontext:[2013-01-01 TO 2013-06-30]"),
+    ("int_range", "range", "intcontext:[40 TO 1024]"),
+    ("fuzzy", "fuzzy", "~brain"),
+    ("headlines_lower", "context", "headlines:PINKY"),
+    ("or_of_ands", "or", "(take AND world) OR (brain AND mission)"),
+    ("andnot_chain", "andnot", "the AND NOT world AND NOT mission"),
+]

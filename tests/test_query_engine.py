@@ -1,0 +1,92 @@
+"""Rank-identity: engine vs the independent in-Python oracle.
+
+The correctness gate of SURVEY.md §5/FIXTURES.md §4: for every query in the
+reference-shaped query set, the engine's full ranked (url, score-float32)
+result must equal the oracle's, with docLimit=0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hunt_ray.analyze.schema import default_schema
+from hunt_ray.fixtures.pages import generate_pages
+from hunt_ray.fixtures.queries import REFERENCE_QUERIES
+from hunt_ray.index.build import BuildConfig, build_index
+from hunt_ray.query.engine import SearchEngine
+from hunt_ray.query.oracle import OracleIndex, OracleProcessor
+from hunt_ray.query.parser import parse_query
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def engine(ray_session, pages_small, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("qindex"))
+    cfg = BuildConfig(num_partitions=4, salt_buckets=2, batch_size=64,
+                      analyzer_concurrency=2)
+    build_index(pages_small, idx_dir, cfg)
+    return SearchEngine(idx_dir)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    pages = generate_pages(seed=42, n_rows=N_DOCS)
+    return OracleProcessor(OracleIndex(pages, default_schema()))
+
+
+def _engine_results(engine: SearchEngine, qs: str) -> list[tuple[str, float]]:
+    res = engine.search(qs, offset=0, limit=0)
+    return [(h.url, h.score) for h in res.result]
+
+
+@pytest.mark.parametrize("name,kind,qs", REFERENCE_QUERIES,
+                         ids=[n for n, _, _ in REFERENCE_QUERIES])
+def test_rank_identity(engine, oracle, name, kind, qs):
+    got = _engine_results(engine, qs)
+    want = oracle.search(parse_query(qs))
+    assert [u for u, _ in got] == [u for u, _ in want], f"url order differs for {qs!r}"
+    gs = np.asarray([s for _, s in got], dtype=np.float32)
+    ws = np.asarray([s for _, s in want], dtype=np.float32)
+    assert np.array_equal(gs, ws), f"scores differ for {qs!r}"
+
+
+def test_case_search_excludes_lowercase(engine):
+    # canon check mirroring test_search_case2 (InterpreterTests.hs:177-182):
+    # title has "Brain" (capitalized); a case-sensitive lowercase full-word
+    # search over title must be empty
+    res = engine.search("title:!'brain'", limit=0)
+    urls = [h.url for h in res.result]
+    assert "test://0" not in urls
+
+
+def test_planted_phrase_found(engine):
+    res = engine.search('"take over the world"', limit=0)
+    assert any(h.url == "test://0" for h in res.result)
+    assert res.count >= 1
+
+
+def test_pagination(engine):
+    full = engine.search("the", offset=0, limit=0)
+    page = engine.search("the", offset=5, limit=10)
+    assert [h.url for h in page.result] == [h.url for h in full.result[5:15]]
+    assert page.count == full.count
+
+
+def test_completion(engine, oracle):
+    comp = engine.complete("bra", limit=10)
+    words = [w for w, _ in comp]
+    assert any(w.lower().startswith("bra") for w in words)
+    # scores sorted desc, tie word asc
+    scores = [s for _, s in comp]
+    assert scores == sorted(scores, reverse=True) or len(set(scores)) < len(scores)
+
+
+def test_doclimit_changes_results(engine):
+    from hunt_ray.query.processor import ProcessConfig
+
+    limited = SearchEngine(engine.reader.index_dir, ProcessConfig(word_limit=0, doc_limit=5))
+    full = engine.search("bra", limit=0)
+    lim = limited.search("bra", limit=0)
+    assert lim.count <= full.count
