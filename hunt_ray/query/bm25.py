@@ -1,0 +1,261 @@
+"""BM25 scoring + top-k retrieval with max-score / block-max WAND pruning.
+
+The reference has no BM25 and no idf — its scoring is the similarity/tf
+algebra reimplemented in ``processor.py`` (SURVEY.md §2.9 note). The
+``north_star`` nevertheless mandates a BM25 mode (k1=1.2, b=0.75 defaults)
+with block-max WAND for the headline latency metric, sharing the same
+postings. Both scorers consume the same partitioned index.
+
+- idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))   (Lucene/Robertson variant —
+  non-negative, so WAND upper bounds are valid)
+- score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+- term upper bound: ub(t) = idf(t) · max_tf·(k1+1) / (max_tf + k1·(1−b))
+  (dl → 0 bound, max_tf from the dictionary)
+- block-max: per 128-doc block max tf computed at postings load, used to
+  skip pivots whose block-level bound can't beat the current threshold
+
+Arithmetic is float64 with a fixed per-doc term-summation order (dictionary
+term order), so the exhaustive scorer, the WAND scorer and the DuckDB SQL
+oracle in ``__ray_entry__.py`` agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..index.reader import IndexReader
+
+BLOCK = 128
+
+
+@dataclass
+class _TermPostings:
+    term: str
+    idf: float
+    ub: float
+    doc_ids: np.ndarray    # uint64 ascending
+    tfs: np.ndarray        # float64
+    block_last: np.ndarray  # last doc id per block
+    block_ub: np.ndarray    # per-block score upper bound
+
+
+class BM25Engine:
+    def __init__(self, reader: IndexReader, *, k1: float = 1.2, b: float = 0.75,
+                 context: str = "body"):
+        self.reader = reader
+        self.k1 = float(k1)
+        self.b = float(b)
+        self.context = context
+        self.N = int(reader.stats.get("n_docs", 0))
+        self.avgdl = float(reader.stats.get(f"avgdl_{context}", 0.0)) or 1.0
+        docs = reader.docs
+        self._doc_id_sorted = docs.doc_id
+        self._doclen = docs.lens[context].astype(np.float64)
+        self._term_cache: dict[str, _TermPostings | None] = {}
+
+    # -- query analysis ---------------------------------------------
+
+    def _query_terms(self, query: str) -> list[str]:
+        """Tokenize the free-text query like the context's analyzer,
+        case-folded (BM25 mode is nocase bag-of-words)."""
+        import pyarrow as pa
+
+        from ..analyze.tokenize import tokenize_context
+
+        cs = self.reader.schema[self.context]
+        stream = tokenize_context(pa.array([query]), cs)
+        seen, out = set(), []
+        for t in stream.tokens:
+            tl = t.lower()
+            if tl not in seen:
+                seen.add(tl)
+                out.append(tl)
+        return out
+
+    # -- postings load ----------------------------------------------
+
+    def _load_term(self, term_lc: str) -> _TermPostings | None:
+        if term_lc in self._term_cache:
+            return self._term_cache[term_lc]
+        # nocase: merge all case variants of the term into one posting list
+        found = self.reader.search_sc("nocase", self.context, term_lc,
+                                      with_positions=False)
+        if not found:
+            self._term_cache[term_lc] = None
+            return None
+        if len(found) == 1:
+            doc_ids = found[0][2].doc_ids
+            tfs = found[0][2].tfs.astype(np.float64)
+        else:
+            ids = np.concatenate([p.doc_ids for _, _, p in found])
+            tf = np.concatenate([p.tfs for _, _, p in found]).astype(np.float64)
+            order = np.argsort(ids, kind="stable")
+            ids, tf = ids[order], tf[order]
+            uniq, start = np.unique(ids, return_index=True)
+            tfs = np.add.reduceat(tf, start)
+            doc_ids = uniq
+        df = len(doc_ids)
+        idf = math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
+        k1, b = self.k1, self.b
+        max_tf = float(tfs.max()) if df else 0.0
+        ub = idf * (max_tf * (k1 + 1.0)) / (max_tf + k1 * (1.0 - b)) if df else 0.0
+        # per-block metadata for block-max pruning
+        nblocks = (df + BLOCK - 1) // BLOCK
+        starts = np.arange(0, df, BLOCK)
+        block_last = doc_ids[np.minimum(starts + BLOCK - 1, df - 1)]
+        bmax = np.maximum.reduceat(tfs, starts)
+        block_ub = idf * (bmax * (k1 + 1.0)) / (bmax + k1 * (1.0 - b))
+        tp = _TermPostings(term_lc, idf, ub, doc_ids, tfs, block_last, block_ub)
+        self._term_cache[term_lc] = tp
+        return tp
+
+    # -- scoring ----------------------------------------------------
+
+    def _norm_denominator(self, tfs: np.ndarray, doc_ids: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self._doc_id_sorted, doc_ids)
+        dl = self._doclen[idx]
+        return tfs + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+
+    def _tf_score(self, tp: _TermPostings, sel: np.ndarray | slice) -> np.ndarray:
+        tfs = tp.tfs[sel]
+        dids = tp.doc_ids[sel]
+        return tp.idf * (tfs * (self.k1 + 1.0)) / self._norm_denominator(tfs, dids)
+
+    def search_exhaustive(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Vectorized term-at-a-time full scoring (the correctness baseline)."""
+        terms = [tp for t in self._query_terms(query) if (tp := self._load_term(t))]
+        if not terms:
+            return []
+        uniq = np.unique(np.concatenate([tp.doc_ids for tp in terms]))
+        totals = np.zeros(len(uniq), dtype=np.float64)
+        # accumulate term-by-term in query-term order: bit-identical to the
+        # WAND scorer's sequential per-doc sums (reduceat would sum pairwise)
+        for tp in terms:
+            idx = np.searchsorted(uniq, tp.doc_ids)
+            totals[idx] += self._tf_score(tp, slice(None))
+        return self._top_k(uniq, totals, k)
+
+    @staticmethod
+    def _top_k(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[int, float]]:
+        n = len(doc_ids)
+        if n == 0:
+            return []
+        # full (score desc, doc_id asc) sort so boundary ties are
+        # deterministic and match the WAND heap's tie-breaking
+        order = np.lexsort((doc_ids, -scores))[: min(k, n)]
+        return [(int(doc_ids[i]), float(scores[i])) for i in order]
+
+    # -- WAND -------------------------------------------------------
+
+    def search_wand(self, query: str, k: int = 10, *, block_max: bool = True
+                    ) -> list[tuple[int, float]]:
+        """Document-at-a-time top-k with WAND pruning (+ block-max skip).
+
+        Returns exactly the exhaustive top-k: full scores are summed in the
+        same fixed term order, ties broken by doc_id ascending.
+        """
+        terms = [tp for t in self._query_terms(query) if (tp := self._load_term(t))]
+        if not terms:
+            return []
+        nt = len(terms)
+        ptr = [0] * nt
+        exhausted = [False] * nt
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+        INF = 1 << 65  # > any uint64 doc id
+
+        def cur_doc(i: int) -> int:
+            return int(terms[i].doc_ids[ptr[i]]) if not exhausted[i] else INF
+
+        def advance_to(i: int, target: int) -> None:
+            tp = terms[i]
+            if target >= 1 << 64:
+                exhausted[i] = True
+                return
+            j = int(np.searchsorted(tp.doc_ids, np.uint64(target), side="left"))
+            if j >= len(tp.doc_ids):
+                exhausted[i] = True
+            else:
+                ptr[i] = j
+
+        def full_score(doc: int) -> float:
+            s = 0.0
+            for i in range(nt):  # fixed term order = exhaustive order
+                if exhausted[i]:
+                    continue
+                tp = terms[i]
+                j = ptr[i]
+                if j < len(tp.doc_ids) and int(tp.doc_ids[j]) == doc:
+                    s += float(self._tf_score(tp, slice(j, j + 1))[0])
+            return s
+
+        threshold = -math.inf
+        while True:
+            live = [i for i in range(nt) if not exhausted[i]]
+            if not live:
+                break
+            live.sort(key=cur_doc)
+            # find pivot: smallest prefix whose Σ ub exceeds the threshold
+            acc = 0.0
+            pivot_idx = None
+            for pos, i in enumerate(live):
+                acc += terms[i].ub
+                if acc > threshold:
+                    pivot_idx = pos
+                    break
+            if pivot_idx is None:
+                break  # even all terms together can't beat the threshold
+            pivot_doc = cur_doc(live[pivot_idx])
+            if pivot_doc >= INF:
+                break
+            if cur_doc(live[0]) == pivot_doc:
+                # block-max refinement: tighter per-block bound at the pivot
+                if block_max and len(heap) >= k:
+                    bub = 0.0
+                    for i in live[: pivot_idx + 1]:
+                        tp = terms[i]
+                        bi = int(np.searchsorted(tp.block_last, np.uint64(pivot_doc)))
+                        if bi < len(tp.block_ub):
+                            bub += float(tp.block_ub[bi])
+                    if bub <= threshold:
+                        # this block can't beat the threshold → skip the doc
+                        for i in live[: pivot_idx + 1]:
+                            advance_to(i, pivot_doc + 1)
+                        continue
+                # all cursors up to pivot aligned → score it
+                for i in range(nt):
+                    if not exhausted[i] and cur_doc(i) < pivot_doc:
+                        advance_to(i, pivot_doc)
+                s = full_score(pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, (s, -pivot_doc))
+                    if len(heap) == k:
+                        threshold = heap[0][0]
+                else:
+                    if (s, -pivot_doc) > heap[0]:
+                        heapq.heapreplace(heap, (s, -pivot_doc))
+                        threshold = heap[0][0]
+                for i in range(nt):
+                    if not exhausted[i] and cur_doc(i) == pivot_doc:
+                        advance_to(i, pivot_doc + 1)
+            else:
+                # advance the earlier cursors up to the pivot
+                for i in live[:pivot_idx]:
+                    advance_to(i, pivot_doc)
+        out = sorted(heap, key=lambda t: (-t[0], -t[1]))
+        return [(-d, s) for s, d in out]
+
+    def search(self, query: str, k: int = 10, *, mode: str = "wand",
+               hydrate: bool = True) -> list[dict]:
+        hits = (self.search_wand(query, k) if mode == "wand"
+                else self.search_exhaustive(query, k))
+        if not hydrate:
+            return [{"doc_id": d, "score": s} for d, s in hits]
+        docs = self.reader.docs
+        ids = np.asarray([d for d, _ in hits], dtype=np.uint64)
+        urls = docs.urls_of(ids) if len(ids) else []
+        return [{"doc_id": d, "score": s, "url": str(u)}
+                for (d, s), u in zip(hits, urls)]
