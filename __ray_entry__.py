@@ -1,44 +1,285 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the hunt_ray engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here (nor
+in hunt_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``     — flagship pipeline on sf0.001: documents → input_hint
+  pages → inverted-index build (salted groupby shuffle) → hunt-compat
+  query evaluation; returns the ranked hits table.
+- ``queries()``   — one callable per implemented operator/pipeline from
+  SURVEY.md §2 plus the training-data ops (dedup / similarity / text
+  analysis / multimodal plumbing).
+- ``oracle_sql()``— DuckDB-equivalent SQL per query where expressible
+  (identical tokenizer: ``regexp_extract_all(lower(text), '[a-z0-9_]+')``;
+  BM25/cosine in float64 with matching rounding). Non-SQL ops (index
+  build/search, MinHash, SimHash, langid heuristic, fingerprints, IVF,
+  multimodal stubs) are rows-only by design.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+# Ray workers are separate processes that may not have this repo on their
+# import path; registering the package for pickle-by-value makes every
+# map_batches callable self-contained regardless of the driver's env.
+try:
+    import hunt_ray  # noqa: F401
+    from ray import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(hunt_ray)
+except Exception:  # pragma: no cover — fall back to import-by-reference
+    pass
+
+BM25_TERMS = ("join", "hash", "batch")
+KNN_QUERY_IDS = (0, 1, 2, 3, 4)
+EVENTS_LO, EVENTS_HI = "2024-01-08 00:00:00", "2024-01-15 00:00:00"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    from hunt_ray.pipelines.flagship import flagship_search
+
+    return flagship_search("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from hunt_ray.pipelines import dedup, docsearch, flagship, multimodal, similarity, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_lineitem_q1(sf_dir: str):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                      "l_extendedprice", "l_discount"])
+
+        def revenue(batch: pa.Table) -> pa.Table:
+            rev = pc.multiply(batch.column("l_extendedprice"),
+                              pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+            return batch.append_column("revenue", rev)
+
+        from ray.data.aggregate import Count, Sum
+
+        out = (ds.map_batches(revenue, batch_format="pyarrow")
+               .groupby(["l_returnflag", "l_linestatus"])
+               .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                          Sum("revenue", alias_name="sum_revenue"),
+                          Count(alias_name="n")))
+
+        def round_cols(batch: pa.Table) -> pa.Table:
+            return batch.set_column(
+                batch.column_names.index("sum_qty"), "sum_qty",
+                pc.round(batch.column("sum_qty"), 4)).set_column(
+                batch.column_names.index("sum_revenue"), "sum_revenue",
+                pc.round(batch.column("sum_revenue"), 2))
+
+        return out.map_batches(round_cols, batch_format="pyarrow")
+
+    def q_events_range(sf_dir: str):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+        from ray.data.aggregate import Count, Sum
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "event_type", "value"])
+
+        def filt(batch: pa.Table) -> pa.Table:
+            lo = pa.scalar(EVENTS_LO).cast(pa.timestamp("us"))
+            hi = pa.scalar(EVENTS_HI).cast(pa.timestamp("us"))
+            m = pc.and_(pc.greater_equal(batch.column("ts"), lo),
+                        pc.less(batch.column("ts"), hi))
+            return batch.filter(m)
+
+        out = (ds.map_batches(filt, batch_format="pyarrow")
+               .groupby("event_type")
+               .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value")))
+
+        def round_cols(batch: pa.Table) -> pa.Table:
+            return batch.set_column(
+                batch.column_names.index("sum_value"), "sum_value",
+                pc.round(batch.column("sum_value"), 4))
+
+        return out.map_batches(round_cols, batch_format="pyarrow")
+
+    return {
+        # --- inverted-index feed + term statistics (SURVEY §2.2/§2.5)
+        "q_postings": textstats.postings,
+        "q_term_df": textstats.term_df,
+        "q_top_terms": lambda sf: textstats.top_terms(sf, 100),
+        "q_doc_stats": textstats.doc_stats,
+        "q_token_count_by_lang": textstats.token_count_by_lang,
+        "q_quality": textstats.quality,
+        # --- boolean/phrase/prefix search semantics (SURVEY §2.4/§2.7)
+        "q_search_and": lambda sf: docsearch.search_and(sf, "join", "hash"),
+        "q_search_or": lambda sf: docsearch.search_or(sf, "customer", "window"),
+        "q_search_andnot": lambda sf: docsearch.search_and_not(sf, "table", "spark"),
+        "q_search_phrase": lambda sf: docsearch.search_phrase(sf, "slow fast"),
+        "q_search_prefix": lambda sf: docsearch.search_prefix(sf, "cust"),
+        "q_term_doc_count": lambda sf: docsearch.term_doc_count(sf, BM25_TERMS),
+        # --- BM25 (SURVEY §2.9 note / north_star)
+        "q_bm25_topk": lambda sf: textstats.bm25_topk(sf, BM25_TERMS, 20),
+        # --- dedup family (driver mandate)
+        "q_exact_dedup": dedup.exact_dedup_groups,
+        "q_minhash_dedup": lambda sf: dedup.minhash_dedup(sf, threshold=0.5),
+        "q_simhash": dedup.simhash,
+        "q_simhash_dedup": lambda sf: dedup.simhash_dedup(sf, max_hamming=3),
+        # threshold 0.45: the synthetic embeddings top out at ~0.51 cosine,
+        # so this exercises real near-dup pairs (0.95 would be vacuous)
+        "q_embedding_dedup": lambda sf: dedup.embedding_dedup(sf, threshold=0.45),
+        # --- similarity search (driver mandate)
+        "q_knn_cosine": lambda sf: similarity.knn_brute(sf, KNN_QUERY_IDS, 10),
+        "q_knn_ivf": lambda sf: similarity.knn_ivf(sf, KNN_QUERY_IDS, 10),
+        # --- text analysis (driver mandate)
+        "q_lang_id": textstats.lang_id,
+        "q_fingerprint": textstats.fingerprint,
+        # --- multimodal plumbing (driver mandate; decode stubbed)
+        "q_multimodal_features": lambda sf: multimodal.decode_features(
+            flagship.ensure_pages(sf)),
+        # --- generic relational ops (events range scan, TPC-H-ish agg)
+        "q_events_range": q_events_range,
+        "q_lineitem_q1": q_lineitem_q1,
+        # --- flagship index build + query (rows-only: non-SQL-expressible)
+        "q_index_search": flagship.flagship_search,
+        "q_index_bm25": flagship.flagship_bm25,
+    }
+
+
+_TOKENS = ("SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term "
+           "FROM documents")
+_TOKSTR = ("SELECT doc_id, ' ' || array_to_string(regexp_extract_all(lower(text), "
+           "'[a-z0-9_]+'), ' ') || ' ' AS s FROM documents")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bm25_terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    knn_ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    return {
+        "q_postings": (
+            f"SELECT term, doc_id, count(*)::BIGINT AS tf FROM ({_TOKENS}) "
+            "GROUP BY term, doc_id"
+        ),
+        "q_term_df": (
+            f"SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf "
+            f"FROM ({_TOKENS}) GROUP BY term"
+        ),
+        "q_top_terms": (
+            f"SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf "
+            f"FROM ({_TOKENS}) GROUP BY term ORDER BY cf DESC, term ASC LIMIT 100"
+        ),
+        "q_doc_stats": (
+            f"SELECT d.doc_id, coalesce(t.n_tokens, 0)::BIGINT AS n_tokens, "
+            "coalesce(t.n_unique_terms, 0)::BIGINT AS n_unique_terms "
+            "FROM documents d LEFT JOIN ("
+            f"SELECT doc_id, count(*)::BIGINT AS n_tokens, "
+            f"count(DISTINCT term)::BIGINT AS n_unique_terms FROM ({_TOKENS}) "
+            "GROUP BY doc_id) t USING (doc_id)"
+        ),
+        "q_token_count_by_lang": (
+            "SELECT d.lang, coalesce(sum(t.n), 0)::BIGINT AS n_tokens, "
+            "count(*)::BIGINT AS n_docs FROM documents d LEFT JOIN ("
+            f"SELECT doc_id, count(*)::BIGINT AS n FROM ({_TOKENS}) GROUP BY doc_id"
+            ") t USING (doc_id) GROUP BY d.lang"
+        ),
+        "q_quality": (
+            "SELECT d.doc_id, length(d.text)::BIGINT AS n_chars, "
+            "coalesce(t.n_tokens, 0)::BIGINT AS n_tokens, "
+            "coalesce(round(t.sum_len / t.n_tokens, 6), 0.0) AS mean_token_len, "
+            "coalesce(round(t.n_stop / t.n_tokens, 6), 0.0) AS stopword_ratio "
+            "FROM documents d LEFT JOIN ("
+            "SELECT doc_id, count(*)::BIGINT AS n_tokens, "
+            "sum(length(term))::DOUBLE AS sum_len, "
+            "sum(CASE WHEN term IN ('the','a','of','and','to') THEN 1 ELSE 0 END)::DOUBLE AS n_stop "
+            f"FROM ({_TOKENS}) GROUP BY doc_id) t USING (doc_id)"
+        ),
+        "q_search_and": (
+            f"SELECT doc_id FROM ({_TOKSTR}) WHERE contains(s, ' join ') "
+            "AND contains(s, ' hash ')"
+        ),
+        "q_search_or": (
+            f"SELECT doc_id FROM ({_TOKSTR}) WHERE contains(s, ' customer ') "
+            "OR contains(s, ' window ')"
+        ),
+        "q_search_andnot": (
+            f"SELECT doc_id FROM ({_TOKSTR}) WHERE contains(s, ' table ') "
+            "AND NOT contains(s, ' spark ')"
+        ),
+        "q_search_phrase": (
+            f"SELECT doc_id FROM ({_TOKSTR}) WHERE contains(s, ' slow fast ')"
+        ),
+        "q_search_prefix": (
+            f"SELECT doc_id FROM ({_TOKSTR}) WHERE contains(s, ' cust')"
+        ),
+        "q_term_doc_count": (
+            f"SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ({_TOKENS}) "
+            f"WHERE term IN ({bm25_terms}) GROUP BY term"
+        ),
+        "q_bm25_topk": f"""
+WITH tokens AS ({_TOKENS}),
+stats AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+dl AS (SELECT d.doc_id, coalesce(t.n, 0)::DOUBLE AS dl FROM documents d
+       LEFT JOIN (SELECT doc_id, count(*) AS n FROM tokens GROUP BY doc_id) t USING (doc_id)),
+avg_dl AS (SELECT avg(dl) AS avgdl FROM dl),
+tf AS (SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tokens
+       WHERE term IN ({bm25_terms}) GROUP BY term, doc_id),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avg_dl.avgdl)) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats CROSS JOIN avg_dl
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "q_exact_dedup": (
+            "SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_copies, "
+            "min(doc_id)::BIGINT AS keep_doc_id FROM documents GROUP BY md5(text)"
+        ),
+        "q_embedding_dedup": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45"
+        ),
+        "q_knn_cosine": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id IN ({knn_ids})),
+sims AS (SELECT q.query_id, e.vec_id,
+                list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+         FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+ranked AS (SELECT query_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id ASC) AS rk
+           FROM sims)
+SELECT query_id, vec_id, round(cos, 6) AS cosine FROM ranked WHERE rk <= 10
+""",
+        "q_events_range": (
+            "SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value "
+            f"FROM events WHERE ts >= TIMESTAMP '{EVENTS_LO}' AND ts < TIMESTAMP '{EVENTS_HI}' "
+            "GROUP BY event_type"
+        ),
+        "q_lineitem_q1": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue, "
+            "count(*)::BIGINT AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        # q_minhash_dedup / q_simhash* / q_lang_id / q_fingerprint /
+        # q_knn_ivf / q_multimodal_features / q_index_search / q_index_bm25:
+        # non-SQL-expressible (hash permutations, bit algebra, heuristics,
+        # stateful index build) → rows-only checks by design.
+    }

@@ -1,0 +1,178 @@
+"""Benchmark harness: index-build throughput + query latency (+ --scaling).
+
+Usage:
+    python bench.py              # one JSON line on stdout
+    python bench.py --scaling    # run at 8 and 32 CPUs in fresh processes,
+                                 # report throughputs + scaling efficiency
+
+Env:
+    GRAFT_SF_DIR     input tables dir (default /root/testdata/sf0.1)
+    RAY_GRAFT_CPUS   ray.init num_cpus (default 32)
+    HUNT_BENCH_DOCS  bench corpus size (default 50000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("HUNT_BENCH_DOCS", "50000"))
+BENCH_DIR = "/tmp/hunt_ray_bench"
+
+BM25_QUERIES = [
+    "take over the world", "brain mission", "the and of", "pinky tonight",
+    "data search index", "query text 42", "mission world", "take world data",
+]
+HUNT_QUERIES = [
+    "brain", "bra", '"take over the world"', "take AND world",
+    "brain OR mission", "the AND NOT mission", "title:brain", "take NEAR 2 world",
+]
+
+
+def ensure_bench_corpus() -> str:
+    """Deterministic bench pages corpus, generated once and cached."""
+    from hunt_ray.fixtures.pages import write_pages
+
+    pages_dir = os.path.join(BENCH_DIR, f"pages-42-{BENCH_DOCS}")
+    marker = os.path.join(pages_dir, "_done")
+    if not os.path.exists(marker):
+        write_pages(pages_dir, seed=42, n_rows=BENCH_DOCS, rows_per_file=4096)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return pages_dir
+
+
+def run_bench() -> dict:
+    import shutil
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from hunt_ray.index.build import BuildConfig, build_index
+    from hunt_ray.index.reader import IndexReader
+    from hunt_ray.query.bm25 import BM25Engine
+    from hunt_ray.query.engine import SearchEngine
+
+    timings: dict[str, float] = {}
+    pages_dir = ensure_bench_corpus()
+
+    # warm the OS page cache (untimed) so we measure compute + shuffle
+    for f in sorted(os.listdir(pages_dir)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(pages_dir, f), "rb") as fh:
+                fh.read()
+
+    index_dir = os.path.join(BENCH_DIR, f"index-{BENCH_DOCS}-cpus{NUM_CPUS}")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    cfg = BuildConfig(
+        num_partitions=max(8, NUM_CPUS // 2),
+        salt_buckets=4,
+        batch_size=2048,
+        analyzer_concurrency=(1, max(2, NUM_CPUS - 2)),
+    )
+    t0 = time.time()
+    info = build_index(pages_dir, index_dir, cfg)
+    build_sec = time.time() - t0
+    n_docs = info["stats"]["n_docs"]
+    timings["index_build"] = round(build_sec, 3)
+
+    # query latency (warm engines)
+    reader = IndexReader(index_dir)
+    bm25 = BM25Engine(reader)
+    hunt = SearchEngine(index_dir)
+    for q in BM25_QUERIES:
+        bm25.search_wand(q, 10)  # warm postings caches
+    lat = []
+    for _ in range(5):
+        for q in BM25_QUERIES:
+            t = time.time()
+            bm25.search_wand(q, 10)
+            lat.append((time.time() - t) * 1000)
+    lat.sort()
+    timings["bm25_p50_ms"] = round(statistics.median(lat), 3)
+    timings["bm25_p99_ms"] = round(lat[int(0.99 * (len(lat) - 1))], 3)
+
+    hlat = []
+    for q in HUNT_QUERIES:
+        hunt.search(q, limit=10)
+    for _ in range(3):
+        for q in HUNT_QUERIES:
+            t = time.time()
+            hunt.search(q, limit=10)
+            hlat.append((time.time() - t) * 1000)
+    hlat.sort()
+    timings["huntq_p50_ms"] = round(statistics.median(hlat), 3)
+    timings["huntq_p99_ms"] = round(hlat[int(0.99 * (len(hlat) - 1))], 3)
+
+    # auxiliary pipelines over $GRAFT_SF_DIR tables
+    from hunt_ray.pipelines import dedup, similarity, textstats
+
+    t = time.time()
+    textstats.term_df(SF_DIR).count()
+    timings["term_df"] = round(time.time() - t, 3)
+    t = time.time()
+    dedup.exact_dedup_groups(SF_DIR).count()
+    timings["exact_dedup"] = round(time.time() - t, 3)
+    t = time.time()
+    dedup.minhash_dedup(SF_DIR)
+    timings["minhash_dedup"] = round(time.time() - t, 3)
+    t = time.time()
+    similarity.knn_brute(SF_DIR)
+    timings["knn_brute"] = round(time.time() - t, 3)
+
+    out = {
+        "metric": "index-build seconds (50k-doc corpus) + query latency",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_docs": n_docs,
+        "docs_per_sec": round(n_docs / build_sec, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job at 8 and 32 CPUs in fresh processes (two-cluster-size
+    criterion proxy — see BASELINE.md)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "index-build scaling efficiency (8 -> 32 cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "sf": SF_DIR,
+        "bench_docs": r_lo.get("bench_docs"),
+    }
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

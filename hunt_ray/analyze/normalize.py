@@ -8,71 +8,76 @@ Reference:
 - Validators:          non-empty for text (Schema.hs:223-231), isInt
   (Int.hs:34-44), isAnyDate (Date.hs:77-79)
 
-Normalizers operate on numpy object arrays of token strings (vectorized
-where the kernel allows), because they run inside the tokenizer's Arrow
-batch path.
+All normalizers/validators are **vectorized over Arrow string arrays**
+(pyarrow.compute / polars kernels — the analyzer is the build's hot stage);
+scalar helpers for the query-key path wrap the same kernels.
 """
 
 from __future__ import annotations
 
-import re
 from datetime import datetime, timezone
 
 import numpy as np
+import polars as pl
+import pyarrow as pa
 import pyarrow.compute as pc
 
 INT64_MIN = -(2**63)
 INT64_MAX = 2**63 - 1
 
+
+def _as_arrow(tokens) -> pa.Array:
+    if isinstance(tokens, pa.ChunkedArray):
+        return tokens.combine_chunks()
+    if isinstance(tokens, pa.Array):
+        return tokens
+    return pa.array(list(tokens), type=pa.large_string())
+
+
 # ---------------------------------------------------------------- text
 
-def norm_lowercase(tokens: np.ndarray) -> np.ndarray:
+def norm_lowercase(tokens) -> pa.Array:
     """cnLowerCase (Schema.hs:265-266)."""
-    import pyarrow as pa
-
-    arr = pa.array(tokens, type=pa.string())
-    return np.asarray(pc.utf8_lower(arr), dtype=object)
+    return pc.utf8_lower(_as_arrow(tokens))
 
 
-def norm_uppercase(tokens: np.ndarray) -> np.ndarray:
+def norm_uppercase(tokens) -> pa.Array:
     """cnUpperCase (Schema.hs:259-261)."""
-    import pyarrow as pa
-
-    arr = pa.array(tokens, type=pa.string())
-    return np.asarray(pc.utf8_upper(arr), dtype=object)
+    return pc.utf8_upper(_as_arrow(tokens))
 
 
-def validate_non_empty(tokens: np.ndarray) -> np.ndarray:
-    """cvNotEmpty mask."""
-    return np.fromiter((len(t) > 0 for t in tokens), dtype=bool, count=len(tokens))
+def validate_non_empty(tokens) -> np.ndarray:
+    arr = _as_arrow(tokens)
+    return pc.greater(pc.utf8_length(arr), 0).to_numpy(zero_copy_only=False).astype(bool)
 
 
 # ---------------------------------------------------------------- int
 
-_INT_RE = re.compile(r"[-+]?[0-9]+\Z")
+def validate_int(tokens) -> np.ndarray:
+    """isInt (Int.hs:34-44): signed decimal within int64 bounds.
+
+    Vectorized: regex shape check + strict-cast bounds check via polars
+    (cast overflow → null)."""
+    arr = _as_arrow(tokens)
+    shaped = pc.match_substring_regex(arr, r"^[-+]?[0-9]+$")
+    s = pl.from_arrow(arr)
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    in_bounds = s.cast(pl.Int64, strict=False).is_not_null()
+    return (shaped.to_numpy(zero_copy_only=False).astype(bool)
+            & in_bounds.to_numpy().astype(bool))
 
 
 def is_int(token: str) -> bool:
-    """Bounds-checked signed decimal (Int.hs:34-44)."""
-    if not _INT_RE.match(token):
-        return False
-    try:
-        v = int(token)
-    except ValueError:
-        return False
-    return INT64_MIN <= v <= INT64_MAX
-
-
-def validate_int(tokens: np.ndarray) -> np.ndarray:
-    return np.fromiter((is_int(t) for t in tokens), dtype=bool, count=len(tokens))
+    return bool(validate_int(pa.array([token], pa.large_string()))[0])
 
 
 def zerofill_int(token: str) -> str:
     """normalizeToText' (Int.hs:55-63): sign prefix '0'/'1' + zero-pad to 20.
 
     "1" → "100000000000000000001"; "-1" → "000000000000000000001".
-    (The reference keeps the digits of negatives un-complemented; we replicate
-    that behavior exactly, quirks included.)
+    (The reference keeps the digits of negatives un-complemented; we
+    replicate that behavior exactly, quirks included.)
     """
     if token.startswith("-"):
         pfx, nr = "0", token[1:]
@@ -89,14 +94,58 @@ def unzerofill_int(key: str) -> str:
     return raw if key[0] == "1" else "-" + raw
 
 
-def norm_zerofill(tokens: np.ndarray) -> np.ndarray:
-    return np.fromiter((zerofill_int(t) for t in tokens), dtype=object, count=len(tokens))
+def norm_zerofill(tokens) -> pa.Array:
+    """Vectorized zerofill: strip sign, zfill(20), prepend '0'/'1'."""
+    s = pl.from_arrow(_as_arrow(tokens))
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    s = s.alias("t")
+    df = pl.DataFrame({"t": s})
+    neg = pl.col("t").str.starts_with("-")
+    digits = pl.when(neg).then(pl.col("t").str.slice(1)).otherwise(
+        pl.col("t").str.strip_prefix("+"))
+    out = (pl.when(neg).then(pl.lit("0")).otherwise(pl.lit("1"))
+           + digits.str.zfill(20))
+    return df.select(out.alias("t"))["t"].to_arrow()
 
 
 # ---------------------------------------------------------------- date
 
-# The subset of Hunt's 7 ISO-8601 readers our corpus/query set exercises:
-# date, date+time, with optional seconds / timezone Z.
+_DAYS_IN_MONTH = np.array([0, 31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31])
+
+
+def validate_date(tokens) -> np.ndarray:
+    """isAnyDate for the YYYY-MM-DD token shape the date tokenizer emits
+    (Date.hs:77-79): month/day range check incl. leap years, vectorized."""
+    arr = _as_arrow(tokens)
+    shaped = pc.match_substring_regex(
+        arr, r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$").to_numpy(zero_copy_only=False).astype(bool)
+    n = len(arr)
+    ok = np.zeros(n, dtype=bool)
+    if shaped.any():
+        yy = pc.utf8_slice_codeunits(arr, 0, 4).cast(pa.string())
+        mm = pc.utf8_slice_codeunits(arr, 5, 7)
+        dd = pc.utf8_slice_codeunits(arr, 8, 10)
+        # cast only the shaped ones (others may contain non-digits)
+        idx = np.flatnonzero(shaped)
+        y = np.asarray(pc.cast(yy.take(pa.array(idx)), pa.int32()))
+        m = np.asarray(pc.cast(mm.take(pa.array(idx)), pa.int32()))
+        d = np.asarray(pc.cast(dd.take(pa.array(idx)), pa.int32()))
+        leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+        m_ok = (m >= 1) & (m <= 12)
+        max_d = np.where(m_ok, _DAYS_IN_MONTH[np.clip(m, 0, 12)], 0)
+        feb = m == 2
+        max_d = np.where(feb & ~leap, 28, max_d)
+        ok[idx] = m_ok & (d >= 1) & (d <= max_d)
+    return ok
+
+
+def is_any_date(token: str) -> bool:
+    if len(token) == 10:
+        return bool(validate_date(pa.array([token], pa.large_string()))[0])
+    return parse_any_date(token) is not None
+
+
 _DATE_FORMATS = (
     ("%Y-%m-%dT%H:%M:%S", 19),
     ("%Y-%m-%dT%H:%M", 16),
@@ -105,7 +154,8 @@ _DATE_FORMATS = (
 
 
 def parse_any_date(token: str) -> datetime | None:
-    """readAnyDateM equivalent for the shapes in our query set (Date.hs:162-327)."""
+    """readAnyDateM equivalent for the ISO shapes the query set uses
+    (Date.hs:162-327) — scalar, query-key path only."""
     t = token
     tz = None
     if t.endswith("Z"):
@@ -123,19 +173,10 @@ def parse_any_date(token: str) -> datetime | None:
     return None
 
 
-def is_any_date(token: str) -> bool:
-    return parse_any_date(token) is not None
-
-
-def validate_date(tokens: np.ndarray) -> np.ndarray:
-    return np.fromiter((is_any_date(t) for t in tokens), dtype=bool, count=len(tokens))
-
-
 def normalize_date(token: str) -> str:
-    """Date.normalize (Date.hs:54-66): UTC then strip '-', 'T', ':'.
-
-    "2013-01-01" → "20130101000000".
-    """
+    """Date.normalize (Date.hs:54-66): "2013-01-01" → "20130101000000"."""
+    if len(token) == 10 and token[4] == "-" and token[7] == "-":
+        return token.replace("-", "") + "000000"
     d = parse_any_date(token)
     if d is None:
         return token
@@ -143,12 +184,20 @@ def normalize_date(token: str) -> str:
 
 
 def denormalize_date(key: str) -> str:
-    """Date.denormalize (Date.hs:69-74): "YYYYMMDDHHMMSS" → "YYYY-MM-DD HH:MM:SS"."""
+    """Date.denormalize (Date.hs:69-74)."""
     return f"{key[0:4]}-{key[4:6]}-{key[6:8]} {key[8:10]}:{key[10:12]}:{key[12:14]}"
 
 
-def norm_date(tokens: np.ndarray) -> np.ndarray:
-    return np.fromiter((normalize_date(t) for t in tokens), dtype=object, count=len(tokens))
+def norm_date(tokens) -> pa.Array:
+    """Vectorized for the tokenizer's YYYY-MM-DD shape; falls back to the
+    scalar parser for other ISO shapes (query keys)."""
+    arr = _as_arrow(tokens)
+    shaped = pc.match_substring_regex(arr, r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+    if bool(pc.all(shaped).as_py()) if len(arr) else True:
+        stripped = pc.replace_substring(arr, pattern="-", replacement="")
+        pad = pa.array(["000000"] * len(arr), type=pa.string())
+        return pc.binary_join_element_wise(stripped.cast(pa.string()), pad, "")
+    return pa.array([normalize_date(t) for t in arr.to_pylist()], pa.large_string())
 
 
 # ---------------------------------------------------------------- registry
@@ -168,8 +217,9 @@ VALIDATORS = {
 }
 
 
-def apply_normalizer_chain(names: list[str], tokens: np.ndarray) -> np.ndarray:
+def apply_normalizer_chain(names: list[str], tokens) -> pa.Array:
     """normalize' — left-to-right function composition (Schema.hs:248-249)."""
+    tokens = _as_arrow(tokens)
     for name in names:
         tokens = NORMALIZERS[name](tokens)
     return tokens

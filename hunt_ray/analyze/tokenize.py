@@ -10,11 +10,12 @@ document and context, in this order:
 5. group into ``Map Word [Position]`` (positions stay ascending)
 
 We preserve that order exactly; steps 1–4 are Arrow/numpy kernels over the
-whole batch, step 5 is a polars group_by (Rust hash-group, keeps within-group
-row order → positions ascending).
+whole batch (tokens never become Python objects), step 5 is a polars
+group_by (Rust hash-group, keeps within-group row order → positions
+ascending).
 
-The text tokenizer is ``\\w+`` runs (RE2 semantics, ASCII word chars), the
-vectorized equivalent of Hunt's XML-Schema ``\\w*`` scanner for our corpus;
+The text tokenizer is ``\\w+`` runs (RE2 semantics), the vectorized
+equivalent of Hunt's XML-Schema ``\\w*`` scanner for our corpus;
 html-hunter's index-side "non-alphanumeric → space" filter
 (``html-hunter/HtmlHunter.hs:315-328``) is subsumed by tokenizing word runs.
 """
@@ -29,7 +30,7 @@ import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .normalize import VALIDATORS, apply_normalizer_chain, NORMALIZERS
+from .normalize import NORMALIZERS, VALIDATORS, apply_normalizer_chain
 from .schema import ContextSchema
 
 _TEXT_PATTERNS = (r"\w+",)  # patterns with a fast Arrow split path
@@ -40,11 +41,14 @@ class TokenStream:
     """Flat token stream for one context over a batch of documents."""
 
     doc_idx: np.ndarray   # int64, index into the batch
-    tokens: np.ndarray    # object array of normalized token strings
+    tokens: pa.Array      # string array of normalized tokens
     positions: np.ndarray  # uint32, 1-based position among valid raw tokens
 
+    def tokens_list(self) -> list[str]:
+        return self.tokens.to_pylist()
 
-def _flat_tokens_fast(texts: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+
+def _flat_tokens_fast(texts: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray]:
     """Vectorized \\w+ tokenization via Arrow kernels (no per-row Python)."""
     cleaned = pc.replace_substring_regex(texts, pattern=r"[^\w]+", replacement=" ")
     lists = pc.ascii_split_whitespace(cleaned)
@@ -54,23 +58,29 @@ def _flat_tokens_fast(texts: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarr
     flat = lists.flatten()
     n_docs = len(texts)
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
-    tokens = np.asarray(flat, dtype=object)
     # the split can emit empty tokens at boundaries; Hunt drops them via the
-    # non-empty validator BEFORE assigning positions (Analyze.hs:62-66) —
-    # same order here
+    # non-empty validator BEFORE assigning positions (Analyze.hs:62-66).
+    # positions = rank among non-empty tokens within the doc, computed with
+    # one cumsum (no run detection)
     lengths = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
     nonempty = lengths > 0
+    c = np.cumsum(nonempty, dtype=np.int64)
+    starts_tok = np.cumsum(counts) - counts
+    base = (c - nonempty)[starts_tok] if len(c) else np.zeros(0, np.int64)
+    positions_all = c - np.repeat(base, counts)
     if not nonempty.all():
-        doc_idx = doc_idx[nonempty]
-        tokens = tokens[nonempty]
-    positions = _positions_within(doc_idx)
-    return doc_idx, tokens, positions
+        keep = np.flatnonzero(nonempty)
+        flat = flat.take(pa.array(keep))
+        doc_idx = doc_idx[keep]
+        positions = positions_all[keep].astype(np.uint32)
+    else:
+        positions = positions_all.astype(np.uint32)
+    return doc_idx, flat, positions
 
 
-def _flat_tokens_regex(texts: pa.Array, pattern: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _flat_tokens_regex(texts: pa.Array, pattern: str) -> tuple[np.ndarray, pa.Array, np.ndarray]:
     """Per-doc regex findall for non-\\w+ tokenizers (int/date contexts)."""
     rex = re.compile(pattern)
-    doc_idx_l: list[np.ndarray] = []
     tokens_l: list[str] = []
     counts = np.zeros(len(texts), dtype=np.int64)
     py = texts.to_pylist()
@@ -82,10 +92,8 @@ def _flat_tokens_regex(texts: pa.Array, pattern: str) -> tuple[np.ndarray, np.nd
             counts[i] = len(toks)
             tokens_l.extend(toks)
     doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
-    ends = np.cumsum(counts)
-    starts = ends - counts
-    positions = (np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(starts, counts) + 1).astype(np.uint32)
-    return doc_idx, np.asarray(tokens_l, dtype=object), positions
+    positions = _positions_within(doc_idx)
+    return doc_idx, pa.array(tokens_l, type=pa.large_string()), positions
 
 
 def tokenize_context(texts: pa.Array | pa.ChunkedArray, cschema: ContextSchema) -> TokenStream:
@@ -98,17 +106,15 @@ def tokenize_context(texts: pa.Array | pa.ChunkedArray, cschema: ContextSchema) 
     else:
         doc_idx, tokens, positions = _flat_tokens_regex(texts, pattern)
 
-    # 2. validator filter (BEFORE position assignment in Hunt — but the
-    # tokenizers above only produce non-empty pattern matches, so for the
-    # text validator the mask is all-true; for int/date it can drop tokens
-    # and positions must be re-assigned over the survivors)
-    validator = VALIDATORS[cschema.ctype.validator]
+    # 2. validator filter (the fast tokenizer only emits non-empty tokens,
+    # so the text validator is a no-op; int/date can drop tokens and
+    # positions are re-assigned over the survivors)
     if cschema.ctype.validator not in ("text", "text-small") and len(tokens):
-        mask = validator(tokens)
+        mask = VALIDATORS[cschema.ctype.validator](tokens)
         if not mask.all():
-            doc_idx = doc_idx[mask]
-            tokens = tokens[mask]
-            # re-assign 1-based positions per doc over valid tokens
+            keep = np.flatnonzero(mask)
+            doc_idx = doc_idx[keep]
+            tokens = tokens.take(pa.array(keep))
             positions = _positions_within(doc_idx)
     # 3. positions already assigned; 4. normalizer chain, then key proxy
     if len(tokens):
@@ -132,6 +138,14 @@ def _positions_within(sorted_doc_idx: np.ndarray) -> np.ndarray:
     return (idx - run_starts_at[run_ids] + 1).astype(np.uint32)
 
 
+_POSTINGS_SCHEMA = pl.Schema({
+    "term": pl.String,
+    "doc_id": pl.UInt64,
+    "tf": pl.UInt32,
+    "positions": pl.List(pl.UInt32),
+})
+
+
 def group_postings(stream: TokenStream, doc_ids: np.ndarray) -> pl.DataFrame:
     """Step 5: group the flat stream into per-(doc, term) posting rows.
 
@@ -141,17 +155,13 @@ def group_postings(stream: TokenStream, doc_ids: np.ndarray) -> pl.DataFrame:
     Analyze.hs:73-85).
     """
     if len(stream.tokens) == 0:
-        return pl.DataFrame(
-            schema={
-                "term": pl.String,
-                "doc_id": pl.UInt64,
-                "tf": pl.UInt32,
-                "positions": pl.List(pl.UInt32),
-            }
-        )
+        return pl.DataFrame(schema=_POSTINGS_SCHEMA)
+    terms = pl.from_arrow(stream.tokens)
+    if isinstance(terms, pl.DataFrame):
+        terms = terms.to_series()
     df = pl.DataFrame(
         {
-            "term": pl.Series(stream.tokens, dtype=pl.String),
+            "term": terms.cast(pl.String),
             "doc_id": pl.Series(doc_ids[stream.doc_idx], dtype=pl.UInt64),
             "positions": pl.Series(stream.positions, dtype=pl.UInt32),
         }
@@ -164,15 +174,8 @@ def group_postings(stream: TokenStream, doc_ids: np.ndarray) -> pl.DataFrame:
 
 
 def token_counts(texts: pa.Array | pa.ChunkedArray, cschema: ContextSchema) -> np.ndarray:
-    """Per-doc count of valid tokens (document length for BM25) — cheap path
-    without position grouping."""
+    """Per-doc count of valid tokens (document length) — no grouping."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    pattern = cschema.token_pattern
-    pattern = cschema.token_pattern
-    if pattern in _TEXT_PATTERNS:
-        # count \w+ runs without materializing tokens or normalizing
-        doc_idx, _tokens, _pos = _flat_tokens_fast(texts)
-        return np.bincount(doc_idx, minlength=len(texts)).astype(np.uint32)
     stream = tokenize_context(texts, cschema)
     return np.bincount(stream.doc_idx, minlength=len(texts)).astype(np.uint32)

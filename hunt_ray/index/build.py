@@ -46,7 +46,7 @@ import pyarrow.parquet as pq
 
 from ..analyze.html import context_text
 from ..analyze.schema import Schema, default_schema, schema_from_json, schema_to_json
-from ..analyze.tokenize import group_postings, token_counts, tokenize_context
+from ..analyze.tokenize import group_postings, tokenize_context
 from ..common.hashing import doc_ids_for_urls
 from .codec import DICT_SCHEMA, POSTINGS_SCHEMA, encode_term_chunks
 from .manifest import Manifest, params_hash
@@ -66,6 +66,7 @@ class BuildConfig:
 
     def params(self, files: list[str]) -> dict:
         return {
+            "format": 2,  # bump to invalidate caches on layout changes
             "schema": schema_to_json(self.schema),
             "num_partitions": self.num_partitions,
             "salt_buckets": self.salt_buckets,
@@ -119,8 +120,11 @@ def sample_terms(files: list[str], cfg: BuildConfig) -> tuple[list[str], list[st
     ts = tokenize_context(sample.column("text").combine_chunks(), cs)
     if len(ts.tokens) == 0:
         return [], []
+    terms = pl.from_arrow(ts.tokens)
+    if isinstance(terms, pl.DataFrame):
+        terms = terms.to_series()
     df = (
-        pl.DataFrame({"term": pl.Series(ts.tokens, dtype=pl.String), "d": ts.doc_idx})
+        pl.DataFrame({"term": terms.cast(pl.String), "d": ts.doc_idx})
         .group_by("term")
         .agg(df=pl.col("d").n_unique())
     )
@@ -146,11 +150,12 @@ class AnalyzerStage:
     """
 
     def __init__(self, schema_json: str, boundaries: list[str], hot_terms: list[str],
-                 salt_buckets: int):
+                 salt_buckets: int, num_partitions: int):
         self.schema = schema_from_json(schema_json)
         self.boundaries = np.asarray(boundaries, dtype=object)
         self.hot = frozenset(hot_terms)
         self.salt_buckets = max(1, salt_buckets)
+        self.num_partitions = max(1, num_partitions)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = doc_ids_for_urls(batch.column("url"))
@@ -164,6 +169,18 @@ class AnalyzerStage:
                 # doc-set index kinds carry no positions (Schema.hs:139-145)
                 pdf = pdf.with_columns(positions=pl.lit([], dtype=pl.List(pl.UInt32)))
             frames.append(pdf.with_columns(context=pl.lit(cx)))
+            # per-(doc, context) lengths ride the shuffle as term="" rows
+            # (tf = doclen), routed by doc_id so they never skew a partition
+            counts = np.bincount(stream.doc_idx, minlength=batch.num_rows)
+            nz = np.flatnonzero(counts)
+            if nz.size:
+                frames.append(pl.DataFrame({
+                    "term": pl.Series([""] * nz.size, dtype=pl.String),
+                    "doc_id": pl.Series(doc_ids[nz], dtype=pl.UInt64),
+                    "tf": pl.Series(counts[nz].astype(np.uint32), dtype=pl.UInt32),
+                    "positions": pl.Series([[] for _ in range(nz.size)],
+                                           dtype=pl.List(pl.UInt32)),
+                }).with_columns(context=pl.lit(cx)))
         big = pl.concat(frames) if frames else pl.DataFrame()
         if big.height == 0:
             return pa.table(
@@ -177,26 +194,33 @@ class AnalyzerStage:
                     "salt": pa.array([], pa.int32()),
                 }
             )
-        terms = big["term"].to_numpy()
-        if self.boundaries.size:
-            part = np.searchsorted(self.boundaries, terms, side="right").astype(np.int32)
-        else:
-            part = np.zeros(big.height, dtype=np.int32)
+        import pyarrow.compute as pc
+
+        terms_arrow = big["term"].to_arrow()
+        dids = big["doc_id"].to_numpy()
+        # range partition: part = #boundaries <= term (vectorized compares;
+        # boundary count is small, ~P-1)
+        part = np.zeros(big.height, dtype=np.int32)
+        for b in self.boundaries:
+            part += pc.greater_equal(terms_arrow, b).to_numpy(zero_copy_only=False)
+        salt = np.zeros(big.height, dtype=np.int32)
         if self.hot and self.salt_buckets > 1:
-            is_hot = np.fromiter((t in self.hot for t in terms), dtype=bool, count=len(terms))
-            salt = np.zeros(big.height, dtype=np.int32)
-            dids = big["doc_id"].to_numpy()
+            is_hot = pc.is_in(terms_arrow, value_set=pa.array(sorted(self.hot))) \
+                .to_numpy(zero_copy_only=False).astype(bool)
             salt[is_hot] = (dids[is_hot] % np.uint64(self.salt_buckets)).astype(np.int32)
-        else:
-            salt = np.zeros(big.height, dtype=np.int32)
+        # doclen rows (term="") are doc-routed, not term-routed
+        is_len = pc.equal(terms_arrow, "").to_numpy(zero_copy_only=False).astype(bool)
+        if is_len.any():
+            part[is_len] = (dids[is_len] % np.uint64(self.num_partitions)).astype(np.int32)
+            salt[is_len] = 0
         out = big.with_columns(part=pl.Series(part), salt=pl.Series(salt))
         return out.select(["context", "term", "doc_id", "tf", "positions", "part", "salt"]).to_arrow()
 
 
 class DocsStage:
-    """Stateless map_batches: pages batch → doc-table rows with per-context
-    token counts (document lengths for BM25; Hunt keeps no lengths because
-    it has no BM25 — SURVEY.md §2.9 note)."""
+    """Stateless map_batches: pages batch → doc-table rows (doc_id, url,
+    weight, lang). Per-context document lengths are computed by the
+    analyzer pass (term="" rows) — no second tokenization."""
 
     def __init__(self, schema_json: str):
         self.schema = schema_from_json(schema_json)
@@ -219,10 +243,6 @@ class DocsStage:
         if "lang" in batch.column_names:
             lang = batch.column("lang")
             cols["lang"] = lang.combine_chunks() if isinstance(lang, pa.ChunkedArray) else lang
-        for cx in sorted(self.schema):
-            cs = self.schema[cx]
-            texts = context_text(batch, cs.source)
-            cols[f"len_{cx}"] = pa.array(token_counts(texts, cs), pa.uint32())
         return pa.table(cols)
 
 
@@ -296,7 +316,23 @@ def make_part_merger(index_dir: str, gen: int, phash: str, cfg_chunk_docs: int,
 
 def _encode_partition(merged: pa.Table | None, index_dir: str, part: int,
                       chunk_docs: int) -> tuple[int, int]:
-    """Encode one sorted partition into postings + dict parquet files."""
+    """Encode one sorted partition into postings + dict parquet files.
+
+    Rows with term=="" are per-(doc, context) length records (tf=doclen)
+    emitted by the analyzer; they are split off into doclens/part=K."""
+    if merged is not None and merged.num_rows:
+        import pyarrow.compute as _pc
+
+        is_len = _pc.equal(merged.column("term"), "")
+        lens_tbl = merged.filter(is_len).select(["context", "doc_id", "tf"])
+        merged = merged.filter(_pc.invert(is_len))
+    else:
+        lens_tbl = pa.table({"context": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.uint64()),
+                             "tf": pa.array([], pa.uint32())})
+    lens_tbl = lens_tbl.rename_columns(["context", "doc_id", "doclen"])
+    _atomic_write_parquet(lens_tbl, os.path.join(index_dir, "doclens",
+                                                 f"part={part:05d}.parquet"))
     post_rows: dict[str, list] = {k: [] for k in
                                   ("context", "term", "chunk", "n_docs", "max_tf",
                                    "last_doc_id", "doc_ids", "tfs", "positions")}
@@ -400,9 +436,6 @@ def build_index(pages_path: str | list[str], index_dir: str,
         with open(docs_meta, "w") as f:
             json.dump({"params_hash": phash}, f)
 
-    # global stats (tiny aggregate)
-    stats = _doc_stats(docs_dir, cfg.schema)
-
     # postings pass + shuffle + run write
     completed = man.completed_parts(gen, phash, cfg.num_partitions) if resume else set()
     todo = [k for k in range(cfg.num_partitions) if k not in completed]
@@ -410,7 +443,8 @@ def build_index(pages_path: str | list[str], index_dir: str,
         ds = rd.read_parquet(files, columns=read_cols)
         flat = ds.map_batches(
             AnalyzerStage,
-            fn_constructor_args=(schema_json, boundaries, hot_terms, cfg.salt_buckets),
+            fn_constructor_args=(schema_json, boundaries, hot_terms,
+                                 cfg.salt_buckets, cfg.num_partitions),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
             concurrency=cfg.analyzer_concurrency,
@@ -425,6 +459,9 @@ def build_index(pages_path: str | list[str], index_dir: str,
             batch_format="pyarrow", batch_size=1,
         )
         _ = merge_stats.take_all()  # small: one row per part
+
+    # global stats (tiny aggregates over docs + doclens partitions)
+    stats = _doc_stats(index_dir, docs_dir, cfg.schema)
 
     payload = {
         "params_hash": phash,
@@ -443,21 +480,23 @@ def build_index(pages_path: str | list[str], index_dir: str,
     return man.read_generation(gen)
 
 
-def _doc_stats(docs_dir: str, schema: Schema) -> dict:
-    """N + avgdl per context from the doc table (small aggregate)."""
+def _doc_stats(index_dir: str, docs_dir: str, schema: Schema) -> dict:
+    """N + avgdl per context: N from the doc table, Σ doclen per context
+    from the doclens partitions (tiny aggregates)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Mean
+    from ray.data.aggregate import Sum
 
     files = sorted(globmod.glob(os.path.join(docs_dir, "*.parquet")))
-    ds = rd.read_parquet(files)
-    aggs = [Count()]
-    cxs = sorted(schema)
-    for cx in cxs:
-        aggs.append(Mean(f"len_{cx}", alias_name=f"avgdl_{cx}"))
-    row = ds.aggregate(*aggs)
-    n = row["count()"] if "count()" in row else row.get("count", 0)
+    n = rd.read_parquet(files, columns=["doc_id"]).count()
     out = {"n_docs": int(n)}
-    for cx in cxs:
-        v = row.get(f"avgdl_{cx}")
-        out[f"avgdl_{cx}"] = float(v) if v is not None else 0.0
+    lens_files = sorted(globmod.glob(os.path.join(index_dir, "doclens", "*.parquet")))
+    sums: dict[str, float] = {}
+    if lens_files:
+        agg = (rd.read_parquet(lens_files)
+               .groupby("context").aggregate(Sum("doclen", alias_name="total")))
+        for row in agg.take_all():
+            sums[row["context"]] = float(row["total"])
+    for cx in sorted(schema):
+        # avgdl over ALL docs (docs with no tokens in the context count as 0)
+        out[f"avgdl_{cx}"] = (sums.get(cx, 0.0) / n) if n else 0.0
     return out

@@ -289,12 +289,24 @@ class DocTable:
         self.doc_id = tbl.column("doc_id").to_numpy()[order]
         self.url = np.asarray(tbl.column("url").to_pylist(), dtype=object)[order]
         self.weight = tbl.column("weight").to_numpy().astype(np.float32)[order]
-        self.lens: dict[str, np.ndarray] = {}
-        for cx in schema:
-            col = f"len_{cx}"
-            if col in tbl.column_names:
-                self.lens[cx] = tbl.column(col).to_numpy()[order]
         self.n_docs = len(self.doc_id)
+        # per-context doc lengths from the doclens partitions (docs without
+        # tokens in a context default to 0)
+        self.lens: dict[str, np.ndarray] = {
+            cx: np.zeros(self.n_docs, dtype=np.uint32) for cx in schema
+        }
+        lens_files = sorted(g.glob(os.path.join(os.path.dirname(docs_dir.rstrip("/")),
+                                                "doclens", "*.parquet")))
+        for f in lens_files:
+            lt = pq.read_table(f)
+            cxs = np.asarray(lt.column("context").to_pylist(), dtype=object)
+            dids = lt.column("doc_id").to_numpy()
+            dls = lt.column("doclen").to_numpy()
+            rows = np.searchsorted(self.doc_id, dids)
+            for cx in np.unique(cxs):
+                m = cxs == cx
+                if cx in self.lens:
+                    self.lens[cx][rows[m]] = dls[m]
 
     def rows_of(self, doc_ids: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self.doc_id, doc_ids)

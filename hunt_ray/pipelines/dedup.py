@@ -1,0 +1,299 @@
+"""Deduplication pipelines: exact, MinHash+LSH, SimHash, embedding-cosine.
+
+Scale shapes (the part that matters at 100 TB):
+
+- exact: content-hash in a vectorized map, then hash-keyed groupby — the
+  shuffle moves one short row per doc, never the text.
+- MinHash/LSH: per-batch shingle→minhash (numpy matrix min over universal
+  hashes), explode to (band, band_hash, doc_id) rows, groupby the band
+  bucket — candidates only ever meet inside a bucket, no all-pairs stage;
+  verification re-reads only candidate docs' shingle sets.
+- SimHash: 64-bit signature per doc; banding on 16-bit quarters for
+  blocking, Hamming-distance verify inside buckets.
+- embedding: normalized-vector blocked matmul against a broadcast query
+  block (brute force baseline) — the scale path is LSH bucketing first.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+from ..common.hashing import hash64
+from .textstats import _flat_tokens
+
+# ------------------------------------------------------------------ exact
+
+def md5_batch(batch: pa.Table) -> pa.Table:
+    """Content hash per doc — md5 hex to stay byte-compatible with the
+    DuckDB oracle's md5()."""
+    texts = batch.column("text").to_pylist()
+    hashes = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "text_md5": pa.array(hashes, pa.string()),
+    })
+
+
+def exact_dedup_groups(sf_dir: str):
+    """One row per distinct content hash: group size + kept (min) doc_id —
+    hash-partition + per-group first (north_rule's exact-dedup shape)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    hashed = ds.map_batches(md5_batch, batch_format="pyarrow")
+    return (hashed.groupby("text_md5")
+            .aggregate(Count(alias_name="n_copies"),
+                       Min("doc_id", alias_name="keep_doc_id")))
+
+
+# ------------------------------------------------------------------ minhash
+
+N_PERM = 64
+N_BANDS = 16            # 16 bands × 4 rows
+ROWS_PER_BAND = N_PERM // N_BANDS
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=N_PERM, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=N_PERM, dtype=np.uint64)
+    return a, b
+
+
+def shingle_hashes(batch: pa.Table, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc k-word shingle hash sets → (doc_ids, list of uint64 arrays)."""
+    df = _flat_tokens(batch)
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    out = []
+    if df.height == 0:
+        return doc_ids, [np.empty(0, np.uint64) for _ in doc_ids]
+    sh = (df.group_by("doc_id", maintain_order=True)
+          .agg(toks=pl.col("term")))
+    shmap: dict[int, np.ndarray] = {}
+    for did, toks in zip(sh["doc_id"].to_list(), sh["toks"].to_list()):
+        if len(toks) < k:
+            shingles = [" ".join(toks)] if toks else []
+        else:
+            shingles = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        if shingles:
+            shmap[did] = np.unique(hash64(pa.array(shingles, pa.string())))
+        else:
+            shmap[did] = np.empty(0, np.uint64)
+    for did in doc_ids:
+        out.append(shmap.get(int(did), np.empty(0, np.uint64)))
+    return doc_ids, out
+
+
+class MinHashStage:
+    """Actor-pool stage: doc batch → (doc_id, band, band_hash) rows.
+
+    Permutation params built once per actor (__init__), minhash via a
+    vectorized (n_perm × n_shingles) min-reduce per doc.
+    """
+
+    def __init__(self, seed: int = 7, k: int = 3):
+        self.a, self.b = _perm_params(seed)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, shingle_sets = shingle_hashes(batch, self.k)
+        rows_doc, rows_band, rows_hash = [], [], []
+        for did, sset in zip(doc_ids, shingle_sets):
+            if sset.size == 0:
+                continue
+            # universal-hash minima: sig[p] = min_x (a_p*x + b_p mod M)
+            vals = (self.a[:, None] * sset[None, :] + self.b[:, None]) % _MERSENNE
+            sig = vals.min(axis=1)
+            bands = sig.reshape(N_BANDS, ROWS_PER_BAND)
+            for bi in range(N_BANDS):
+                h = hashlib.blake2b(bands[bi].tobytes(), digest_size=8).digest()
+                rows_doc.append(int(did))
+                rows_band.append(bi)
+                rows_hash.append(int.from_bytes(h, "little"))
+        return pa.table({
+            "doc_id": pa.array(rows_doc, pa.int64()),
+            "band": pa.array(rows_band, pa.int32()),
+            "band_hash": pa.array(rows_hash, pa.uint64()),
+        })
+
+
+def minhash_candidates(sf_dir: str, *, seed: int = 7, k: int = 3):
+    """LSH bucket groupby → candidate pairs (doc_a < doc_b), deduplicated."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sigs = ds.map_batches(MinHashStage, fn_constructor_args=(seed, k),
+                          batch_format="pyarrow", concurrency=(1, 4))
+
+    def pairs_of_bucket(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64())})
+
+    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
+        pairs_of_bucket, batch_format="pyarrow")
+    # a pair may surface from several bands — dedup with a tiny groupby
+    from ray.data.aggregate import Count
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def minhash_dedup(sf_dir: str, *, threshold: float = 0.5, seed: int = 7, k: int = 3):
+    """Candidates → exact shingle-Jaccard verification → near-dup pairs."""
+    import pyarrow.parquet as pq
+
+    cands = minhash_candidates(sf_dir, seed=seed, k=k).to_pandas()
+    if len(cands) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    need = sorted(set(cands["doc_a"]) | set(cands["doc_b"]))
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    mask = np.isin(tbl.column("doc_id").to_numpy(zero_copy_only=False), need)
+    sub = tbl.filter(pa.array(mask))
+    doc_ids, sets = shingle_hashes(sub, k)
+    smap = {int(d): s for d, s in zip(doc_ids, sets)}
+    out_a, out_b, out_j = [], [], []
+    for da, db in zip(cands["doc_a"], cands["doc_b"]):
+        sa, sb = smap[int(da)], smap[int(db)]
+        if sa.size == 0 or sb.size == 0:
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        jac = inter / (sa.size + sb.size - inter)
+        if jac >= threshold:
+            out_a.append(int(da))
+            out_b.append(int(db))
+            out_j.append(round(jac, 6))
+    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                     "doc_b": pa.array(out_b, pa.int64()),
+                     "jaccard": pa.array(out_j, pa.float64())})
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    """64-bit SimHash per doc from tf-weighted token hashes (vectorized
+    bit-vote: for each bit, Σ tf·(±1))."""
+    df = _flat_tokens(batch)
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    sig = np.zeros(len(doc_ids), dtype=np.uint64)
+    if df.height:
+        g = df.group_by(["doc_id", "term"]).agg(tf=pl.len())
+        th = hash64(g["term"].to_arrow())
+        tf = g["tf"].to_numpy().astype(np.int64)
+        d = g["doc_id"].to_numpy()
+        idmap = {int(x): i for i, x in enumerate(doc_ids)}
+        drow = np.fromiter((idmap[int(x)] for x in d), dtype=np.int64, count=len(d))
+        votes = np.zeros((len(doc_ids), 64), dtype=np.int64)
+        for bit in range(64):
+            bitset = ((th >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+            contrib = tf * (2 * bitset - 1)
+            np.add.at(votes[:, bit], drow, contrib)
+        bits = (votes > 0).astype(np.uint64)
+        sig = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                     "simhash": pa.array(sig, pa.uint64())})
+
+
+def simhash(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]) \
+             .map_batches(simhash_batch, batch_format="pyarrow")
+
+
+def simhash_dedup(sf_dir: str, *, max_hamming: int = 3):
+    """Near-dup pairs by SimHash: band the 64-bit signature into
+    ``max_hamming + 1`` blocks — by pigeonhole, any pair within the Hamming
+    radius shares at least one unchanged block — group by (block, value),
+    verify Hamming inside buckets."""
+    import ray.data as rd
+
+    n_blocks = min(16, max(2, max_hamming + 1))
+    block_bits = 64 // n_blocks
+    mask = np.uint64((1 << block_bits) - 1)
+    sigs = simhash(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        s = batch.column("simhash").to_numpy(zero_copy_only=False)
+        outs = {"doc_id": [], "quarter": [], "qval": [], "simhash": []}
+        for q in range(n_blocks):
+            qv = (s >> np.uint64(block_bits * q)) & mask
+            outs["doc_id"].extend(d.tolist())
+            outs["quarter"].extend([q] * len(d))
+            outs["qval"].extend(qv.tolist())
+            outs["simhash"].extend(s.tolist())
+        return pa.table({"doc_id": pa.array(outs["doc_id"], pa.int64()),
+                         "quarter": pa.array(outs["quarter"], pa.int32()),
+                         "qval": pa.array(outs["qval"], pa.int64()),
+                         "simhash": pa.array(outs["simhash"], pa.uint64())})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_pylist()
+        s = group.column("simhash").to_pylist()
+        uniq = sorted(set(zip(d, s)))
+        a, b, h = [], [], []
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                ham = bin(uniq[i][1] ^ uniq[j][1]).count("1")
+                if ham <= max_hamming:
+                    a.append(uniq[i][0]); b.append(uniq[j][0]); h.append(ham)
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64()),
+                         "hamming": pa.array(h, pa.int32())})
+
+    pairs = (sigs.map_batches(explode, batch_format="pyarrow")
+             .groupby(["quarter", "qval"])
+             .map_groups(bucket_pairs, batch_format="pyarrow"))
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ------------------------------------------------------------------ embeddings
+
+def embedding_dedup(sf_dir: str, *, threshold: float = 0.95):
+    """Near-dup pairs by embedding cosine ≥ threshold.
+
+    Brute-force blocked matmul: each batch multiplies against a broadcast
+    normalized matrix (ray.put once — never re-shipped per batch). The
+    100 TB path replaces the broadcast matrix with LSH/IVF bucket joins.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    mat = np.stack(tbl.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids, mat))
+
+    def block(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        bm = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        sims = bm @ all_mat.T
+        ii, jj = np.nonzero(sims >= threshold)
+        keep = bids[ii] < all_ids[jj]  # triangular, no self-pairs
+        return pa.table({
+            "vec_a": pa.array(bids[ii][keep], pa.int64()),
+            "vec_b": pa.array(all_ids[jj][keep], pa.int64()),
+            "cosine": pa.array(np.round(sims[ii, jj][keep], 6), pa.float64()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(block, batch_format="pyarrow")

@@ -1,0 +1,98 @@
+"""Flagship pipeline: documents → input_hint pages → index build → queries.
+
+Caches derived pages + built index under /tmp keyed by the source file
+identity and build params (the index build itself resumes via its
+manifest params hash, so repeat calls are cheap).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+
+from ..fixtures.pages import pages_from_documents
+from ..index.build import BuildConfig, build_index
+from ..query.engine import SearchEngine
+
+CACHE_ROOT = os.environ.get("HUNT_RAY_CACHE", "/tmp/hunt_ray_cache")
+
+FLAGSHIP_QUERIES = [
+    "document",                # common token from the derived headline
+    "join hash",               # implicit AND of common corpus terms
+    "customer OR window",
+    '"slow fast"',
+    "table AND NOT spark",
+    "title:document",
+    "doc ++ 42",
+]
+
+
+def _cache_key(sf_dir: str) -> str:
+    doc = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc)
+    payload = f"{os.path.abspath(doc)}:{st.st_size}:{int(st.st_mtime)}"
+    return hashlib.sha256(payload.encode()).hexdigest()[:12]
+
+
+def ensure_pages(sf_dir: str) -> str:
+    key = _cache_key(sf_dir)
+    pages_dir = os.path.join(CACHE_ROOT, f"pages-{key}")
+    marker = os.path.join(pages_dir, "_done")
+    if not os.path.exists(marker):
+        pages_from_documents(os.path.join(sf_dir, "documents.parquet"), pages_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return pages_dir
+
+
+def ensure_index(sf_dir: str, *, num_partitions: int = 4) -> str:
+    pages_dir = ensure_pages(sf_dir)
+    index_dir = os.path.join(CACHE_ROOT, f"index-{_cache_key(sf_dir)}-p{num_partitions}")
+    cfg = BuildConfig(num_partitions=num_partitions, salt_buckets=4,
+                      batch_size=512, analyzer_concurrency=(1, 4))
+    build_index(pages_dir, index_dir, cfg)  # resumes/skips when already built
+    return index_dir
+
+
+def flagship_search(sf_dir: str) -> pa.Table:
+    """Run the flagship query set over the built index; one row per hit."""
+    index_dir = ensure_index(sf_dir)
+    engine = SearchEngine(index_dir)
+    rows = {"query": [], "rank": [], "url": [], "score": []}
+    for q in FLAGSHIP_QUERIES:
+        res = engine.search(q, offset=0, limit=10)
+        for rank, hit in enumerate(res.result):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["url"].append(hit.url)
+            rows["score"].append(hit.score)
+    return pa.table({
+        "query": pa.array(rows["query"], pa.string()),
+        "rank": pa.array(rows["rank"], pa.int32()),
+        "url": pa.array(rows["url"], pa.string()),
+        "score": pa.array(rows["score"], pa.float32()),
+    })
+
+
+def flagship_bm25(sf_dir: str, k: int = 10) -> pa.Table:
+    """BM25/WAND top-k over the same index (body context)."""
+    from ..index.reader import IndexReader
+    from ..query.bm25 import BM25Engine
+
+    index_dir = ensure_index(sf_dir)
+    eng = BM25Engine(IndexReader(index_dir))
+    rows = {"query": [], "rank": [], "url": [], "score": []}
+    for q in ["join hash batch", "customer window", "document 42"]:
+        for rank, hit in enumerate(eng.search(q, k=k, mode="wand")):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["url"].append(hit["url"])
+            rows["score"].append(round(hit["score"], 6))
+    return pa.table({
+        "query": pa.array(rows["query"], pa.string()),
+        "rank": pa.array(rows["rank"], pa.int32()),
+        "url": pa.array(rows["url"], pa.string()),
+        "score": pa.array(rows["score"], pa.float64()),
+    })

@@ -1,0 +1,286 @@
+"""Text-analysis pipelines over the generic ``documents`` table.
+
+All stages are Ray Data ``map_batches`` with vectorized Arrow/polars
+kernels; aggregations pre-combine per batch before the (small) global
+groupby — the partial+final pattern, so the shuffle moves one row per
+(key, batch) instead of one per token.
+
+The tokenizer here is deliberately ``[a-z0-9_]+`` over ``lower(text)`` —
+exactly expressible in DuckDB (``regexp_extract_all(lower(text),
+'[a-z0-9_]+')``) so every aggregate has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..common.hashing import hash64
+
+TOKEN_SQL_PATTERN = "[a-z0-9_]+"
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def _doc_path(sf_dir: str) -> str:
+    return f"{sf_dir}/documents.parquet"
+
+
+def _flat_tokens(batch: pa.Table) -> pl.DataFrame:
+    """(doc_id, term) rows for a batch — ASCII tokens of lower(text)."""
+    text = batch.column("text")
+    text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    low = pc.utf8_lower(text)
+    cleaned = pc.replace_substring_regex(low, pattern="[^a-z0-9_]+", replacement=" ")
+    lists = pc.ascii_split_whitespace(cleaned)
+    lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+    counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    counts = np.nan_to_num(counts, nan=0).astype(np.int64)
+    flat = lists.flatten()
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    toks = np.asarray(flat, dtype=object)
+    rep = np.repeat(doc_ids, counts)
+    mask = np.fromiter((len(t) > 0 for t in toks), dtype=bool, count=len(toks))
+    return pl.DataFrame({"doc_id": rep[mask], "term": pl.Series(toks[mask], dtype=pl.String)})
+
+
+# ------------------------------------------------------------------ postings
+
+def postings_batch(batch: pa.Table) -> pa.Table:
+    """(term, doc_id, tf) triples — the flat inverted-index feed."""
+    df = _flat_tokens(batch)
+    out = (df.group_by(["term", "doc_id"]).agg(tf=pl.len())
+             .sort(["term", "doc_id"]))
+    return out.to_arrow().cast(pa.schema([
+        ("term", pa.string()), ("doc_id", pa.int64()), ("tf", pa.int64())]))
+
+
+def postings(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(postings_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ term stats
+
+def term_df(sf_dir: str):
+    """Per-term document frequency + collection frequency.
+
+    Partial combine inside map_batches (docs are unique per batch so the
+    per-batch (term, doc) grouping already collapses token repeats), then a
+    small groupby over (term, partial) rows.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    partial = ds.map_batches(postings_batch, batch_format="pyarrow")
+    return (partial.groupby("term")
+            .aggregate(Count(alias_name="df"), Sum("tf", alias_name="cf")))
+
+
+def top_terms(sf_dir: str, k: int = 100):
+    """Top-k terms by collection frequency (cf desc, term asc)."""
+    ds = term_df(sf_dir)
+    return ds.sort(["cf", "term"], descending=[True, False]).limit(k)
+
+
+def doc_stats(sf_dir: str):
+    """Per-doc token counts — no shuffle, pure map."""
+    import ray.data as rd
+
+    def stats(batch: pa.Table) -> pa.Table:
+        df = _flat_tokens(batch)
+        agg = df.group_by("doc_id").agg(
+            n_tokens=pl.len(), n_unique_terms=pl.col("term").n_unique())
+        # docs with zero tokens keep a row
+        all_ids = pl.DataFrame({"doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False)})
+        out = all_ids.join(agg, on="doc_id", how="left").fill_null(0).sort("doc_id")
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+            ("n_unique_terms", pa.int64())]))
+
+    return rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"]) \
+             .map_batches(stats, batch_format="pyarrow")
+
+
+def token_count_by_lang(sf_dir: str):
+    """Σ tokens and doc counts per language (partial combine per batch)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = _flat_tokens(batch)
+        cnt = df.group_by("doc_id").agg(n=pl.len())
+        langs = pl.DataFrame({
+            "doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
+            "lang": pl.Series(batch.column("lang").to_pylist(), dtype=pl.String),
+        })
+        j = langs.join(cnt, on="doc_id", how="left").fill_null(0)
+        out = j.group_by("lang").agg(n_tokens=pl.col("n").sum(), n_docs=pl.len())
+        return out.to_arrow().cast(pa.schema([
+            ("lang", pa.string()), ("n_tokens", pa.int64()), ("n_docs", pa.int64())]))
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text", "lang"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                       Sum("n_docs", alias_name="n_docs")))
+
+
+# ------------------------------------------------------------------ quality
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc quality signals (all SQL-expressible for the oracle):
+    n_chars, n_tokens, mean token length, stopword ratio."""
+    df = _flat_tokens(batch)
+    lens = df.with_columns(l=pl.col("term").str.len_chars())
+    agg = lens.group_by("doc_id").agg(
+        n_tokens=pl.len(),
+        sum_len=pl.col("l").sum().cast(pl.Int64),
+        n_stop=pl.col("term").is_in(list(STOPWORDS)).sum().cast(pl.Int64),
+    )
+    ids = pl.DataFrame({
+        "doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
+        "n_chars": pc.utf8_length(batch.column("text").combine_chunks()
+                                  if isinstance(batch.column("text"), pa.ChunkedArray)
+                                  else batch.column("text")).to_numpy(zero_copy_only=False).astype(np.int64),
+    })
+    out = (ids.join(agg, on="doc_id", how="left").fill_null(0)
+           .with_columns(
+               mean_token_len=(pl.col("sum_len") / pl.max_horizontal(pl.col("n_tokens"), 1)).round(6),
+               stopword_ratio=(pl.col("n_stop") / pl.max_horizontal(pl.col("n_tokens"), 1)).round(6))
+           .select(["doc_id", "n_chars", "n_tokens", "mean_token_len", "stopword_ratio"])
+           .sort("doc_id"))
+    return out.to_arrow()
+
+
+def quality(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"]) \
+             .map_batches(quality_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ bm25 (documents table)
+
+def bm25_topk(sf_dir: str, query_terms: tuple[str, ...], k: int = 20,
+              k1: float = 1.2, b: float = 0.75):
+    """BM25 top-k over the ``documents`` table with the exact formula the
+    DuckDB oracle uses (idf = ln(1 + (N−df+0.5)/(df+0.5)), float64).
+
+    Distributed parts: tokenize + term-filter inside map_batches (only
+    matching-term posting rows leave the workers) and the doc-length map;
+    the final join/score runs on the driver over O(df·|q|) rows.
+    """
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    terms = list(dict.fromkeys(query_terms))
+
+    def term_filter(batch: pa.Table) -> pa.Table:
+        p = postings_batch(batch)
+        return p.filter(_pc.is_in(p.column("term"), value_set=pa.array(terms)))
+
+    post = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"]) \
+             .map_batches(term_filter, batch_format="pyarrow").to_pandas()
+    stats = doc_stats(sf_dir).to_pandas()
+    N = len(stats)
+    avgdl = float(stats["n_tokens"].mean()) if N else 1.0
+    dl = dict(zip(stats["doc_id"], stats["n_tokens"].astype(float)))
+
+    score: dict[int, float] = {}
+    for t in terms:  # fixed term order (matches per-doc SQL sum over few terms)
+        sub = post[post["term"] == t]
+        df_t = len(sub)
+        if df_t == 0:
+            continue
+        idf = float(np.log(1.0 + (N - df_t + 0.5) / (df_t + 0.5)))
+        for did, tf in zip(sub["doc_id"], sub["tf"]):
+            denom = tf + k1 * (1.0 - b + b * dl[did] / avgdl)
+            score[did] = score.get(did, 0.0) + idf * (tf * (k1 + 1.0)) / denom
+    ranked = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in ranked], pa.int64()),
+        "score": pa.array([round(s, 6) for _, s in ranked], pa.float64()),
+    })
+
+
+# ------------------------------------------------------------------ language id
+
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu"},
+    "es": {"el", "la", "los", "que", "de", "un", "una", "por"},
+    "fr": {"le", "la", "les", "et", "des", "une", "est", "que"},
+}
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Heuristic language ID: argmax of per-language stopword hit ratio,
+    'und' (undetermined) when nothing matches. Rows-only oracle (the
+    heuristic is not reasonably SQL-expressible)."""
+    df = _flat_tokens(batch)
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    scores = {lang: None for lang in _LANG_STOPWORDS}
+    per = df.group_by("doc_id").agg(
+        **{f"hit_{lang}": pl.col("term").is_in(sorted(words)).sum()
+           for lang, words in _LANG_STOPWORDS.items()},
+        n=pl.len(),
+    )
+    ids = pl.DataFrame({"doc_id": doc_ids})
+    j = ids.join(per, on="doc_id", how="left").fill_null(0)
+    hits = np.stack([j[f"hit_{lang}"].to_numpy() for lang in _LANG_STOPWORDS], axis=1)
+    langs = np.asarray(list(_LANG_STOPWORDS), dtype=object)
+    best = hits.argmax(axis=1)
+    pred = langs[best]
+    pred[hits.max(axis=1) == 0] = "und"
+    return pa.table({
+        "doc_id": pa.array(j["doc_id"].to_numpy(), pa.int64()),
+        "pred_lang": pa.array(pred, pa.string()),
+    })
+
+
+def lang_id(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"]) \
+             .map_batches(lang_id_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ fingerprint
+
+FP_BASE = np.uint64(1099511628211)   # FNV prime — rolling polynomial base
+FP_OFFSET = np.uint64(14695981039346656037)
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic 64-bit document fingerprint: order-sensitive rolling
+    hash of the token stream (mod 2^64). Rows-only oracle."""
+    df = _flat_tokens(batch)
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    out = np.full(len(doc_ids), FP_OFFSET, dtype=np.uint64)
+    if df.height:
+        toks = df["term"].to_arrow()
+        th = hash64(toks)
+        d = df["doc_id"].to_numpy()
+        # rolling: fp = fp * BASE + token_hash, per doc in stream order
+        order_fp = {}
+        for did, h in zip(d, th):
+            order_fp[did] = (order_fp.get(did, FP_OFFSET) * FP_BASE + np.uint64(h))
+        idmap = {int(x): i for i, x in enumerate(doc_ids)}
+        for did, fp in order_fp.items():
+            out[idmap[int(did)]] = fp
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "fingerprint": pa.array(out, pa.uint64()),
+    })
+
+
+def fingerprint(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"]) \
+             .map_batches(fingerprint_batch, batch_format="pyarrow")

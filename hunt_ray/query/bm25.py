@@ -69,7 +69,7 @@ class BM25Engine:
         cs = self.reader.schema[self.context]
         stream = tokenize_context(pa.array([query]), cs)
         seen, out = set(), []
-        for t in stream.tokens:
+        for t in stream.tokens_list():
             tl = t.lower()
             if tl not in seen:
                 seen.add(tl)

@@ -45,7 +45,7 @@ class OracleIndex:
             texts = context_text(pages, cs.source)
             stream = tokenize_context(texts, cs)
             cxmap = self.ix[cx]
-            for tok, di, pos in zip(stream.tokens, stream.doc_idx, stream.positions):
+            for tok, di, pos in zip(stream.tokens_list(), stream.doc_idx, stream.positions):
                 d = int(doc_ids[di])
                 cxmap.setdefault(tok, {}).setdefault(d, set()).add(int(pos))
 
@@ -114,15 +114,14 @@ class OracleProcessor:
 
     def _norm_key(self, cx: str, key: str) -> str | None:
         cs = self.schema[cx]
-        ok = VALIDATORS[cs.ctype.validator](np.asarray([key], dtype=object))[0]
-        if not ok:
+        arr = pa.array([key], type=pa.large_string())
+        if not bool(VALIDATORS[cs.ctype.validator](arr)[0]):
             return None
-        t = np.asarray([key], dtype=object)
         for n in cs.normalizers:
-            t = NORMALIZERS[n](t)
+            arr = NORMALIZERS[n](arr)
         if cs.ctype.key_normalizer:
-            t = NORMALIZERS[cs.ctype.key_normalizer](t)
-        return str(t[0])
+            arr = NORMALIZERS[cs.ctype.key_normalizer](arr)
+        return arr[0].as_py()
 
     def _docset(self, cx: str, occ: Occ) -> Occ:
         """Doc-set contexts collapse to singleton positions {1}."""

@@ -147,16 +147,18 @@ class Processor:
     def _norm_query_key(self, context: str, key: str) -> str | None:
         from ..analyze.normalize import NORMALIZERS, VALIDATORS
 
+        import pyarrow as pa
+
         cs = self.schema[context]
-        mask = VALIDATORS[cs.ctype.validator](np.asarray([key], dtype=object))
+        arr = pa.array([key], type=pa.large_string())
+        mask = VALIDATORS[cs.ctype.validator](arr)
         if not bool(mask[0]):
             return None
-        toks = np.asarray([key], dtype=object)
         for name in cs.normalizers:
-            toks = NORMALIZERS[name](toks)
+            arr = NORMALIZERS[name](arr)
         if cs.ctype.key_normalizer:
-            toks = NORMALIZERS[cs.ctype.key_normalizer](toks)
-        return str(toks[0])
+            arr = NORMALIZERS[cs.ctype.key_normalizer](arr)
+        return arr[0].as_py()
 
     # -- primary eval (evalPrimary/searchCx, Processor.hs:599-634) ---
 

@@ -62,7 +62,7 @@ def test_tokenize_text_positions():
     texts = pa.array(["w1 w2 w3", "", "a,b;c", "The the THE"])
     cs = ContextSchema(type="text")
     ts = tokenize_context(texts, cs)
-    assert ts.tokens.tolist() == ["w1", "w2", "w3", "a", "b", "c", "The", "the", "THE"]
+    assert ts.tokens_list() == ["w1", "w2", "w3", "a", "b", "c", "The", "the", "THE"]
     assert ts.positions.tolist() == [1, 2, 3, 1, 2, 3, 1, 2, 3]
     assert ts.doc_idx.tolist() == [0, 0, 0, 2, 2, 2, 3, 3, 3]
 
@@ -71,7 +71,7 @@ def test_tokenize_lowercase_normalizer():
     texts = pa.array(["The THE the"])
     cs = ContextSchema(type="text", normalizers=("LowerCase",))
     ts = tokenize_context(texts, cs)
-    assert ts.tokens.tolist() == ["the", "the", "the"]
+    assert ts.tokens_list() == ["the", "the", "the"]
     doc_ids = np.array([7], dtype=np.uint64)
     pdf = group_postings(ts, doc_ids)
     assert pdf.height == 1
@@ -85,7 +85,7 @@ def test_tokenize_int_context():
     ts = tokenize_context(texts, cs)
     # the 10^22 literal fails the int64 bounds validator and is dropped;
     # positions re-assigned over the valid tokens
-    assert ts.tokens.tolist() == [zerofill_int("-12"), zerofill_int("345")]
+    assert ts.tokens_list() == [zerofill_int("-12"), zerofill_int("345")]
     assert ts.positions.tolist() == [1, 2]
 
 
@@ -94,7 +94,7 @@ def test_tokenize_date_context():
     cs = ContextSchema(type="date")
     ts = tokenize_context(texts, cs)
     # 2013-02-30 matches the token regex but fails date validation
-    assert ts.tokens.tolist() == ["20130101000000", "20141111000000"]
+    assert ts.tokens_list() == ["20130101000000", "20141111000000"]
 
 
 def test_token_counts_matches_stream():

@@ -1,0 +1,156 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _ray(ray_session):
+    return ray_session
+
+
+def test_term_df_matches_duckdb():
+    import duckdb
+
+    from hunt_ray.pipelines.textstats import term_df
+
+    mine = term_df(SF).to_pandas().sort_values("term").reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.sql(
+        f"""SELECT term, count(DISTINCT doc_id) df, count(*) cf FROM (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) term
+            FROM read_parquet('{SF}/documents.parquet'))
+            GROUP BY term ORDER BY term"""
+    ).df()
+    assert len(mine) == len(want)
+    assert mine["term"].tolist() == want["term"].tolist()
+    assert mine["df"].astype(int).tolist() == want["df"].astype(int).tolist()
+    assert mine["cf"].astype(int).tolist() == want["cf"].astype(int).tolist()
+
+
+def test_exact_dedup_unique_corpus():
+    from hunt_ray.pipelines.dedup import exact_dedup_groups
+
+    out = exact_dedup_groups(SF).to_pandas()
+    assert (out["n_copies"] == 1).all()  # driver corpus has no dup texts
+    assert len(out) == 500
+
+
+def test_minhash_finds_planted_duplicates(tmp_path):
+    """Plant near-duplicate docs and verify MinHash-LSH surfaces them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.pipelines.dedup import minhash_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "while the cat sleeps on the warm mat near the door") * 3
+    near = base.replace("warm", "cold")  # tiny edit → high jaccard
+    other = ("completely different content about database engines and "
+             "distributed query processing with vectorized execution") * 3
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([base, near, other, "unrelated short text here ok"]),
+        "lang": pa.array(["en"] * 4),
+    })
+    d = tmp_path / "mh"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    pairs = minhash_dedup(str(d), threshold=0.5).to_pandas()
+    assert ((pairs["doc_a"] == 1) & (pairs["doc_b"] == 2)).any()
+    assert not ((pairs["doc_a"] == 1) & (pairs["doc_b"] == 3)).any()
+    j = pairs[(pairs["doc_a"] == 1) & (pairs["doc_b"] == 2)]["jaccard"].iloc[0]
+    # ×3 repetition dedups the shingle set, so one word edit costs ~6 of
+    # ~28 unique shingles → true jaccard ≈ 0.79
+    assert j > 0.7
+
+
+def test_simhash_near_duplicates(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.pipelines.dedup import simhash_dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon") * 4
+    near = base.replace("kappa", "kappo")
+    other = "wholly unrelated words about cooking pasta with tomato sauce " * 6
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([base, near, other]),
+        "lang": pa.array(["en"] * 3),
+    })
+    d = tmp_path / "sh"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    pairs = simhash_dedup(str(d), max_hamming=8).to_pandas()
+    assert ((pairs["doc_a"] == 1) & (pairs["doc_b"] == 2)).any()
+    assert not ((pairs["doc_a"] == 1) & (pairs["doc_b"] == 3)).any()
+
+
+def test_knn_brute_vs_numpy():
+    import pyarrow.parquet as pq
+
+    from hunt_ray.pipelines.similarity import knn_brute
+
+    out = knn_brute(SF, query_ids=(0,), k=5).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    m = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    q = m[ids == 0][0]
+    sims = m @ q
+    sims[ids == 0] = -2
+    top = np.argsort(-sims)[:5]
+    assert out["vec_id"].tolist() == ids[top].tolist()
+    assert np.allclose(out["cosine"], np.round(sims[top], 6))
+
+
+def test_knn_ivf_recall():
+    from hunt_ray.pipelines.similarity import knn_brute, knn_ivf
+
+    brute = knn_brute(SF, query_ids=(0, 1, 2), k=10).to_pandas()
+    ivf = knn_ivf(SF, query_ids=(0, 1, 2), k=10, n_clusters=8, nprobe=4).to_pandas()
+    recalls = []
+    for qid in (0, 1, 2):
+        b = set(brute[brute["query_id"] == qid]["vec_id"])
+        a = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.5  # nprobe=4 of 8 clusters
+
+
+def test_lang_id_majority_en():
+    from hunt_ray.pipelines.textstats import lang_id
+
+    out = lang_id(SF).to_pandas()
+    assert len(out) == 500
+    # corpus text is synthetic English-ish; 'the'/'a'/... dominate
+    assert (out["pred_lang"] == "en").mean() > 0.5
+
+
+def test_fingerprint_deterministic_and_order_sensitive():
+    import pyarrow as pa
+
+    from hunt_ray.pipelines.textstats import fingerprint_batch
+
+    t1 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "text": pa.array(["a b c", "c b a"])})
+    out = fingerprint_batch(t1)
+    fps = out.column("fingerprint").to_pylist()
+    assert fps[0] != fps[1]  # order-sensitive
+    out2 = fingerprint_batch(t1)
+    assert out.equals(out2)
+
+
+def test_multimodal_decode_plumbing(pages_small):
+    from hunt_ray.pipelines.multimodal import FEATURE_DIM, FakeDecoder, decode_features
+
+    out = decode_features(pages_small, batch_size=32).to_pandas()
+    assert len(out) == 300
+    assert set(out.columns) == {"key", "n_bytes", "width", "height", "format", "feature"}
+    assert all(len(f) == FEATURE_DIM for f in out["feature"])
+    assert (out["n_bytes"] > 0).all()
+    with pytest.raises(NotImplementedError):
+        FakeDecoder(real_decoder=True)
