@@ -341,9 +341,21 @@ def _encode_partition(merged: pa.Table | None, index_dir: str, part: int,
                                    "max_tf", "n_chunks")}
     n_rows = 0
     if merged is not None and merged.num_rows:
+        import pyarrow.compute as _pc
+
         n_rows = merged.num_rows
-        ctx = np.asarray(merged.column("context").to_pylist(), dtype=object)
-        trm = np.asarray(merged.column("term").to_pylist(), dtype=object)
+        # dictionary-encode context/term: group boundaries via vectorized
+        # int32 code compares; only per-GROUP strings are materialized
+        ctx_codes_arr = _pc.dictionary_encode(merged.column("context").combine_chunks()
+                                              if isinstance(merged.column("context"), pa.ChunkedArray)
+                                              else merged.column("context"))
+        trm_codes_arr = _pc.dictionary_encode(merged.column("term").combine_chunks()
+                                              if isinstance(merged.column("term"), pa.ChunkedArray)
+                                              else merged.column("term"))
+        ctx_codes = np.asarray(ctx_codes_arr.indices)
+        trm_codes = np.asarray(trm_codes_arr.indices)
+        ctx_dict = ctx_codes_arr.dictionary.to_pylist()
+        trm_dict = trm_codes_arr.dictionary.to_pylist()
         dids = merged.column("doc_id").to_numpy()
         tfs = merged.column("tf").to_numpy()
         pos_col = merged.column("positions")
@@ -355,11 +367,11 @@ def _encode_partition(merged: pa.Table | None, index_dir: str, part: int,
         # (context, term) group boundaries over the sorted rows
         new_grp = np.empty(n_rows, dtype=bool)
         new_grp[0] = True
-        new_grp[1:] = (ctx[1:] != ctx[:-1]) | (trm[1:] != trm[:-1])
+        new_grp[1:] = (ctx_codes[1:] != ctx_codes[:-1]) | (trm_codes[1:] != trm_codes[:-1])
         starts = np.flatnonzero(new_grp)
         ends = np.r_[starts[1:], n_rows]
         for s, e in zip(starts, ends):
-            term, context = trm[s], ctx[s]
+            term, context = trm_dict[trm_codes[s]], ctx_dict[ctx_codes[s]]
             t_dids, t_tfs = dids[s:e], tfs[s:e]
             has_pos = pos_offsets_all[e] > pos_offsets_all[s]
             chunks = encode_term_chunks(
@@ -413,7 +425,9 @@ def build_index(pages_path: str | list[str], index_dir: str,
     schema_json = schema_to_json(cfg.schema)
 
     t0 = time.time()
+    phases: dict[str, float] = {}
     boundaries, hot_terms = sample_terms(files, cfg)
+    phases["sample"] = round(time.time() - t0, 3)
 
     read_cols = _read_columns(cfg.schema)
 
@@ -427,19 +441,23 @@ def build_index(pages_path: str | list[str], index_dir: str,
             if json.load(f).get("params_hash") == phash:
                 docs_reused = True
     if not docs_reused:
-        ds = rd.read_parquet(files, columns=read_cols)
-        docs_ds = ds.map_batches(DocsStage, fn_constructor_args=(schema_json,),
-                                 batch_format="pyarrow", batch_size=cfg.batch_size,
-                                 concurrency=cfg.analyzer_concurrency)
+        t = time.time()
+        avail = set(pq.read_schema(files[0]).names)
+        doc_cols = [c for c in ("url", "lang", "weight") if c in avail]
+        ds = rd.read_parquet(files, columns=doc_cols)
+        docs_ds = ds.map_batches(DocsStage(schema_json),
+                                 batch_format="pyarrow", batch_size=cfg.batch_size)
         docs_ds.write_parquet(docs_dir)
         import json
         with open(docs_meta, "w") as f:
             json.dump({"params_hash": phash}, f)
+        phases["docs"] = round(time.time() - t, 3)
 
     # postings pass + shuffle + run write
     completed = man.completed_parts(gen, phash, cfg.num_partitions) if resume else set()
     todo = [k for k in range(cfg.num_partitions) if k not in completed]
     if todo:
+        t = time.time()
         ds = rd.read_parquet(files, columns=read_cols)
         flat = ds.map_batches(
             AnalyzerStage,
@@ -453,15 +471,20 @@ def build_index(pages_path: str | list[str], index_dir: str,
             make_run_writer(index_dir, gen), batch_format="pyarrow"
         )
         _ = run_stats.take_all()  # small: one row per (part, salt)
+        phases["analyze_shuffle"] = round(time.time() - t, 3)
 
+        t = time.time()
         merge_stats = rd.from_items([{"part": k} for k in todo]).map_batches(
             make_part_merger(index_dir, gen, phash, cfg.chunk_docs, files),
             batch_format="pyarrow", batch_size=1,
         )
         _ = merge_stats.take_all()  # small: one row per part
+        phases["merge"] = round(time.time() - t, 3)
 
     # global stats (tiny aggregates over docs + doclens partitions)
+    t = time.time()
     stats = _doc_stats(index_dir, docs_dir, cfg.schema)
+    phases["stats"] = round(time.time() - t, 3)
 
     payload = {
         "params_hash": phash,
@@ -474,6 +497,7 @@ def build_index(pages_path: str | list[str], index_dir: str,
         "files": files,
         "stats": stats,
         "build_seconds": time.time() - t0,
+        "phases": phases,
         "complete": True,
     }
     man.commit_generation(gen, payload)

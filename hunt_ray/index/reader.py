@@ -211,8 +211,6 @@ class IndexReader:
         Found words are returned in shortest-first order
         (``toListShortestFirst``, PrefixTreeIndex.hs:86-98).
         """
-        cs = self.schema[context]
-        score_kind = cs.ctype.search_score
         results: list[tuple[str, np.float32, Postings]] = []
         for k in self.parts_for(op, key):
             if k >= self.num_partitions:
@@ -220,16 +218,22 @@ class IndexReader:
             pr = self.part(k)
             for entry in pr.lookup(op, context, key):
                 word = pr.terms[entry]
-                disp = self._denorm(context, word)
-                if score_kind == "similar":
-                    s = sc.similar(key, word)
-                elif score_kind == "similar_int":
-                    s = _similar_int(self._denorm(context, key) if cs.ctype.key_normalizer else key, disp)
-                else:
-                    s = sc.DEF_SCORE
+                s = self.score_found(context, key, word)
                 results.append((word, s, pr.postings(entry, with_positions=with_positions)))
         results.sort(key=lambda t: (len(t[0]), t[0]))
         return results
+
+    def score_found(self, context: str, key: str, word: str) -> np.float32:
+        """searchSc similarity for one found word (see class docstring refs)."""
+        cs = self.schema[context]
+        kind = cs.ctype.search_score
+        if kind == "similar":
+            return sc.similar(key, word)
+        if kind == "similar_int":
+            return _similar_int(
+                self._denorm(context, key) if cs.ctype.key_normalizer else key,
+                self._denorm(context, word))
+        return sc.DEF_SCORE
 
     def lookup_range_sc(self, context: str, lb: str, ub: str, *,
                         with_positions: bool = True) -> list[tuple[str, np.float32, Postings]]:

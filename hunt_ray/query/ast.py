@@ -149,6 +149,46 @@ def is_local_cx_op(op: BinOp) -> bool:
     return op == PHRASE or isinstance(op, (Follow, Near))
 
 
+def optimize(q: Query) -> Query:
+    """Minor query optimizations (Grammar.hs:236-266): prefix-subsumption
+    rewrites on And/Or of two QWords. NOTE (as in the reference): this can
+    affect the ranking, so it is opt-in.
+
+    The reference matches on binary QBinary nodes; our parser builds n-ary
+    QSeq, so the rewrite applies to 2-argument seqs (the same shapes the
+    reference parser could produce before flattening).
+    """
+    if isinstance(q, QSeq) and len(q.args) == 2 and q.op in (AND, OR):
+        a, b = q.args
+        if (isinstance(a, QWord) and isinstance(b, QWord)
+                and a.op == b.op and a.op in (CASE, NOCASE)):
+            w1, w2 = a.word, b.word
+            if a.op == NOCASE:
+                w1c, w2c = w1.lower(), w2.lower()
+            else:
+                w1c, w2c = w1, w2
+            if q.op == AND:
+                # the longer word's prefix search subsumes the intersection
+                if w2c.startswith(w1c):
+                    return b
+                if w1c.startswith(w2c):
+                    return a
+            else:
+                # the shorter word's prefix search subsumes the union
+                if w2c.startswith(w1c):
+                    return a
+                if w1c.startswith(w2c):
+                    return b
+        return QSeq(q.op, tuple(optimize(x) for x in q.args))
+    if isinstance(q, QSeq):
+        return QSeq(q.op, tuple(optimize(x) for x in q.args))
+    if isinstance(q, QContext):
+        return QContext(q.contexts, optimize(q.query))
+    if isinstance(q, QBoost):
+        return QBoost(q.weight, optimize(q.query))
+    return q
+
+
 def set_fuzzy(q: Query) -> Query:
     """setFuzzySearch (Builder.hs:200-204)."""
     if isinstance(q, QWord):

@@ -248,10 +248,69 @@ class BM25Engine:
         out = sorted(heap, key=lambda t: (-t[0], -t[1]))
         return [(-d, s) for s, d in out]
 
-    def search(self, query: str, k: int = 10, *, mode: str = "wand",
+    def search_maxscore(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Vectorized MaxScore pruning — exact top-k, numpy throughout.
+
+        Pass 1 scores the rarest term's candidates fully → threshold θ.
+        Terms whose collective upper bound can't beat θ become
+        non-essential; only essential terms' postings generate candidates,
+        which are then fully scored (same fixed term order as the other
+        scorers, so results are bit-identical). Docs outside the candidate
+        set score strictly below θ (per-term ub is strict for dl>0), so the
+        top-k is exact. The scale path for head-term-heavy queries where
+        the per-doc Python loop of classic WAND would dominate latency.
+        """
+        terms = [tp for t in self._query_terms(query) if (tp := self._load_term(t))]
+        if not terms:
+            return []
+        order_ub = sorted(range(len(terms)), key=lambda i: -terms[i].ub)
+        rarest = min(range(len(terms)), key=lambda i: len(terms[i].doc_ids))
+        seed_ids = terms[rarest].doc_ids
+        if len(seed_ids) == 0:
+            return []
+        seed_scores = self._score_docs(terms, seed_ids)
+        kk = min(k, len(seed_ids))
+        theta = float(np.partition(seed_scores, len(seed_scores) - kk)[len(seed_scores) - kk]) \
+            if len(seed_scores) > kk else float(seed_scores.min())
+        # longest low-ub suffix with Σ ub ≤ θ is non-essential
+        ubs_sorted = [terms[i].ub for i in order_ub]
+        suffix = 0.0
+        n_essential = len(terms)
+        for j in range(len(terms) - 1, -1, -1):
+            if suffix + ubs_sorted[j] <= theta:
+                suffix += ubs_sorted[j]
+                n_essential = j
+            else:
+                break
+        essential = [terms[i] for i in order_ub[:max(1, n_essential)]]
+        cand = np.union1d(np.concatenate([tp.doc_ids for tp in essential]), seed_ids)
+        scores = self._score_docs(terms, cand)
+        return self._top_k(cand, scores, k)
+
+    def _score_docs(self, terms: list[_TermPostings], doc_ids: np.ndarray) -> np.ndarray:
+        """Full BM25 scores for a sorted doc-id set, fixed term order."""
+        totals = np.zeros(len(doc_ids), dtype=np.float64)
+        for tp in terms:
+            pos = np.searchsorted(tp.doc_ids, doc_ids)
+            pos_c = np.minimum(pos, len(tp.doc_ids) - 1)
+            hit = tp.doc_ids[pos_c] == doc_ids
+            if hit.any():
+                idx = pos_c[hit]
+                tfs = tp.tfs[idx]
+                sc = tp.idf * (tfs * (self.k1 + 1.0)) / self._norm_denominator(tfs, tp.doc_ids[idx])
+                totals[hit] += sc
+        return totals
+
+    _MODES = ("maxscore", "wand", "exhaustive")
+
+    def search(self, query: str, k: int = 10, *, mode: str = "maxscore",
                hydrate: bool = True) -> list[dict]:
-        hits = (self.search_wand(query, k) if mode == "wand"
-                else self.search_exhaustive(query, k))
+        if mode == "maxscore":
+            hits = self.search_maxscore(query, k)
+        elif mode == "wand":
+            hits = self.search_wand(query, k)
+        else:
+            hits = self.search_exhaustive(query, k)
         if not hydrate:
             return [{"doc_id": d, "score": s} for d, s in hits]
         docs = self.reader.docs

@@ -46,6 +46,16 @@ class SearchEngine:
         self.config = config or ProcessConfig(word_limit=0, doc_limit=0)
         self.processor = Processor(self.reader, self.config)
 
+    @classmethod
+    def from_reader(cls, reader, config: ProcessConfig | None = None) -> "SearchEngine":
+        """Build an engine over any reader implementation (single index,
+        segmented MultiReader, or remote actor-backed reader)."""
+        self = cls.__new__(cls)
+        self.reader = reader
+        self.config = config or ProcessConfig(word_limit=0, doc_limit=0)
+        self.processor = Processor(reader, self.config)
+        return self
+
     def evaluate(self, query: "str | A.Query") -> ScoredDocs:
         q = parse_query(query) if isinstance(query, str) else query
         return self.processor.eval_scored_docs(q)
@@ -58,12 +68,23 @@ class SearchEngine:
         docs = self.reader.docs
         rows = docs.rows_of(sd.doc_ids)
         final = (sd.scores * docs.weight[rows]).astype(F32)  # wght d * sc
-        urls = docs.url[rows]
-        # rank: score desc, url asc (Ord RankedDoc, Intermediate.hs:380-384)
-        order = sorted(range(n), key=lambda i: (-final[i], urls[i]))
-        page = order[offset: offset + limit] if limit > 0 else order[offset:]
-        hits = [SearchHit(url=str(urls[i]), score=float(final[i]),
-                          doc_id=int(sd.doc_ids[i])) for i in page]
+        # rank: score desc, url asc (Ord RankedDoc, Intermediate.hs:380-384).
+        # Top-k shortcut: partition down to the candidates that can reach the
+        # page (score > kth, plus ALL ties at the kth score so the url
+        # tie-break stays exact), then sort only those.
+        need = offset + limit if limit > 0 else n
+        if 0 < need < n:
+            kth = np.partition(final, n - need)[n - need]
+            cand = np.flatnonzero(final >= kth)
+        else:
+            cand = np.arange(n)
+        urls_c = docs.url[rows[cand]]
+        order_c = sorted(range(len(cand)), key=lambda i: (-final[cand[i]], urls_c[i]))
+        page_idx = [cand[i] for i in order_c[offset: offset + limit]] if limit > 0 \
+            else [cand[i] for i in order_c[offset:]]
+        urls_map = docs.url[rows[page_idx]] if page_idx else []
+        hits = [SearchHit(url=str(u), score=float(final[i]), doc_id=int(sd.doc_ids[i]))
+                for i, u in zip(page_idx, urls_map)]
         return LimitedResult(hits, offset, limit, n)
 
     def search_unscored(self, query: "str | A.Query") -> np.ndarray:

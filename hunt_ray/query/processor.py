@@ -74,6 +74,18 @@ class Entry:
 RawCx = dict[str, list[Entry]]          # ScoredCx ScoredRawDocs
 
 
+def _gather_ranges(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Indices covering [starts[i], starts[i]+lengths[i]) per segment."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    ends = np.cumsum(lengths)
+    offs = ends - lengths
+    return (np.repeat(np.asarray(starts, np.int64), lengths)
+            + (np.arange(total, dtype=np.int64) - np.repeat(offs, lengths)))
+
+
 @dataclass
 class ScoredDocs:
     doc_ids: np.ndarray                  # uint64 ascending
@@ -256,41 +268,62 @@ class Processor:
         if common.size == 0 or a.pos_flat is None or b.pos_flat is None:
             return OccSet(np.empty(0, np.uint64), np.empty(0, np.int64),
                           np.empty(0, np.uint64), np.zeros(1, np.int64))
-        keep_ids, keep_tfs, keep_pos, offs = [], [], [], [0]
-        for k in range(common.size):
-            pa = a.positions_of(int(ia[k])).astype(np.int64)
-            pb = b.positions_of(int(ib[k])).astype(np.int64)
-            lo = np.searchsorted(pb, pa + lb, side="left")
-            ok = (lo < pb.size) & (pb[np.minimum(lo, pb.size - 1)] <= pa + ub)
-            if ok.any():
-                kept = pa[ok]
-                keep_ids.append(common[k])
-                keep_tfs.append(kept.size)
-                keep_pos.append(kept.astype(np.uint64))
-                offs.append(offs[-1] + kept.size)
-        if not keep_ids:
+        # fully vectorized: flatten A's positions for the common docs with a
+        # per-position doc rank, then test each against B's positions via one
+        # searchsorted on (rank << 32 | position) composite keys
+        a_tfs = a.tfs[ia]
+        a_slices_start = a.pos_offsets[ia]
+        n_pos = int(a_tfs.sum())
+        gather_a = _gather_ranges(a_slices_start, a_tfs)
+        pa_flat = a.pos_flat[gather_a].astype(np.int64)
+        rank_a = np.repeat(np.arange(common.size, dtype=np.int64), a_tfs)
+
+        b_tfs = b.tfs[ib]
+        gather_b = _gather_ranges(b.pos_offsets[ib], b_tfs)
+        pb_flat = b.pos_flat[gather_b].astype(np.int64)
+        rank_b = np.repeat(np.arange(common.size, dtype=np.int64), b_tfs)
+        # positions are < 2^31; shift ranks above the position space
+        KEY = np.int64(1) << np.int64(32)
+        b_keys = rank_b * KEY + pb_flat  # ascending (docs in order, pos asc)
+        lo_keys = rank_a * KEY + np.maximum(pa_flat + lb, 0)
+        hi_keys = rank_a * KEY + (pa_flat + ub)
+        pos_idx = np.searchsorted(b_keys, lo_keys, side="left")
+        ok = (pos_idx < b_keys.size)
+        ok &= np.where(ok, b_keys[np.minimum(pos_idx, b_keys.size - 1)] <= hi_keys, False)
+        if not ok.any():
             return OccSet(np.empty(0, np.uint64), np.empty(0, np.int64),
                           np.empty(0, np.uint64), np.zeros(1, np.int64))
-        return OccSet(np.asarray(keep_ids, np.uint64), np.asarray(keep_tfs, np.int64),
-                      np.concatenate(keep_pos), np.asarray(offs, np.int64))
+        kept_rank = rank_a[ok]
+        kept_pos = pa_flat[ok].astype(np.uint64)
+        tf_per_doc = np.bincount(kept_rank, minlength=common.size)
+        live = tf_per_doc > 0
+        new_tfs = tf_per_doc[live].astype(np.int64)
+        offs = np.zeros(len(new_tfs) + 1, np.int64)
+        np.cumsum(new_tfs, out=offs[1:])
+        return OccSet(common[live], new_tfs, kept_pos, offs)
 
     @staticmethod
     def _occ_intersect(a: OccSet, b: OccSet) -> OccSet:
         common, ia, ib = np.intersect1d(a.doc_ids, b.doc_ids, assume_unique=True,
                                         return_indices=True)
         # positions united per doc (Occ.intersectOccurrences Pos.union);
-        # tf = union size
-        if a.pos_flat is not None and b.pos_flat is not None:
-            keep_pos, offs, tfs = [], [0], []
-            for k in range(common.size):
-                pu = np.union1d(a.positions_of(int(ia[k])), b.positions_of(int(ib[k])))
-                keep_pos.append(pu.astype(np.uint64))
-                tfs.append(pu.size)
-                offs.append(offs[-1] + pu.size)
-            pos_flat = np.concatenate(keep_pos) if keep_pos else np.empty(0, np.uint64)
-            return OccSet(common, np.asarray(tfs, np.int64), pos_flat,
-                          np.asarray(offs, np.int64))
-        tfs = np.maximum(a.tfs[ia], b.tfs[ib])
+        # tf = union size — vectorized via (rank << 32 | pos) composite keys
+        if common.size and a.pos_flat is not None and b.pos_flat is not None:
+            KEY = np.uint64(1) << np.uint64(32)
+            a_tfs, b_tfs = a.tfs[ia], b.tfs[ib]
+            pa_flat = a.pos_flat[_gather_ranges(a.pos_offsets[ia], a_tfs)]
+            pb_flat = b.pos_flat[_gather_ranges(b.pos_offsets[ib], b_tfs)]
+            rank_a = np.repeat(np.arange(common.size, dtype=np.uint64), a_tfs)
+            rank_b = np.repeat(np.arange(common.size, dtype=np.uint64), b_tfs)
+            keys = np.unique(np.concatenate([rank_a * KEY + pa_flat,
+                                             rank_b * KEY + pb_flat]))
+            rank = (keys // KEY).astype(np.int64)
+            pos = keys % KEY
+            tfs = np.bincount(rank, minlength=common.size).astype(np.int64)
+            offs = np.zeros(common.size + 1, np.int64)
+            np.cumsum(tfs, out=offs[1:])
+            return OccSet(common, tfs, pos, offs)
+        tfs = np.maximum(a.tfs[ia], b.tfs[ib]) if common.size else np.empty(0, np.int64)
         return OccSet(common, tfs, None, None)
 
     @staticmethod
@@ -299,10 +332,9 @@ class Processor:
         if a.pos_flat is None:
             return OccSet(a.doc_ids[mask], a.tfs[mask], None, None)
         idx = np.flatnonzero(mask)
-        pos_parts = [a.positions_of(int(i)) for i in idx]
+        flat = a.pos_flat[_gather_ranges(a.pos_offsets[idx], a.tfs[idx])]
         offs = np.zeros(len(idx) + 1, np.int64)
         np.cumsum(a.tfs[mask], out=offs[1:])
-        flat = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.uint64)
         return OccSet(a.doc_ids[mask], a.tfs[mask], flat, offs)
 
     def _raw_binop(self, op: str, r1: RawCx, r2: RawCx,

@@ -62,3 +62,11 @@ def test_idf_downweights_stopwords(bm25):
 def test_empty_query(bm25):
     assert bm25.search_exhaustive("", 10) == []
     assert bm25.search_wand("", 10) == []
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_maxscore_equals_exhaustive(bm25, q):
+    for k in (1, 5, 10, 50):
+        ex = bm25.search_exhaustive(q, k)
+        ms = bm25.search_maxscore(q, k)
+        assert ex == ms, f"{q!r} k={k}"

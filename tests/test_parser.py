@@ -122,3 +122,20 @@ def test_reference_query_set_parses():
 
     for _name, _kind, qs in REFERENCE_QUERIES:
         parse_query(qs)  # must not raise
+
+
+def test_optimize_prefix_subsumption():
+    from hunt_ray.query.ast import optimize
+
+    # AND of nested prefixes → longer word (Grammar.hs:240-247)
+    q = parse_query("fork forks")
+    assert optimize(q) == A.QWord(A.NOCASE, "forks")
+    # OR of nested prefixes → shorter word (Grammar.hs:250-257)
+    q = parse_query("fork OR forks")
+    assert optimize(q) == A.QWord(A.NOCASE, "fork")
+    # unrelated words unchanged
+    q = parse_query("fork spoon")
+    assert optimize(q) == q
+    # recursion through boost/context
+    q = parse_query("title:(fork forks)")
+    assert optimize(q) == A.QContext(("title",), A.QWord(A.NOCASE, "forks"))
