@@ -63,6 +63,13 @@ class BuildConfig:
     analyzer_concurrency: tuple[int, int] | int = (1, 8)
     sample_max_docs: int = 2000
     min_rows_per_docfile: int = 100_000
+    # "ray": Dataset.groupby((part,salt)).map_groups — all-to-all through the
+    #   object store (sort- or hash-shuffle per DataContext).
+    # "fs": map-side partitioning — each analyzer batch writes its per-part
+    #   sorted run straight to the index directory (the S3-shuffle design:
+    #   on a multi-node cluster the index dir is shared storage); the
+    #   per-part merge then reads only its own runs. No all-to-all exchange.
+    shuffle_mode: str = "fs"
 
     def params(self, files: list[str]) -> dict:
         return {
@@ -72,6 +79,7 @@ class BuildConfig:
             "salt_buckets": self.salt_buckets,
             "hot_df_ratio": self.hot_df_ratio,
             "chunk_docs": self.chunk_docs,
+            "shuffle_mode": self.shuffle_mode,
             "files": files,
         }
 
@@ -147,15 +155,21 @@ class AnalyzerStage:
     State (parsed schema, partition boundaries, hot-term set) is built once
     per actor in ``__init__`` (the Ray analog of Hunt's per-insert analyzer
     closure, Analyze.hs:59-68).
+
+    With ``run_dir`` set (fs shuffle mode), the stage ALSO plays map-side
+    partitioner: it splits its output by partition, sorts each slice, writes
+    it as a run file under ``runs/part=K/``, and emits only a tiny stats
+    row per partition — no posting row ever crosses the object store.
     """
 
     def __init__(self, schema_json: str, boundaries: list[str], hot_terms: list[str],
-                 salt_buckets: int, num_partitions: int):
+                 salt_buckets: int, num_partitions: int, run_dir: str | None = None):
         self.schema = schema_from_json(schema_json)
         self.boundaries = np.asarray(boundaries, dtype=object)
         self.hot = frozenset(hot_terms)
         self.salt_buckets = max(1, salt_buckets)
         self.num_partitions = max(1, num_partitions)
+        self.run_dir = run_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = doc_ids_for_urls(batch.column("url"))
@@ -214,7 +228,55 @@ class AnalyzerStage:
             part[is_len] = (dids[is_len] % np.uint64(self.num_partitions)).astype(np.int32)
             salt[is_len] = 0
         out = big.with_columns(part=pl.Series(part), salt=pl.Series(salt))
-        return out.select(["context", "term", "doc_id", "tf", "positions", "part", "salt"]).to_arrow()
+        tbl = out.select(["context", "term", "doc_id", "tf", "positions", "part", "salt"]).to_arrow()
+        if self.run_dir is None:
+            return tbl
+        import uuid
+
+        uid = uuid.uuid4().hex[:12]
+        self._write_docs(batch, doc_ids, uid)
+        return self._write_runs(tbl, part, uid)
+
+    def _write_docs(self, batch: pa.Table, doc_ids: np.ndarray, uid: str) -> None:
+        """fs shuffle: doc-table rows ride the same pass (no second read)."""
+        url = batch.column("url")
+        url = url.combine_chunks() if isinstance(url, pa.ChunkedArray) else url
+        n = batch.num_rows
+        if "weight" in batch.column_names:
+            w = batch.column("weight").to_numpy(zero_copy_only=False).astype(np.float32)
+            w[w == 0.0] = 1.0
+        else:
+            w = np.ones(n, dtype=np.float32)
+        cols = {"doc_id": pa.array(doc_ids, pa.uint64()), "url": url,
+                "weight": pa.array(w, pa.float32())}
+        if "lang" in batch.column_names:
+            lang = batch.column("lang")
+            cols["lang"] = lang.combine_chunks() if isinstance(lang, pa.ChunkedArray) else lang
+        docs_dir = os.path.join(os.path.dirname(self.run_dir.rstrip("/")), "..", "docs")
+        docs_dir = os.path.normpath(docs_dir)
+        _atomic_write_parquet(pa.table(cols), os.path.join(docs_dir, f"docs-{uid}.parquet"))
+
+    def _write_runs(self, tbl: pa.Table, part: np.ndarray, uid: str) -> pa.Table:
+        """fs shuffle: per-part sorted run files, tiny stats table out."""
+        out_parts, out_rows = [], []
+        order = np.argsort(part, kind="stable")
+        sorted_tbl = tbl.take(pa.array(order))
+        sorted_part = part[order]
+        bounds = np.searchsorted(sorted_part, np.arange(self.num_partitions + 1))
+        for k in range(self.num_partitions):
+            lo, hi = int(bounds[k]), int(bounds[k + 1])
+            if lo == hi:
+                continue
+            body = sorted_tbl.slice(lo, hi - lo).drop_columns(["part", "salt"]).sort_by(
+                [("context", "ascending"), ("term", "ascending"), ("doc_id", "ascending")]
+            )
+            path = os.path.join(self.run_dir, f"part={k:05d}", f"run-{uid}.parquet")
+            _atomic_write_parquet(body, path)
+            out_parts.append(k)
+            out_rows.append(hi - lo)
+        return pa.table({"part": pa.array(out_parts, pa.int32()),
+                         "salt": pa.array([0] * len(out_parts), pa.int32()),
+                         "rows": pa.array(out_rows, pa.int64())})
 
 
 class DocsStage:
@@ -431,18 +493,19 @@ def build_index(pages_path: str | list[str], index_dir: str,
 
     read_cols = _read_columns(cfg.schema)
 
-    # docs pass
+    # docs pass (separate read only in ray shuffle mode; fs mode folds the
+    # doc-table write into the analyzer pass — one read of the input total)
     docs_dir = os.path.join(index_dir, "docs")
     docs_meta = os.path.join(index_dir, "docs", "_meta.json")
+    avail = set(pq.read_schema(files[0]).names)
     docs_reused = False
     if resume and os.path.exists(docs_meta):
         import json
         with open(docs_meta) as f:
             if json.load(f).get("params_hash") == phash:
                 docs_reused = True
-    if not docs_reused:
+    if not docs_reused and cfg.shuffle_mode != "fs":
         t = time.time()
-        avail = set(pq.read_schema(files[0]).names)
         doc_cols = [c for c in ("url", "lang", "weight") if c in avail]
         ds = rd.read_parquet(files, columns=doc_cols)
         docs_ds = ds.map_batches(DocsStage(schema_json),
@@ -458,19 +521,37 @@ def build_index(pages_path: str | list[str], index_dir: str,
     todo = [k for k in range(cfg.num_partitions) if k not in completed]
     if todo:
         t = time.time()
+        # a rerun of an incomplete generation re-executes the analyzer; stale
+        # runs from the aborted attempt must not double-count postings
+        import shutil
+        shutil.rmtree(os.path.join(index_dir, "runs", f"gen_{gen}"), ignore_errors=True)
+        if cfg.shuffle_mode == "fs":
+            shutil.rmtree(docs_dir, ignore_errors=True)
+            read_cols = sorted(set(read_cols)
+                               | {c for c in ("lang", "weight") if c in avail})
         ds = rd.read_parquet(files, columns=read_cols)
+        run_dir = os.path.join(index_dir, "runs", f"gen_{gen}") \
+            if cfg.shuffle_mode == "fs" else None
         flat = ds.map_batches(
             AnalyzerStage,
             fn_constructor_args=(schema_json, boundaries, hot_terms,
-                                 cfg.salt_buckets, cfg.num_partitions),
+                                 cfg.salt_buckets, cfg.num_partitions, run_dir),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
             concurrency=cfg.analyzer_concurrency,
         )
-        run_stats = flat.groupby(["part", "salt"]).map_groups(
-            make_run_writer(index_dir, gen), batch_format="pyarrow"
-        )
-        _ = run_stats.take_all()  # small: one row per (part, salt)
+        if cfg.shuffle_mode == "fs":
+            # map-side partitioned runs already on disk; only stats rows flow
+            _ = flat.take_all()
+            import json
+            os.makedirs(docs_dir, exist_ok=True)
+            with open(docs_meta, "w") as f:
+                json.dump({"params_hash": phash}, f)
+        else:
+            run_stats = flat.groupby(["part", "salt"]).map_groups(
+                make_run_writer(index_dir, gen), batch_format="pyarrow"
+            )
+            _ = run_stats.take_all()  # small: one row per (part, salt)
         phases["analyze_shuffle"] = round(time.time() - t, 3)
 
         t = time.time()
@@ -506,20 +587,26 @@ def build_index(pages_path: str | list[str], index_dir: str,
 
 def _doc_stats(index_dir: str, docs_dir: str, schema: Schema) -> dict:
     """N + avgdl per context: N from the doc table, Σ doclen per context
-    from the doclens partitions (tiny aggregates)."""
-    import ray.data as rd
-    from ray.data.aggregate import Sum
-
-    files = sorted(globmod.glob(os.path.join(docs_dir, "*.parquet")))
-    n = rd.read_parquet(files, columns=["doc_id"]).count()
+    from the doclens partitions. Driver-side pyarrow reads — these are a
+    handful of small metadata/aggregate columns, far below the threshold
+    where a Ray job's fixed cost pays off."""
+    n = 0
+    for f in sorted(globmod.glob(os.path.join(docs_dir, "*.parquet"))):
+        n += pq.read_metadata(f).num_rows
     out = {"n_docs": int(n)}
-    lens_files = sorted(globmod.glob(os.path.join(index_dir, "doclens", "*.parquet")))
     sums: dict[str, float] = {}
-    if lens_files:
-        agg = (rd.read_parquet(lens_files)
-               .groupby("context").aggregate(Sum("doclen", alias_name="total")))
-        for row in agg.take_all():
-            sums[row["context"]] = float(row["total"])
+    for f in sorted(globmod.glob(os.path.join(index_dir, "doclens", "*.parquet"))):
+        t = pq.read_table(f, columns=["context", "doclen"])
+        if t.num_rows == 0:
+            continue
+        import pyarrow.compute as _pc
+
+        codes = _pc.dictionary_encode(t.column("context").combine_chunks())
+        idx = np.asarray(codes.indices)
+        dl = t.column("doclen").to_numpy()
+        totals = np.bincount(idx, weights=dl.astype(np.float64))
+        for ci, cx in enumerate(codes.dictionary.to_pylist()):
+            sums[cx] = sums.get(cx, 0.0) + float(totals[ci]) if ci < len(totals) else sums.get(cx, 0.0)
     for cx in sorted(schema):
         # avgdl over ALL docs (docs with no tokens in the context count as 0)
         out[f"avgdl_{cx}"] = (sums.get(cx, 0.0) / n) if n else 0.0

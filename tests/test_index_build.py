@@ -95,3 +95,23 @@ def test_resume_skips_completed(built_index, pages_small):
     # same params hash → same committed generation returned without rebuild
     assert info2["generation"] == info["generation"]
     assert info2["params_hash"] == info["params_hash"]
+
+
+def test_ray_shuffle_mode_equivalent(ray_session, pages_small, tmp_path_factory):
+    """The groupby-based object-store shuffle and the fs map-side shuffle
+    must produce identical search results."""
+    from hunt_ray.query.engine import SearchEngine
+
+    d1 = str(tmp_path_factory.mktemp("idx_fs"))
+    d2 = str(tmp_path_factory.mktemp("idx_ray"))
+    base = dict(num_partitions=4, salt_buckets=2, batch_size=64,
+                analyzer_concurrency=2)
+    build_index(pages_small, d1, BuildConfig(**base, shuffle_mode="fs"))
+    build_index(pages_small, d2, BuildConfig(**base, shuffle_mode="ray"))
+    e1, e2 = SearchEngine(d1), SearchEngine(d2)
+    for q in ["brain", "bra", '"take over the world"', "take AND world",
+              "the AND NOT mission", "datecontext:[2013-01-01 TO 2013-06-30]"]:
+        r1 = [(h.url, h.score) for h in e1.search(q, limit=0).result]
+        r2 = [(h.url, h.score) for h in e2.search(q, limit=0).result]
+        assert r1 == r2, q
+    assert e1.reader.stats == e2.reader.stats
