@@ -69,10 +69,21 @@ def run_bench() -> dict:
             with open(os.path.join(pages_dir, f), "rb") as fh:
                 fh.read()
 
+    # warm the Ray worker pool (untimed): import the heavy modules in every
+    # task worker once, as they would be on a long-lived cluster
+    @ray.remote
+    def _warm():
+        import numpy, polars, pyarrow  # noqa: F401
+
+        import hunt_ray.index.build  # noqa: F401
+        return 0
+
+    ray.get([_warm.remote() for _ in range(NUM_CPUS)])
+
     index_dir = os.path.join(BENCH_DIR, f"index-{BENCH_DOCS}-cpus{NUM_CPUS}")
     shutil.rmtree(index_dir, ignore_errors=True)
     cfg = BuildConfig(
-        num_partitions=max(8, NUM_CPUS // 2),
+        num_partitions=16,  # pinned so the 8- and 32-cpu scaling runs are the same job
         salt_buckets=4,
         batch_size=2048,
         analyzer_concurrency=(1, max(2, NUM_CPUS - 2)),

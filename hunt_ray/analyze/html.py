@@ -118,6 +118,11 @@ def context_text(batch: pa.Table, source: str) -> pa.Array:
     if source == "text":
         col = batch.column("text")
         return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if source.startswith("column:"):
+        # direct per-context content column (ApiDocument ingest: the adIndex
+        # map provides raw text per context, ApiDocument.hs:33-42)
+        col = batch.column(source[len("column:"):])
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     return EXTRACTORS[source](batch.column("html"))
 
 

@@ -70,6 +70,12 @@ class BuildConfig:
     #   on a multi-node cluster the index dir is shared storage); the
     #   per-part merge then reads only its own runs. No all-to-all exchange.
     shuffle_mode: str = "fs"
+    # "task": stateless map_batches with a per-worker-process cached
+    #   analyzer — the default because this schema's state (a few compiled
+    #   regexes) is cheap and task workers are reused across jobs (no actor
+    #   cold start). "actor": a dedicated actor pool — use when the stage
+    #   state is genuinely heavy (models, big lookup tables).
+    analyzer_mode: str = "task"
 
     def params(self, files: list[str]) -> dict:
         return {
@@ -93,9 +99,14 @@ def _expand_files(pages_path: str | list[str]) -> list[str]:
 
 
 def _read_columns(schema: Schema) -> list[str]:
-    cols = {"url", "text"}
-    if any(cs.source in ("title", "headlines", "body") for cs in schema.values()):
-        cols.add("html")
+    cols = {"url"}
+    for cs in schema.values():
+        if cs.source == "text":
+            cols.add("text")
+        elif cs.source.startswith("column:"):
+            cols.add(cs.source[len("column:"):])
+        else:  # html extractors (body/title/headlines)
+            cols.add("html")
     return sorted(cols)
 
 
@@ -110,10 +121,20 @@ def sample_terms(files: list[str], cfg: BuildConfig) -> tuple[list[str], list[st
     for salting. At 100 TB this stays cheap: the sample is a handful of row
     groups, and boundary skew only affects balance, not correctness.
     """
+    # sample the first positions-kind context's source text
+    text_cxs = [c for c in cfg.schema.values() if c.ctype.value_kind == "positions"]
+    cs = next((c for c in text_cxs if c.source == "text"), None) \
+        or (text_cxs[0] if text_cxs else next(iter(cfg.schema.values())))
+    if cs.source == "text":
+        col = "text"
+    elif cs.source.startswith("column:"):
+        col = cs.source[len("column:"):]
+    else:
+        col = "html"
     want = cfg.sample_max_docs
     tables = []
     for f in files:
-        t = pq.read_table(f, columns=["url", "text"])
+        t = pq.read_table(f, columns=[col])
         tables.append(t)
         want -= t.num_rows
         if want <= 0:
@@ -122,10 +143,7 @@ def sample_terms(files: list[str], cfg: BuildConfig) -> tuple[list[str], list[st
     if sample.num_rows > cfg.sample_max_docs:
         sample = sample.slice(0, cfg.sample_max_docs)
     n_docs = max(1, sample.num_rows)
-
-    text_cxs = [cs for cs in cfg.schema.values() if cs.ctype.value_kind == "positions" and cs.source == "text"]
-    cs = text_cxs[0] if text_cxs else next(iter(cfg.schema.values()))
-    ts = tokenize_context(sample.column("text").combine_chunks(), cs)
+    ts = tokenize_context(context_text(sample, cs.source), cs)
     if len(ts.tokens) == 0:
         return [], []
     terms = pl.from_arrow(ts.tokens)
@@ -249,9 +267,10 @@ class AnalyzerStage:
             w = np.ones(n, dtype=np.float32)
         cols = {"doc_id": pa.array(doc_ids, pa.uint64()), "url": url,
                 "weight": pa.array(w, pa.float32())}
-        if "lang" in batch.column_names:
-            lang = batch.column("lang")
-            cols["lang"] = lang.combine_chunks() if isinstance(lang, pa.ChunkedArray) else lang
+        for extra in ("lang", "desc"):
+            if extra in batch.column_names:
+                c = batch.column(extra)
+                cols[extra] = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
         docs_dir = os.path.join(os.path.dirname(self.run_dir.rstrip("/")), "..", "docs")
         docs_dir = os.path.normpath(docs_dir)
         _atomic_write_parquet(pa.table(cols), os.path.join(docs_dir, f"docs-{uid}.parquet"))
@@ -302,10 +321,32 @@ class DocsStage:
             "url": url,
             "weight": pa.array(w, pa.float32()),
         }
-        if "lang" in batch.column_names:
-            lang = batch.column("lang")
-            cols["lang"] = lang.combine_chunks() if isinstance(lang, pa.ChunkedArray) else lang
+        for extra in ("lang", "desc"):
+            if extra in batch.column_names:
+                c = batch.column(extra)
+                cols[extra] = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
         return pa.table(cols)
+
+
+_ANALYZER_CACHE: dict = {}
+
+
+def make_analyzer_task(schema_json: str, boundaries: list[str], hot_terms: list[str],
+                       salt_buckets: int, num_partitions: int, run_dir: str | None,
+                       cache_key: str):
+    """Stateless-task analyzer: the per-process AnalyzerStage instance is
+    cached at module level, so reused Ray task workers pay the (already
+    small) setup once — the task-worker analog of actor __init__."""
+
+    def analyze(batch: pa.Table) -> pa.Table:
+        st = _ANALYZER_CACHE.get(cache_key)
+        if st is None:
+            st = AnalyzerStage(schema_json, boundaries, hot_terms,
+                               salt_buckets, num_partitions, run_dir)
+            _ANALYZER_CACHE[cache_key] = st
+        return st(batch)
+
+    return analyze
 
 
 def _atomic_write_parquet(table: pa.Table, path: str) -> None:
@@ -528,18 +569,27 @@ def build_index(pages_path: str | list[str], index_dir: str,
         if cfg.shuffle_mode == "fs":
             shutil.rmtree(docs_dir, ignore_errors=True)
             read_cols = sorted(set(read_cols)
-                               | {c for c in ("lang", "weight") if c in avail})
+                               | {c for c in ("lang", "weight", "desc") if c in avail})
         ds = rd.read_parquet(files, columns=read_cols)
         run_dir = os.path.join(index_dir, "runs", f"gen_{gen}") \
             if cfg.shuffle_mode == "fs" else None
-        flat = ds.map_batches(
-            AnalyzerStage,
-            fn_constructor_args=(schema_json, boundaries, hot_terms,
-                                 cfg.salt_buckets, cfg.num_partitions, run_dir),
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=cfg.analyzer_concurrency,
-        )
+        if cfg.analyzer_mode == "task":
+            flat = ds.map_batches(
+                make_analyzer_task(schema_json, boundaries, hot_terms,
+                                   cfg.salt_buckets, cfg.num_partitions, run_dir,
+                                   cache_key=f"{phash}:{gen}"),
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+            )
+        else:
+            flat = ds.map_batches(
+                AnalyzerStage,
+                fn_constructor_args=(schema_json, boundaries, hot_terms,
+                                     cfg.salt_buckets, cfg.num_partitions, run_dir),
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                concurrency=cfg.analyzer_concurrency,
+            )
         if cfg.shuffle_mode == "fs":
             # map-side partitioned runs already on disk; only stats rows flow
             _ = flat.take_all()

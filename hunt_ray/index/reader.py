@@ -293,6 +293,10 @@ class DocTable:
         self.doc_id = tbl.column("doc_id").to_numpy()[order]
         self.url = np.asarray(tbl.column("url").to_pylist(), dtype=object)[order]
         self.weight = tbl.column("weight").to_numpy().astype(np.float32)[order]
+        if "desc" in tbl.column_names:
+            self.desc = np.asarray(tbl.column("desc").to_pylist(), dtype=object)[order]
+        else:
+            self.desc = None
         self.n_docs = len(self.doc_id)
         # per-context doc lengths from the doclens partitions (docs without
         # tokens in a context default to 0)
@@ -328,6 +332,15 @@ class DocTable:
 
     def lens_of(self, context: str, doc_ids: np.ndarray) -> np.ndarray:
         return self.lens[context][self.rows_of(doc_ids)]
+
+    def descs_of(self, doc_ids: np.ndarray) -> list[dict]:
+        """Parsed description payloads (empty dicts when none stored)."""
+        import json
+
+        if self.desc is None:
+            return [{} for _ in doc_ids]
+        return [json.loads(d) if d else {}
+                for d in self.desc[self.rows_of(doc_ids)]]
 
 
 def _similar_int(searched: str, found: str) -> np.float32:

@@ -229,6 +229,13 @@ class MultiDocTable:
         self.doc_id = ids[order]
         self.url = np.concatenate([t.url for t in tables])[order]
         self.weight = np.concatenate([t.weight for t in tables])[order]
+        if any(t.desc is not None for t in tables):
+            self.desc = np.concatenate([
+                t.desc if t.desc is not None
+                else np.asarray([""] * t.n_docs, dtype=object)
+                for t in tables])[order]
+        else:
+            self.desc = None
         self.lens = {}
         for cx in tables[0].lens:
             self.lens[cx] = np.concatenate([t.lens[cx] for t in tables])[order]
@@ -238,3 +245,4 @@ class MultiDocTable:
     urls_of = DocTable.urls_of
     weights_of = DocTable.weights_of
     lens_of = DocTable.lens_of
+    descs_of = DocTable.descs_of

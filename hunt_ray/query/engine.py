@@ -26,6 +26,7 @@ class SearchHit:
     url: str
     score: float
     doc_id: int
+    description: "dict | None" = None
 
 
 @dataclass
@@ -60,7 +61,12 @@ class SearchEngine:
         q = parse_query(query) if isinstance(query, str) else query
         return self.processor.eval_scored_docs(q)
 
-    def search(self, query: "str | A.Query", offset: int = 0, limit: int = 20) -> LimitedResult:
+    def search(self, query: "str | A.Query", offset: int = 0, limit: int = 20,
+               *, with_desc: bool = False,
+               select_fields: "list[str] | None" = None) -> LimitedResult:
+        """``select_fields`` restricts the returned description keys —
+        mkSelect / DocDesc.restrict (Interpreter.hs:585-593,
+        DocDesc.hs:165-171)."""
         sd = self.evaluate(query)
         n = sd.doc_ids.size
         if n == 0:
@@ -83,8 +89,15 @@ class SearchEngine:
         page_idx = [cand[i] for i in order_c[offset: offset + limit]] if limit > 0 \
             else [cand[i] for i in order_c[offset:]]
         urls_map = docs.url[rows[page_idx]] if page_idx else []
-        hits = [SearchHit(url=str(u), score=float(final[i]), doc_id=int(sd.doc_ids[i]))
-                for i, u in zip(page_idx, urls_map)]
+        descs: list = [None] * len(page_idx)
+        if (with_desc or select_fields is not None) and page_idx:
+            descs = docs.descs_of(sd.doc_ids[np.asarray(page_idx)])
+            if select_fields is not None:
+                descs = [{k: v for k, v in d.items() if k in select_fields}
+                         for d in descs]
+        hits = [SearchHit(url=str(u), score=float(final[i]), doc_id=int(sd.doc_ids[i]),
+                          description=d)
+                for i, u, d in zip(page_idx, urls_map, descs)]
         return LimitedResult(hits, offset, limit, n)
 
     def search_unscored(self, query: "str | A.Query") -> np.ndarray:

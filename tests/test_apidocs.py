@@ -1,0 +1,98 @@
+"""ApiDocument ingest + the reference's interpreter-test canon.
+
+Replicates test/Hunt/InterpreterTests.hs:150-240 over our engine: insert
+brainDoc/dateDoc (TestHelper.hs:225-260) into a 'default' text context +
+'datecontext' date context, then check the same expected URI lists.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hunt_ray.analyze.schema import ContextSchema
+from hunt_ray.index.build import BuildConfig, build_index
+from hunt_ray.query.engine import SearchEngine
+from hunt_ray.sources.apidocs import (
+    apidocs_list_to_table,
+    schema_for_apidocs,
+    write_apidocs_parquet,
+)
+
+BRAIN_DOC = {
+    "uri": "test://0",
+    "index": {"default": "Brain"},
+    "description": {"name": "Brain", "mission": "take over the world", "legs": "4"},
+}
+DATE_DOC = {
+    "uri": "test://1",
+    "index": {"default": "Brain", "datecontext": "2013-01-01"},
+    "description": {"name": "Brain", "mission": "take over the world", "legs": "4"},
+}
+
+CANON_SCHEMA = {
+    "default": ContextSchema(type="text", weight=1.0, default=True),
+    "datecontext": ContextSchema(type="date", weight=1.0, default=True),
+}
+
+
+@pytest.fixture(scope="module")
+def canon_engine(ray_session, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("apidocs_src"))
+    write_apidocs_parquet([BRAIN_DOC, DATE_DOC], src)
+    idx = str(tmp_path_factory.mktemp("apidocs_idx"))
+    cfg = BuildConfig(schema=schema_for_apidocs(CANON_SCHEMA),
+                      num_partitions=2, salt_buckets=1, batch_size=16,
+                      analyzer_concurrency=1)
+    build_index(src, idx, cfg)
+    return SearchEngine(idx)
+
+
+def _uris(engine, q):
+    return [h.url for h in engine.search(q, offset=0, limit=1000).result]
+
+
+def test_search_nocase(canon_engine):
+    # setNoCaseSearch (qWord "Bra") → both brain docs (InterpreterTests:156-162)
+    assert _uris(canon_engine, "Bra") == ["test://0", "test://1"]
+    assert _uris(canon_engine, "bra") == ["test://0", "test://1"]
+
+
+def test_search_case(canon_engine):
+    # qWord "Bra" case-sensitive prefix → hits; lowercase → [] (:169-182)
+    assert _uris(canon_engine, "!Bra") == ["test://0", "test://1"]
+    assert _uris(canon_engine, "!bra") == []
+
+
+def test_phrase_nocase(canon_engine):
+    assert _uris(canon_engine, '"Brain"') == ["test://0", "test://1"]
+    assert _uris(canon_engine, '"brain"') == ["test://0", "test://1"]
+
+
+def test_phrase_case(canon_engine):
+    assert _uris(canon_engine, '!"Brain"') == ["test://0", "test://1"]
+    assert _uris(canon_engine, '!"brain"') == []
+
+
+def test_date_range(canon_engine):
+    # range query on the datecontext (prop_position_range style; dateDoc only)
+    assert _uris(canon_engine, "datecontext:[2013-01-01 TO 2013-12-31]") == ["test://1"]
+    assert _uris(canon_engine, "datecontext:[2014-01-01 TO 2014-12-31]") == []
+
+
+def test_description_roundtrip(canon_engine):
+    res = canon_engine.search("Brain", limit=10, with_desc=True)
+    d = {h.url: h.description for h in res.result}
+    assert d["test://0"]["mission"] == "take over the world"
+    assert d["test://0"]["legs"] == "4"
+
+
+def test_select_fields_projection(canon_engine):
+    # mkSelect restricts description fields (Interpreter.hs:585-593)
+    res = canon_engine.search("Brain", limit=10, select_fields=["name"])
+    for h in res.result:
+        assert set(h.description) == {"name"}
+
+
+def test_duplicate_uri_rejected():
+    with pytest.raises(ValueError, match="duplicate URI"):
+        apidocs_list_to_table([BRAIN_DOC, BRAIN_DOC])

@@ -115,3 +115,37 @@ def test_ray_shuffle_mode_equivalent(ray_session, pages_small, tmp_path_factory)
         r2 = [(h.url, h.score) for h in e2.search(q, limit=0).result]
         assert r1 == r2, q
     assert e1.reader.stats == e2.reader.stats
+
+
+def test_kill_and_resume_rank_identity(ray_session, pages_small, tmp_path_factory):
+    """Simulated mid-build failure: wipe two partitions' completion records
+    and output files, resume, and require rank-identical results."""
+    import glob
+    import os
+
+    from hunt_ray.query.engine import SearchEngine
+
+    ref_dir = str(tmp_path_factory.mktemp("idx_ref"))
+    crash_dir = str(tmp_path_factory.mktemp("idx_crash"))
+    cfg = BuildConfig(num_partitions=4, salt_buckets=2, batch_size=64,
+                      analyzer_concurrency=2)
+    build_index(pages_small, ref_dir, cfg)
+    info = build_index(pages_small, crash_dir, cfg)
+    # simulate a crash that lost parts 1 and 3 after the run files were
+    # written: remove outputs + completion records + the generation commit
+    gen = info["generation"]
+    for part in (1, 3):
+        os.unlink(os.path.join(crash_dir, "postings", f"part={part:05d}.parquet"))
+        os.unlink(os.path.join(crash_dir, "dict", f"part={part:05d}.parquet"))
+        os.unlink(os.path.join(crash_dir, "manifest", "parts",
+                               f"gen_{gen}", f"part-{part:05d}.json"))
+    os.unlink(os.path.join(crash_dir, "manifest", f"gen_{gen}.json"))
+
+    info2 = build_index(pages_small, crash_dir, cfg)  # resume
+    assert info2["params_hash"] == info["params_hash"]
+
+    e_ref, e_res = SearchEngine(ref_dir), SearchEngine(crash_dir)
+    for q in ["brain", "bra", '"take over the world"', "take AND world", "the"]:
+        r1 = [(h.url, h.score) for h in e_ref.search(q, limit=0).result]
+        r2 = [(h.url, h.score) for h in e_res.search(q, limit=0).result]
+        assert r1 == r2, q
