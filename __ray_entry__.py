@@ -27,6 +27,9 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 if _REPO_DIR not in sys.path:
     sys.path.insert(0, _REPO_DIR)
 os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
+# heap reuse over per-allocation mmap churn (lazily-backed sandbox VM RAM)
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
 
 # Ray workers are separate processes that may not have this repo on their
 # import path; registering the package for pickle-by-value makes every

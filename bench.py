@@ -20,6 +20,13 @@ import subprocess
 import sys
 import time
 
+# keep big numpy temporaries on the reused glibc heap instead of fresh
+# mmaps: this sandbox VM backs newly-mapped pages lazily (~80 MB/s first
+# touch), so per-allocation mmap/munmap churn would dominate every stage.
+# Must be set before ray.init so raylet + workers inherit it.
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("HUNT_BENCH_DOCS", "50000"))
@@ -33,6 +40,36 @@ HUNT_QUERIES = [
     "brain", "bra", '"take over the world"', "take AND world",
     "brain OR mission", "the AND NOT mission", "title:brain", "take NEAR 2 world",
 ]
+
+
+def prewarm_memory(target_gb: int = 14) -> float:
+    """Fault in guest RAM once, untimed.
+
+    This sandbox VM backs guest memory lazily (~30-80 MB/s on first touch,
+    full speed after), which would otherwise dominate and randomize every
+    measurement. A long-lived cluster node has warm RAM; we emulate that.
+    Pages stay backed machine-wide afterwards, so this is a no-op on reruns
+    (detected with a probe allocation).
+    """
+    import numpy as np
+
+    t0 = time.time()
+    probe = np.zeros(8 * 1024 * 1024, dtype=np.uint8)
+    probe[::4096] = 1
+    if (time.time() - t0) < 0.05:
+        dt = time.time() - t0
+        t0 = time.time()
+        # quick second probe: if the first large chunk faults fast, skip
+        big = np.zeros(256 * 1024 * 1024, dtype=np.uint8)
+        big[::4096] = 1
+        if (time.time() - t0) < 0.3:
+            return dt
+    t0 = time.time()
+    for _ in range(target_gb * 2):
+        a = np.zeros(512 * 1024 * 1024, dtype=np.uint8)
+        a[::4096] = 1
+        del a
+    return time.time() - t0
 
 
 def ensure_bench_corpus() -> str:
@@ -61,6 +98,7 @@ def run_bench() -> dict:
     from hunt_ray.query.engine import SearchEngine
 
     timings: dict[str, float] = {}
+    prewarm_sec = prewarm_memory()
     pages_dir = ensure_bench_corpus()
 
     # warm the OS page cache (untimed) so we measure compute + shuffle
@@ -153,6 +191,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "bench_docs": n_docs,
         "docs_per_sec": round(n_docs / build_sec, 1),
+        "prewarm_sec": round(prewarm_sec, 1),
     }
     ray.shutdown()
     return out

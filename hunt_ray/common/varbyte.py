@@ -17,40 +17,56 @@ import numpy as np
 _U64 = np.uint64
 
 
-def vb_encode(values: np.ndarray) -> bytes:
-    """Encode an array of non-negative ints as a LEB128 byte stream."""
-    v = np.ascontiguousarray(values, dtype=_U64)
+def vb_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode and also return per-value byte lengths (for stream splitting).
+
+    Preserves narrow unsigned dtypes (u8/u16/u32) to keep temporary
+    allocations small — this path runs over tens of millions of positions
+    per merge task, where fresh-page footprint dominates on cold heaps.
+    """
+    if values.dtype in (np.uint8, np.uint16, np.uint32):
+        v = np.ascontiguousarray(values)
+    else:
+        v = np.ascontiguousarray(values, dtype=_U64)
     if v.size == 0:
-        return b""
-    # bytes needed per value: ceil(bit_length / 7), min 1
-    nbits = 64 - np.zeros_like(v)  # placeholder; computed below
-    # bit length via log-free ladder: compare against powers of 2^7
-    nb = np.ones(v.shape, dtype=np.int64)
-    thresh = _U64(1) << _U64(7)
-    while True:
-        mask = v >= thresh
-        if not mask.any():
-            break
-        nb[mask] += 1
-        if int(thresh) >= (1 << 57):  # next shift would overflow past 64 bits
-            # values >= 2^63 handled: max nb for uint64 is 10
-            big = v >= (_U64(1) << _U64(63))
-            nb[big] = np.maximum(nb[big], 10)
-            break
-        thresh = thresh << _U64(7)
-    del nbits
+        return b"", np.empty(0, np.int64)
+    nb = _byte_lengths(v)
     total = int(nb.sum())
     out = np.empty(total, dtype=np.uint8)
     ends = np.cumsum(nb)
     starts = ends - nb
     max_nb = int(nb.max())
+    dt = v.dtype.type
     for j in range(max_nb):
         sel = nb > j
         idx = starts[sel] + j
-        chunk = (v[sel] >> _U64(7 * j)) & _U64(0x7F)
+        chunk = (v[sel] >> dt(7 * j)).astype(np.uint8) & np.uint8(0x7F)
         cont = (nb[sel] - 1) > j
-        out[idx] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
-    return out.tobytes()
+        out[idx] = chunk | (cont.astype(np.uint8) << 7)
+    return out.tobytes(), nb
+
+
+def _byte_lengths(v: np.ndarray) -> np.ndarray:
+    """ceil(bit_length/7) per value, min 1 — computed in the input dtype."""
+    dt = v.dtype.type
+    bits = v.dtype.itemsize * 8
+    nb = np.ones(v.shape, dtype=np.int32)
+    shift = 7
+    while shift < bits:
+        mask = v >= (dt(1) << dt(shift))
+        if not mask.any():
+            break
+        nb[mask] += 1
+        if shift + 7 >= bits:
+            break
+        shift += 7
+    return nb
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Encode an array of non-negative ints as a LEB128 byte stream."""
+    buf, _nb = vb_encode_with_lengths(np.asarray(values))
+    return buf
 
 
 def vb_decode(buf: bytes | np.ndarray) -> np.ndarray:
@@ -88,9 +104,14 @@ def segmented_delta_encode(values: np.ndarray, offsets: np.ndarray) -> np.ndarra
     """Delta-encode each segment independently.
 
     ``offsets`` are pyarrow-style boundaries (len = nsegments + 1). Each
-    segment must be ascending. Used for per-doc position lists.
+    segment must be ascending. Used for per-doc position lists. The input
+    dtype is preserved (ascending segments never wrap), keeping temporaries
+    narrow for the hot u32 position path.
     """
-    v = np.ascontiguousarray(values, dtype=_U64)
+    if values.dtype in (np.uint8, np.uint16, np.uint32, np.uint64):
+        v = np.ascontiguousarray(values)
+    else:
+        v = np.ascontiguousarray(values, dtype=_U64)
     if v.size == 0:
         return v
     out = np.empty_like(v)

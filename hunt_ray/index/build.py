@@ -3,24 +3,28 @@
 Physical plan (SURVEY.md §4.2, idiomatic Ray Data):
 
 1. ``read_parquet(pages)`` with column pruning
-2. docs pass: stateless ``map_batches`` → doc table (doc_id, url, weight,
-   lang, per-context doc lengths) → ``write_parquet(docs/)``
-3. postings pass: **actor-pool** ``map_batches(AnalyzerStage)`` (compiled
-   schema state lives in ``__init__``, one analyzer per actor — mirrors
-   Hunt's analyzer chain closure, ``Hunt/Index/Schema/Analyze.hs:47-85``)
-   emitting flat ``(context, term, doc_id, tf, positions, part, salt)`` rows
-   over zero-copy Arrow
-4. THE shuffle: ``groupby(["part", "salt"]).map_groups`` — the posting-list
-   build (Hunt's ``Map.fromListWith mappend``,
-   ``SegmentIndex/IndexWriter.hs:91-97``) becomes a term-range-partitioned
-   sort. **Head-term skew is handled explicitly**: terms whose sampled df
-   exceeds a threshold are salted by ``doc_id % S`` so one stopword's
-   postings spread over S parallel run-writers; a per-part merge task then
-   stitches the ≤S sorted runs back into one sorted partition.
-5. merge+encode: per part, merge runs → delta+varbyte chunk encode
-   (codec.py) → ``postings/part=K.parquet`` + ``dict/part=K.parquet``,
-   completion record with lineage → manifest generation commit
-   (Hunt's ``gen_N``, ``SegmentIndex.hs:94-113``).
+2. analyzer pass: ``map_batches`` over zero-copy Arrow batches (stateless
+   tasks with a per-worker cached analyzer by default, or an actor pool
+   via ``analyzer_mode='actor'`` — the Ray analog of Hunt's analyzer chain
+   closure, ``Hunt/Index/Schema/Analyze.hs:47-85``) emitting flat
+   ``(context, term, doc_id, tf, positions)`` rows; per-(doc, context)
+   length rows (``term=""``) and doc-table rows ride the same single read
+3. THE shuffle — the posting-list build (Hunt's ``Map.fromListWith
+   mappend``, ``SegmentIndex/IndexWriter.hs:91-97``) as a term-range
+   partitioned exchange, two interchangeable physical modes
+   (``shuffle_mode``):
+   - ``fs`` (default): map-side partitioning — each batch writes per-part
+     sorted runs straight to the (shared) index directory, the S3-shuffle
+     design; no object-store all-to-all
+   - ``ray``: ``groupby(["part", "salt"]).map_groups`` through the object
+     store, with **explicit head-term salting** (``salt = doc_id % S`` for
+     terms whose sampled df crosses a threshold) so one stopword never
+     lands on a single reducer
+4. merge+encode: per part, merge runs → one integer-code lexsort →
+   segmented delta+varbyte streams sliced per ≤4096-doc chunk (codec.py)
+   → ``postings/part=K.parquet`` + ``dict/part=K.parquet``, completion
+   record with lineage/metrics → manifest generation commit (Hunt's
+   ``gen_N``, ``SegmentIndex.hs:94-113``).
 
 Partitioning is by **term range** (sample-quantile boundaries), not term
 hash, so prefix and range scans touch a contiguous partition span — the
@@ -29,7 +33,8 @@ distributed analog of Hunt's sorted ``.tv`` term dictionary
 
 Resumability: per-part completion records keyed by a params hash; a rerun
 skips completed parts (driver north_rule: resumable from per-partition
-checkpoints with lineage + metrics).
+checkpoints with lineage + metrics); kill-and-resume is rank-identical
+(tested).
 """
 
 from __future__ import annotations
@@ -386,6 +391,7 @@ def make_part_merger(index_dir: str, gen: int, phash: str, cfg_chunk_docs: int,
     def merge_part(batch: pa.Table) -> pa.Table:
         out_parts, out_rows, out_terms = [], [], []
         for part in batch.column("part").to_pylist():
+            t_start = time.time()
             man = Manifest(index_dir)
             if man.part_done(gen, part, phash):
                 out_parts.append(part); out_rows.append(-1); out_terms.append(-1)
@@ -393,10 +399,9 @@ def make_part_merger(index_dir: str, gen: int, phash: str, cfg_chunk_docs: int,
             run_files = sorted(globmod.glob(
                 os.path.join(index_dir, "runs", f"gen_{gen}", f"part={part:05d}", "run-*.parquet")))
             if run_files:
-                runs = [pq.read_table(f) for f in run_files]
-                merged = pa.concat_tables(runs).sort_by(
-                    [("context", "ascending"), ("term", "ascending"), ("doc_id", "ascending")]
-                ).combine_chunks()
+                import pyarrow.dataset as pads
+
+                merged = pads.dataset(run_files).to_table().combine_chunks()
             else:
                 merged = None
             n_rows, n_terms = _encode_partition(merged, index_dir, part, cfg_chunk_docs)
@@ -407,6 +412,7 @@ def make_part_merger(index_dir: str, gen: int, phash: str, cfg_chunk_docs: int,
                 "terms": n_terms,
                 "runs": [os.path.basename(f) for f in run_files],
                 "lineage": {"inputs": files, "params_hash": phash},
+                "merge_seconds": round(time.time() - t_start, 3),
                 "completed_at": time.time(),
             })
             out_parts.append(part); out_rows.append(n_rows); out_terms.append(n_terms)
@@ -446,60 +452,57 @@ def _encode_partition(merged: pa.Table | None, index_dir: str, part: int,
     if merged is not None and merged.num_rows:
         import pyarrow.compute as _pc
 
+        from ..common.nputil import ordinal_codes
+        from .codec import encode_partition_arrays
+
         n_rows = merged.num_rows
-        # dictionary-encode context/term: group boundaries via vectorized
-        # int32 code compares; only per-GROUP strings are materialized
+        # the input is a concatenation of sorted runs; rather than an Arrow
+        # sort + take (expensive with list columns), everything is encoded
+        # via one integer-code lexsort + segmented numpy passes (codec.py)
         ctx_codes_arr = _pc.dictionary_encode(merged.column("context").combine_chunks()
                                               if isinstance(merged.column("context"), pa.ChunkedArray)
                                               else merged.column("context"))
         trm_codes_arr = _pc.dictionary_encode(merged.column("term").combine_chunks()
                                               if isinstance(merged.column("term"), pa.ChunkedArray)
                                               else merged.column("term"))
-        ctx_codes = np.asarray(ctx_codes_arr.indices)
-        trm_codes = np.asarray(trm_codes_arr.indices)
-        ctx_dict = ctx_codes_arr.dictionary.to_pylist()
-        trm_dict = trm_codes_arr.dictionary.to_pylist()
+        ctx_ord, ctx_sorted = ordinal_codes(ctx_codes_arr.dictionary.to_pylist(),
+                                            np.asarray(ctx_codes_arr.indices))
+        trm_ord, trm_sorted = ordinal_codes(trm_codes_arr.dictionary.to_pylist(),
+                                            np.asarray(trm_codes_arr.indices))
         dids = merged.column("doc_id").to_numpy()
         tfs = merged.column("tf").to_numpy()
         pos_col = merged.column("positions")
         pos_col = pos_col.combine_chunks() if isinstance(pos_col, pa.ChunkedArray) else pos_col
-        pos_flat_all = np.asarray(pos_col.flatten(), dtype=np.uint64)
+        pos_flat_all = np.asarray(pos_col.flatten())  # u32, kept narrow
         pos_counts = np.asarray(pa.compute.list_value_length(pos_col), dtype=np.int64)
         pos_offsets_all = np.zeros(len(pos_counts) + 1, dtype=np.int64)
         np.cumsum(pos_counts, out=pos_offsets_all[1:])
-        # (context, term) group boundaries over the sorted rows
-        new_grp = np.empty(n_rows, dtype=bool)
-        new_grp[0] = True
-        new_grp[1:] = (ctx_codes[1:] != ctx_codes[:-1]) | (trm_codes[1:] != trm_codes[:-1])
-        starts = np.flatnonzero(new_grp)
-        ends = np.r_[starts[1:], n_rows]
-        for s, e in zip(starts, ends):
-            term, context = trm_dict[trm_codes[s]], ctx_dict[ctx_codes[s]]
-            t_dids, t_tfs = dids[s:e], tfs[s:e]
-            has_pos = pos_offsets_all[e] > pos_offsets_all[s]
-            chunks = encode_term_chunks(
-                t_dids, t_tfs,
-                pos_flat_all if has_pos else None,
-                pos_offsets_all[s:e + 1] if has_pos else None,
-                chunk_docs,
-            )
-            for c in chunks:
-                post_rows["context"].append(context)
-                post_rows["term"].append(term)
-                post_rows["chunk"].append(c["chunk"])
-                post_rows["n_docs"].append(c["n_docs"])
-                post_rows["max_tf"].append(c["max_tf"])
-                post_rows["last_doc_id"].append(c["last_doc_id"])
-                post_rows["doc_ids"].append(c["doc_ids"])
-                post_rows["tfs"].append(c["tfs"])
-                post_rows["positions"].append(c["positions"])
-            dict_rows["context"].append(context)
-            dict_rows["term"].append(term)
-            dict_rows["term_lc"].append(term.lower())
-            dict_rows["df"].append(int(e - s))
-            dict_rows["cf"].append(int(t_tfs.sum()))
-            dict_rows["max_tf"].append(int(t_tfs.max()))
-            dict_rows["n_chunks"].append(len(chunks))
+
+        postings, dict_cols, grp_starts, _perm = encode_partition_arrays(
+            ctx_ord, trm_ord, dids, tfs, pos_flat_all, pos_offsets_all,
+            pos_counts, chunk_docs)
+        grp_terms = [trm_sorted[i] for i in dict_cols["trm_ord"]]
+        grp_ctxs = [ctx_sorted[i] for i in dict_cols["ctx_ord"]]
+        post_rows = {
+            "context": [grp_ctxs[g] for g in postings["grp"]],
+            "term": [grp_terms[g] for g in postings["grp"]],
+            "chunk": postings["chunk"],
+            "n_docs": postings["n_docs"],
+            "max_tf": postings["max_tf"],
+            "last_doc_id": postings["last_doc_id"],
+            "doc_ids": postings["doc_ids"],
+            "tfs": postings["tfs"],
+            "positions": postings["positions"],
+        }
+        dict_rows = {
+            "context": grp_ctxs,
+            "term": grp_terms,
+            "term_lc": [t.lower() for t in grp_terms],
+            "df": dict_cols["df"],
+            "cf": dict_cols["cf"],
+            "max_tf": dict_cols["max_tf"],
+            "n_chunks": dict_cols["n_chunks"],
+        }
     post_tbl = pa.table(post_rows, schema=POSTINGS_SCHEMA)
     dict_tbl = pa.table(dict_rows, schema=DICT_SCHEMA)
     _atomic_write_parquet(post_tbl, os.path.join(index_dir, "postings", f"part={part:05d}.parquet"))
