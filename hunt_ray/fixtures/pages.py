@@ -88,9 +88,12 @@ def _body_text(headline: str, para: str, h2: str | None = None) -> str:
     return " ".join(" ".join(p.split()) for p in parts if p)
 
 
-def generate_pages(seed: int = 42, n_rows: int = 2000) -> pa.Table:
+def generate_pages(seed: int = 42, n_rows: int = 2000, url_offset: int = 0) -> pa.Table:
+    """Deterministic pages chunk; ``url_offset`` shifts urls/timestamps so
+    independently-generated chunks form one corpus (canon docs only in the
+    offset-0 chunk)."""
     rng = np.random.default_rng(seed + 1)
-    vocab = np.asarray(build_vocab(seed), dtype=object)
+    vocab = np.asarray(build_vocab(42), dtype=object)
     probs = _zipf_probs(len(vocab))
 
     n_tokens = rng.integers(50, 401, size=n_rows)
@@ -102,13 +105,17 @@ def generate_pages(seed: int = 42, n_rows: int = 2000) -> pa.Table:
     urls, htmls, texts, langs = [], [], [], []
     for i in range(n_rows):
         toks = list(vocab[flat[starts[i]:ends[i]]])
-        if i == 0:
+        if url_offset:
+            i_kind = 3  # no canon docs outside the first chunk
+        else:
+            i_kind = i
+        if i_kind == 0:
             title, headline = "Brain", "Pinky and the Brain"
             toks[:8] = ["brain", "mission", "take", "over", "the", "world", "tonight", "pinky"]
-        elif i == 1:
+        elif i_kind == 1:
             title, headline = "Date doc", "history 2013-01-01"
             toks[:3] = ["on", "2013-01-01", "something"]
-        elif i == 2:
+        elif i_kind == 2:
             title, headline = "Int doc", "numbers"
             toks[:2] = ["int", "6443264"]
         else:
@@ -122,12 +129,12 @@ def generate_pages(seed: int = 42, n_rows: int = 2000) -> pa.Table:
                 toks[int(rng.integers(0, len(toks)))] = "&"  # entity round-trip
         para = " ".join(toks)
         h2 = "notes" if i % 7 == 3 else None
-        urls.append(f"test://{i}")
+        urls.append(f"test://{url_offset + i}")
         htmls.append(_mk_html(title, headline, para, h2).encode("utf-8"))
         texts.append(_body_text(headline, para, h2))
         langs.append("de" if (i % 10) == 9 else "en")
 
-    ts = (BASE_TS_US + TS_STEP_US * np.arange(n_rows, dtype=np.int64))
+    ts = (BASE_TS_US + TS_STEP_US * (url_offset + np.arange(n_rows, dtype=np.int64)))
     return pa.table(
         {
             "url": pa.array(urls, type=pa.string()),

@@ -608,9 +608,15 @@ def build_index(pages_path: str | list[str], index_dir: str,
         phases["analyze_shuffle"] = round(time.time() - t, 3)
 
         t = time.time()
+        # cap concurrent merge tasks: each holds a ~partition-sized heap, and
+        # fewer long-lived workers reuse warm heaps across parts (this VM
+        # faults fresh anonymous pages at ~80 MB/s — see bench.py notes)
+        import ray as _ray
+
+        merge_conc = max(2, min(len(todo), int(_ray.cluster_resources().get("CPU", 8)) // 2))
         merge_stats = rd.from_items([{"part": k} for k in todo]).map_batches(
             make_part_merger(index_dir, gen, phash, cfg.chunk_docs, files),
-            batch_format="pyarrow", batch_size=1,
+            batch_format="pyarrow", batch_size=1, concurrency=merge_conc,
         )
         _ = merge_stats.take_all()  # small: one row per part
         phases["merge"] = round(time.time() - t, 3)

@@ -36,10 +36,13 @@ def apidocs_to_table(jsonl_path: str | list[str]) -> pa.Table:
     return apidocs_list_to_table(docs)
 
 
-def apidocs_list_to_table(docs: list[dict]) -> pa.Table:
-    contexts: set[str] = set()
-    for d in docs:
-        contexts.update(d.get("index", {}))
+def apidocs_list_to_table(docs: list[dict],
+                          contexts: "set[str] | None" = None) -> pa.Table:
+    if contexts is None:
+        contexts = set()
+        for d in docs:
+            contexts.update(d.get("index", {}))
+    contexts = set(contexts)
     cols: dict[str, list] = {"url": [], "weight": [], "desc": []}
     for cx in sorted(contexts):
         cols[f"cx_{cx}"] = []
@@ -76,8 +79,10 @@ def schema_for_apidocs(base: Schema) -> Schema:
 
 
 def write_apidocs_parquet(docs: list[dict] | str, out_dir: str,
-                          rows_per_file: int = 4096) -> str:
-    table = apidocs_to_table(docs) if isinstance(docs, str) else apidocs_list_to_table(docs)
+                          rows_per_file: int = 4096,
+                          contexts: "set[str] | None" = None) -> str:
+    table = apidocs_to_table(docs) if isinstance(docs, str) \
+        else apidocs_list_to_table(docs, contexts)
     os.makedirs(out_dir, exist_ok=True)
     k = 0
     for lo in range(0, table.num_rows, rows_per_file):
