@@ -26,6 +26,9 @@ import time
 # Must be set before ray.init so raylet + workers inherit it.
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+# one polars rayon pool per worker would oversubscribe cores N-fold; the
+# per-batch group_bys are small, so keep worker-side polars narrow
+os.environ.setdefault("POLARS_MAX_THREADS", "2")
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -132,23 +135,31 @@ def run_bench() -> dict:
     # (This VM backs fresh anonymous pages at ~80 MB/s; with the malloc
     # thresholds above, a worker's heap stays faulted once touched.)
     @ray.remote
-    def _warm(i: int):
+    def _warm(i: int, heap_mb: int):
         import numpy as np
         import polars, pyarrow  # noqa: F401
 
         import hunt_ray.index.build  # noqa: F401
 
-        a = np.zeros(900 * 1024 * 1024, dtype=np.uint8)
+        a = np.zeros(heap_mb * 1024 * 1024, dtype=np.uint8)
         a[::4096] = 1
         del a  # stays in the process heap (MALLOC_TRIM_THRESHOLD_)
         return i
 
-    ray.get([_warm.remote(i) for i in range(NUM_CPUS)])
+    # import-warm every worker; heap-warm a bounded total (~8 GB) — larger
+    # prewarms push the host into reclaim and slow everything down
+    heap_workers = min(NUM_CPUS, 16)
+    heap_mb = 900  # ≥ one partition's merge working set; ≤14 GB total
+    futs = [_warm.remote(i, heap_mb if i < heap_workers else 8)
+            for i in range(NUM_CPUS)]
+    ray.get(futs)
 
     index_dir = os.path.join(BENCH_DIR, f"index-{BENCH_DOCS}-cpus{NUM_CPUS}")
     shutil.rmtree(index_dir, ignore_errors=True)
     cfg = BuildConfig(
-        num_partitions=32,  # pinned so the 8- and 32-cpu scaling runs are the same job
+        num_partitions=32,  # pinned so the 8- and 32-cpu scaling runs are
+        # the same job; sized so one part's merge working set roughly fits a
+        # prewarmed worker heap without exploding run-file counts
         salt_buckets=4,
         batch_size=2048,
         analyzer_concurrency=(1, max(2, NUM_CPUS - 2)),

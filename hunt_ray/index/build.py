@@ -401,7 +401,10 @@ def make_part_merger(index_dir: str, gen: int, phash: str, cfg_chunk_docs: int,
             if run_files:
                 import pyarrow.dataset as pads
 
-                merged = pads.dataset(run_files).to_table().combine_chunks()
+                # no combine_chunks here — the doclen filter inside
+                # _encode_partition rewrites the table anyway; combining
+                # twice would double the peak working set
+                merged = pads.dataset(run_files).to_table()
             else:
                 merged = None
             n_rows, n_terms = _encode_partition(merged, index_dir, part, cfg_chunk_docs)
@@ -434,7 +437,7 @@ def _encode_partition(merged: pa.Table | None, index_dir: str, part: int,
 
         is_len = _pc.equal(merged.column("term"), "")
         lens_tbl = merged.filter(is_len).select(["context", "doc_id", "tf"])
-        merged = merged.filter(_pc.invert(is_len))
+        merged = merged.filter(_pc.invert(is_len)).combine_chunks()
     else:
         lens_tbl = pa.table({"context": pa.array([], pa.string()),
                              "doc_id": pa.array([], pa.uint64()),
@@ -613,7 +616,8 @@ def build_index(pages_path: str | list[str], index_dir: str,
         # faults fresh anonymous pages at ~80 MB/s — see bench.py notes)
         import ray as _ray
 
-        merge_conc = max(2, min(len(todo), int(_ray.cluster_resources().get("CPU", 8)) // 2))
+        merge_conc = max(2, min(len(todo), 12,
+                                int(_ray.cluster_resources().get("CPU", 8)) // 2))
         merge_stats = rd.from_items([{"part": k} for k in todo]).map_batches(
             make_part_merger(index_dir, gen, phash, cfg.chunk_docs, files),
             batch_format="pyarrow", batch_size=1, concurrency=merge_conc,
