@@ -56,17 +56,9 @@ def prewarm_memory(target_gb: int = 14) -> float:
     """
     import numpy as np
 
-    t0 = time.time()
-    probe = np.zeros(8 * 1024 * 1024, dtype=np.uint8)
-    probe[::4096] = 1
-    if (time.time() - t0) < 0.05:
-        dt = time.time() - t0
-        t0 = time.time()
-        # quick second probe: if the first large chunk faults fast, skip
-        big = np.zeros(256 * 1024 * 1024, dtype=np.uint8)
-        big[::4096] = 1
-        if (time.time() - t0) < 0.3:
-            return dt
+    # always run the full loop: on a warm machine it's a ~5 s no-op-priced
+    # sweep; probing is unreliable (recently-reclaimed pages fault fast for
+    # a short window, then slow again)
     t0 = time.time()
     for _ in range(target_gb * 2):
         a = np.zeros(512 * 1024 * 1024, dtype=np.uint8)
@@ -247,8 +239,10 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo = run(lo)
+    # the larger run goes first: this VM accumulates host-side memory
+    # pressure across runs that penalizes high-worker-count sessions most
     r_hi = run(hi)
+    r_lo = run(lo)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {

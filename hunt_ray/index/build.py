@@ -281,23 +281,38 @@ class AnalyzerStage:
         _atomic_write_parquet(pa.table(cols), os.path.join(docs_dir, f"docs-{uid}.parquet"))
 
     def _write_runs(self, tbl: pa.Table, part: np.ndarray, uid: str) -> pa.Table:
-        """fs shuffle: per-part sorted run files, tiny stats table out."""
-        out_parts, out_rows = [], []
+        """fs shuffle: ONE run file per batch, one row group per partition.
+
+        The merge task for part K reads only its row groups via parquet
+        predicate pushdown on the ``part`` column (row-group stats), so the
+        write stays a single file per batch — thousands of per-(batch, part)
+        files would dominate the analyzer wall time with open/close
+        overhead.
+        """
         order = np.argsort(part, kind="stable")
-        sorted_tbl = tbl.take(pa.array(order))
+        sorted_tbl = tbl.take(pa.array(order)).drop_columns(["salt"])
         sorted_part = part[order]
         bounds = np.searchsorted(sorted_part, np.arange(self.num_partitions + 1))
-        for k in range(self.num_partitions):
-            lo, hi = int(bounds[k]), int(bounds[k + 1])
-            if lo == hi:
-                continue
-            body = sorted_tbl.slice(lo, hi - lo).drop_columns(["part", "salt"]).sort_by(
-                [("context", "ascending"), ("term", "ascending"), ("doc_id", "ascending")]
-            )
-            path = os.path.join(self.run_dir, f"part={k:05d}", f"run-{uid}.parquet")
-            _atomic_write_parquet(body, path)
-            out_parts.append(k)
-            out_rows.append(hi - lo)
+        os.makedirs(self.run_dir, exist_ok=True)
+        path = os.path.join(self.run_dir, f"run-{uid}.parquet")
+        tmp = path + ".tmp"
+        out_parts, out_rows = [], []
+        writer = pq.ParquetWriter(tmp, sorted_tbl.schema)
+        try:
+            for k in range(self.num_partitions):
+                lo, hi = int(bounds[k]), int(bounds[k + 1])
+                if lo == hi:
+                    continue
+                body = sorted_tbl.slice(lo, hi - lo).sort_by(
+                    [("context", "ascending"), ("term", "ascending"),
+                     ("doc_id", "ascending")]
+                )
+                writer.write_table(body)  # one row group per partition
+                out_parts.append(k)
+                out_rows.append(hi - lo)
+        finally:
+            writer.close()
+        os.replace(tmp, path)
         return pa.table({"part": pa.array(out_parts, pa.int32()),
                          "salt": pa.array([0] * len(out_parts), pa.int32()),
                          "rows": pa.array(out_rows, pa.int64())})
@@ -396,15 +411,25 @@ def make_part_merger(index_dir: str, gen: int, phash: str, cfg_chunk_docs: int,
             if man.part_done(gen, part, phash):
                 out_parts.append(part); out_rows.append(-1); out_terms.append(-1)
                 continue
-            run_files = sorted(globmod.glob(
-                os.path.join(index_dir, "runs", f"gen_{gen}", f"part={part:05d}", "run-*.parquet")))
-            if run_files:
+            run_root = os.path.join(index_dir, "runs", f"gen_{gen}")
+            flat_runs = sorted(globmod.glob(os.path.join(run_root, "run-*.parquet")))
+            part_runs = sorted(globmod.glob(
+                os.path.join(run_root, f"part={part:05d}", "run-*.parquet")))
+            run_files = flat_runs or part_runs
+            if flat_runs:
+                # fs mode: one file per batch, one row group per partition —
+                # predicate pushdown reads only this part's row groups
+                import pyarrow.compute as _pc
                 import pyarrow.dataset as pads
 
-                # no combine_chunks here — the doclen filter inside
-                # _encode_partition rewrites the table anyway; combining
-                # twice would double the peak working set
-                merged = pads.dataset(run_files).to_table()
+                merged = pads.dataset(flat_runs).to_table(
+                    filter=_pc.field("part") == part)
+                merged = merged.drop_columns(["part"])
+            elif part_runs:
+                import pyarrow.dataset as pads
+
+                # ray-groupby mode: per-(part, salt) run files
+                merged = pads.dataset(part_runs).to_table()
             else:
                 merged = None
             n_rows, n_terms = _encode_partition(merged, index_dir, part, cfg_chunk_docs)
@@ -616,7 +641,10 @@ def build_index(pages_path: str | list[str], index_dir: str,
         # faults fresh anonymous pages at ~80 MB/s — see bench.py notes)
         import ray as _ray
 
-        merge_conc = max(2, min(len(todo), 12,
+        # NB: small constant-ish cap — merge throughput on this sandbox VM is
+        # bound by hypervisor page backing, not CPUs; more concurrent
+        # workers only multiply first-touch faulting (see bench.py notes)
+        merge_conc = max(2, min(len(todo), 4,
                                 int(_ray.cluster_resources().get("CPU", 8)) // 2))
         merge_stats = rd.from_items([{"part": k} for k in todo]).map_batches(
             make_part_merger(index_dir, gen, phash, cfg.chunk_docs, files),
