@@ -84,7 +84,7 @@ class BuildConfig:
 
     def params(self, files: list[str]) -> dict:
         return {
-            "format": 2,  # bump to invalidate caches on layout changes
+            "format": 3,  # bump to invalidate caches on layout changes
             "schema": schema_to_json(self.schema),
             "num_partitions": self.num_partitions,
             "salt_buckets": self.salt_buckets,
