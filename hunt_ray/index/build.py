@@ -405,33 +405,43 @@ def make_part_merger(index_dir: str, gen: int, phash: str, cfg_chunk_docs: int,
 
     def merge_part(batch: pa.Table) -> pa.Table:
         out_parts, out_rows, out_terms = [], [], []
-        for part in batch.column("part").to_pylist():
+        man = Manifest(index_dir)
+        todo_parts = [p for p in batch.column("part").to_pylist()
+                      if not man.part_done(gen, p, phash)]
+        for p in batch.column("part").to_pylist():
+            if p not in todo_parts:
+                out_parts.append(p); out_rows.append(-1); out_terms.append(-1)
+        run_root = os.path.join(index_dir, "runs", f"gen_{gen}")
+        flat_runs = sorted(globmod.glob(os.path.join(run_root, "run-*.parquet")))
+        prefetched: dict[int, pa.Table] = {}
+        if flat_runs and todo_parts:
+            # fs mode: one filtered read for the whole part batch (footer
+            # parsing is per-dataset-open, so batching parts amortizes it),
+            # then split locally
+            import pyarrow.compute as _pc
+            import pyarrow.dataset as pads
+
+            big = pads.dataset(flat_runs).to_table(
+                filter=_pc.field("part").isin(todo_parts))
+            pcol = big.column("part")
+            for p in todo_parts:
+                prefetched[p] = big.filter(_pc.equal(pcol, p)).drop_columns(["part"])
+            del big
+        for part in todo_parts:
             t_start = time.time()
-            man = Manifest(index_dir)
-            if man.part_done(gen, part, phash):
-                out_parts.append(part); out_rows.append(-1); out_terms.append(-1)
-                continue
-            run_root = os.path.join(index_dir, "runs", f"gen_{gen}")
-            flat_runs = sorted(globmod.glob(os.path.join(run_root, "run-*.parquet")))
-            part_runs = sorted(globmod.glob(
-                os.path.join(run_root, f"part={part:05d}", "run-*.parquet")))
-            run_files = flat_runs or part_runs
             if flat_runs:
-                # fs mode: one file per batch, one row group per partition —
-                # predicate pushdown reads only this part's row groups
-                import pyarrow.compute as _pc
-                import pyarrow.dataset as pads
-
-                merged = pads.dataset(flat_runs).to_table(
-                    filter=_pc.field("part") == part)
-                merged = merged.drop_columns(["part"])
-            elif part_runs:
-                import pyarrow.dataset as pads
-
-                # ray-groupby mode: per-(part, salt) run files
-                merged = pads.dataset(part_runs).to_table()
+                merged = prefetched.pop(part, None)
+                run_files = flat_runs
             else:
-                merged = None
+                # ray-groupby mode: per-(part, salt) run files
+                run_files = sorted(globmod.glob(
+                    os.path.join(run_root, f"part={part:05d}", "run-*.parquet")))
+                if run_files:
+                    import pyarrow.dataset as pads
+
+                    merged = pads.dataset(run_files).to_table()
+                else:
+                    merged = None
             n_rows, n_terms = _encode_partition(merged, index_dir, part, cfg_chunk_docs)
             man.mark_part_done(gen, part, {
                 "params_hash": phash,
@@ -641,14 +651,16 @@ def build_index(pages_path: str | list[str], index_dir: str,
         # faults fresh anonymous pages at ~80 MB/s — see bench.py notes)
         import ray as _ray
 
-        # NB: small constant-ish cap — merge throughput on this sandbox VM is
-        # bound by hypervisor page backing, not CPUs; more concurrent
-        # workers only multiply first-touch faulting (see bench.py notes)
-        merge_conc = max(2, min(len(todo), 4,
+        # NB: capped — merge throughput on this sandbox VM is bound by
+        # hypervisor page backing above ~8 concurrent workers (see bench.py
+        # notes); parts are batched per task so footer parsing amortizes
+        merge_conc = max(2, min(len(todo), 8,
                                 int(_ray.cluster_resources().get("CPU", 8)) // 2))
+        parts_per_task = max(1, len(todo) // max(1, merge_conc))
         merge_stats = rd.from_items([{"part": k} for k in todo]).map_batches(
             make_part_merger(index_dir, gen, phash, cfg.chunk_docs, files),
-            batch_format="pyarrow", batch_size=1, concurrency=merge_conc,
+            batch_format="pyarrow", batch_size=parts_per_task,
+            concurrency=merge_conc,
         )
         _ = merge_stats.take_all()  # small: one row per part
         phases["merge"] = round(time.time() - t, 3)
