@@ -53,7 +53,7 @@ from ..analyze.html import context_text
 from ..analyze.schema import Schema, default_schema, schema_from_json, schema_to_json
 from ..analyze.tokenize import group_postings, tokenize_context
 from ..common.hashing import doc_ids_for_urls
-from .codec import DICT_SCHEMA, POSTINGS_SCHEMA, encode_term_chunks
+from .codec import DICT_SCHEMA, POSTINGS_SCHEMA
 from .manifest import Manifest, params_hash
 
 
@@ -615,12 +615,16 @@ def build_index(pages_path: str | list[str], index_dir: str,
         run_dir = os.path.join(index_dir, "runs", f"gen_{gen}") \
             if cfg.shuffle_mode == "fs" else None
         if cfg.analyzer_mode == "task":
+            conc = cfg.analyzer_concurrency
+            if isinstance(conc, tuple):
+                conc = conc[1]
             flat = ds.map_batches(
                 make_analyzer_task(schema_json, boundaries, hot_terms,
                                    cfg.salt_buckets, cfg.num_partitions, run_dir,
                                    cache_key=f"{phash}:{gen}"),
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
+                concurrency=conc,
             )
         else:
             flat = ds.map_batches(
