@@ -155,6 +155,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship index build + query (rows-only: non-SQL-expressible)
         "q_index_search": flagship.flagship_search,
         "q_index_bm25": flagship.flagship_bm25,
+        # self-checking rank-identity probe: engine vs independent oracle,
+        # one row per reference query with a boolean verdict
+        "q_rank_identity": flagship.rank_identity,
     }
 
 

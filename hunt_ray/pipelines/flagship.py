@@ -76,6 +76,57 @@ def flagship_search(sf_dir: str) -> pa.Table:
     })
 
 
+def rank_identity(sf_dir: str) -> pa.Table:
+    """Self-checking correctness probe: for every reference-shaped query,
+    compare the engine's full ranked (url, float32-score) result against
+    the independent in-Python oracle (query/oracle.py) over the same
+    derived pages corpus. One row per query with a boolean verdict —
+    a failed build/scorer shows up as identical=false rows."""
+    import glob as g
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..analyze.schema import default_schema
+    from ..fixtures.pages import write_pages
+    from ..fixtures.queries import REFERENCE_QUERIES
+    from ..index.build import BuildConfig, build_index
+    from ..query.oracle import OracleIndex, OracleProcessor
+    from ..query.parser import parse_query
+
+    # the reference query set targets the fixture vocabulary, so the probe
+    # runs over the generated canon corpus (not the derived driver pages)
+    pages_dir = os.path.join(CACHE_ROOT, "rankid-pages-500")
+    if not os.path.exists(os.path.join(pages_dir, "_done")):
+        write_pages(pages_dir, seed=42, n_rows=500, rows_per_file=250)
+        with open(os.path.join(pages_dir, "_done"), "w") as f:
+            f.write("ok")
+    index_dir = os.path.join(CACHE_ROOT, "rankid-index-500")
+    build_index(pages_dir, index_dir,
+                BuildConfig(num_partitions=4, salt_buckets=2, batch_size=128,
+                            analyzer_concurrency=2))  # resumes when cached
+    engine = SearchEngine(index_dir)
+    tbl = pa.concat_tables([pq.read_table(f)
+                            for f in sorted(g.glob(f"{pages_dir}/*.parquet"))])
+    oracle = OracleProcessor(OracleIndex(tbl, default_schema()))
+
+    rows = {"name": [], "query": [], "identical": [], "n_results": []}
+    for name, _kind, qs in REFERENCE_QUERIES:
+        got = [(h.url, np.float32(h.score))
+               for h in engine.search(qs, offset=0, limit=0).result]
+        want = [(u, np.float32(s)) for u, s in oracle.search(parse_query(qs))]
+        rows["name"].append(name)
+        rows["query"].append(qs)
+        rows["identical"].append(got == want)
+        rows["n_results"].append(len(got))
+    return pa.table({
+        "name": pa.array(rows["name"], pa.string()),
+        "query": pa.array(rows["query"], pa.string()),
+        "identical": pa.array(rows["identical"], pa.bool_()),
+        "n_results": pa.array(rows["n_results"], pa.int64()),
+    })
+
+
 def flagship_bm25(sf_dir: str, k: int = 10) -> pa.Table:
     """BM25/WAND top-k over the same index (body context)."""
     from ..index.reader import IndexReader
