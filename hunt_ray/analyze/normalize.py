@@ -147,28 +147,43 @@ def is_any_date(token: str) -> bool:
 
 
 _DATE_FORMATS = (
-    ("%Y-%m-%dT%H:%M:%S", 19),
+    ("%Y-%m-%dT%H:%M:%S", 19),   # xsd:dateTime
     ("%Y-%m-%dT%H:%M", 16),
-    ("%Y-%m-%d", 10),
+    ("%Y-%m-%d", 10),            # xsd:date
+    ("%Y-%m", 7),                # xsd:gYearMonth
+    ("%Y", 4),                   # xsd:gYear
 )
+
+import re as _re
+
+_TZ_RE = _re.compile(r"(Z|[+-]\d{2}:\d{2})$")
 
 
 def parse_any_date(token: str) -> datetime | None:
-    """readAnyDateM equivalent for the ISO shapes the query set uses
-    (Date.hs:162-327) — scalar, query-key path only."""
+    """readAnyDateM equivalent: the xsd date/dateTime/gYearMonth/gYear
+    shapes with optional Z / ±HH:MM timezone (Date.hs:162-327) — scalar,
+    query-key path only."""
+    from datetime import timedelta
+
     t = token
-    tz = None
-    if t.endswith("Z"):
-        t = t[:-1]
-        tz = timezone.utc
+    offset = None
+    m = _TZ_RE.search(t)
+    if m:
+        z = m.group(1)
+        t = t[: m.start()]
+        if z == "Z":
+            offset = timedelta(0)
+        else:
+            sign = 1 if z[0] == "+" else -1
+            offset = sign * timedelta(hours=int(z[1:3]), minutes=int(z[4:6]))
     for fmt, ln in _DATE_FORMATS:
         if len(t) == ln:
             try:
                 d = datetime.strptime(t, fmt)
             except ValueError:
                 continue
-            if tz is not None:
-                d = d.replace(tzinfo=tz).astimezone(timezone.utc).replace(tzinfo=None)
+            if offset is not None:
+                d = d - offset  # to UTC (toUTC, Date.hs)
             return d
     return None
 

@@ -137,3 +137,14 @@ def test_default_schema_shape():
     assert s["title"].weight == 2.0
     assert s["headlines"].normalizers == ("LowerCase",)
     assert not s["datecontext"].default
+
+
+def test_date_extended_shapes():
+    # xsd gYear / gYearMonth / timezone offsets (Date.hs:162-327 readers)
+    assert normalize_date("2013") == "20130101000000"
+    assert normalize_date("2013-06") == "20130601000000"
+    assert normalize_date("2013-01-01T12:00:00Z") == "20130101120000"
+    assert normalize_date("2013-01-01T12:00:00+02:00") == "20130101100000"
+    assert normalize_date("2013-01-01T12:00:00-01:30") == "20130101133000"
+    assert is_any_date("2013")
+    assert not is_any_date("20x3")
