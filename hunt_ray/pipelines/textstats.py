@@ -267,9 +267,11 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
         th = hash64(toks)
         d = df["doc_id"].to_numpy()
         # rolling: fp = fp * BASE + token_hash, per doc in stream order
+        # (mod-2^64 wraparound is the point — silence numpy's overflow note)
         order_fp = {}
-        for did, h in zip(d, th):
-            order_fp[did] = (order_fp.get(did, FP_OFFSET) * FP_BASE + np.uint64(h))
+        with np.errstate(over="ignore"):
+            for did, h in zip(d, th):
+                order_fp[did] = (order_fp.get(did, FP_OFFSET) * FP_BASE + np.uint64(h))
         idmap = {int(x): i for i, x in enumerate(doc_ids)}
         for did, fp in order_fp.items():
             out[idmap[int(did)]] = fp
