@@ -58,9 +58,13 @@ def prewarm_memory(target_gb: int = 14) -> float:
 
     # always run the full loop: on a warm machine it's a ~5 s no-op-priced
     # sweep; probing is unreliable (recently-reclaimed pages fault fast for
-    # a short window, then slow again)
+    # a short window, then slow again). Deadline-bounded so a stone-cold
+    # machine can't eat the whole bench budget.
+    deadline = time.time() + float(os.environ.get("HUNT_PREWARM_BUDGET_S", "240"))
     t0 = time.time()
     for _ in range(target_gb * 2):
+        if time.time() > deadline:
+            break
         a = np.zeros(512 * 1024 * 1024, dtype=np.uint8)
         a[::4096] = 1
         del a
