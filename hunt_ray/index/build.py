@@ -84,7 +84,7 @@ class BuildConfig:
 
     def params(self, files: list[str]) -> dict:
         return {
-            "format": 3,  # bump to invalidate caches on layout changes
+            "format": 4,  # bump to invalidate caches on layout changes
             "schema": schema_to_json(self.schema),
             "num_partitions": self.num_partitions,
             "salt_buckets": self.salt_buckets,
@@ -442,12 +442,14 @@ def make_part_merger(index_dir: str, gen: int, phash: str, cfg_chunk_docs: int,
                     merged = pads.dataset(run_files).to_table()
                 else:
                     merged = None
-            n_rows, n_terms = _encode_partition(merged, index_dir, part, cfg_chunk_docs)
+            n_rows, n_terms, lc_range = _encode_partition(merged, index_dir, part,
+                                                          cfg_chunk_docs)
             man.mark_part_done(gen, part, {
                 "params_hash": phash,
                 "part": part,
                 "rows": n_rows,
                 "terms": n_terms,
+                "lc_range": lc_range,
                 "runs": [os.path.basename(f) for f in run_files],
                 "lineage": {"inputs": files, "params_hash": phash},
                 "merge_seconds": round(time.time() - t_start, 3),
@@ -485,8 +487,9 @@ def _encode_partition(merged: pa.Table | None, index_dir: str, part: int,
                                    "last_doc_id", "doc_ids", "tfs", "positions")}
     dict_rows: dict[str, list] = {k: [] for k in
                                   ("context", "term", "term_lc", "df", "cf",
-                                   "max_tf", "n_chunks")}
+                                   "max_tf", "n_chunks", "lc_perm")}
     n_rows = 0
+    lc_range: list[str] | None = None
     if merged is not None and merged.num_rows:
         import pyarrow.compute as _pc
 
@@ -532,20 +535,35 @@ def _encode_partition(merged: pa.Table | None, index_dir: str, part: int,
             "tfs": postings["tfs"],
             "positions": postings["positions"],
         }
+        term_lc = [t.lower() for t in grp_terms]
+        # case-folded shadow order per context span (contexts are the primary
+        # dict sort key, so each span is contiguous): lc_perm[i..j] holds the
+        # dict-row indices of the span sorted by term_lc — the build-time
+        # analog of a sorted shadow .tv the reader binary-searches
+        ctxo = np.asarray(dict_cols["ctx_ord"])
+        lc_perm = np.arange(len(grp_terms), dtype=np.int32)
+        if len(grp_terms):
+            lc_arr = np.asarray(term_lc, dtype=object)
+            span_starts = np.flatnonzero(np.r_[True, ctxo[1:] != ctxo[:-1]])
+            span_ends = np.r_[span_starts[1:], len(ctxo)]
+            for lo, hi in zip(span_starts, span_ends):
+                lc_perm[lo:hi] = (lo + np.argsort(lc_arr[lo:hi], kind="stable")).astype(np.int32)
+            lc_range = [min(term_lc), max(term_lc)]
         dict_rows = {
             "context": grp_ctxs,
             "term": grp_terms,
-            "term_lc": [t.lower() for t in grp_terms],
+            "term_lc": term_lc,
             "df": dict_cols["df"],
             "cf": dict_cols["cf"],
             "max_tf": dict_cols["max_tf"],
             "n_chunks": dict_cols["n_chunks"],
+            "lc_perm": lc_perm,
         }
     post_tbl = pa.table(post_rows, schema=POSTINGS_SCHEMA)
     dict_tbl = pa.table(dict_rows, schema=DICT_SCHEMA)
     _atomic_write_parquet(post_tbl, os.path.join(index_dir, "postings", f"part={part:05d}.parquet"))
     _atomic_write_parquet(dict_tbl, os.path.join(index_dir, "dict", f"part={part:05d}.parquet"))
-    return n_rows, len(dict_rows["term"])
+    return n_rows, len(dict_rows["term"]), lc_range
 
 
 # ------------------------------------------------------------------ driver
@@ -674,11 +692,19 @@ def build_index(pages_path: str | list[str], index_dir: str,
     stats = _doc_stats(index_dir, docs_dir, cfg.schema)
     phases["stats"] = round(time.time() - t, 3)
 
+    # per-partition case-folded key ranges: nocase/prefix-nocase routing
+    # touches only partitions whose [lc_min, lc_max] can contain the key
+    lc_ranges: list[list[str] | None] = []
+    for k in range(cfg.num_partitions):
+        rec = man.part_record(gen, k)
+        lc_ranges.append(rec.get("lc_range") if rec else None)
+
     payload = {
         "params_hash": phash,
         "schema": schema_json,
         "boundaries": boundaries,
         "hot_terms": hot_terms,
+        "lc_ranges": lc_ranges,
         "num_partitions": cfg.num_partitions,
         "salt_buckets": cfg.salt_buckets,
         "chunk_docs": cfg.chunk_docs,

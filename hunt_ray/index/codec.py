@@ -47,6 +47,12 @@ DICT_SCHEMA = pa.schema(
         ("cf", pa.int64()),
         ("max_tf", pa.int32()),
         ("n_chunks", pa.int32()),
+        # case-folded shadow dictionary: row index permutation such that
+        # term_lc[lc_perm] is sorted within each context span — nocase and
+        # prefix-nocase lookups binary-search the shadow order instead of
+        # scanning the vocabulary (the distributed analog of the reference's
+        # PrefixTreeIndex nocase path, PrefixTreeIndex.hs:86-98)
+        ("lc_perm", pa.int32()),
     ]
 )
 

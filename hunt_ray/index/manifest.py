@@ -97,5 +97,15 @@ class Manifest:
     def mark_part_done(self, gen: int, part: int, record: dict) -> None:
         _atomic_write_json(self.part_record_path(gen, part), record)
 
+    def part_record(self, gen: int, part: int) -> dict | None:
+        p = self.part_record_path(gen, part)
+        if not os.path.exists(p):
+            return None
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except Exception:
+            return None
+
     def completed_parts(self, gen: int, phash: str, n_parts: int) -> set[int]:
         return {k for k in range(n_parts) if self.part_done(gen, k, phash)}

@@ -59,6 +59,16 @@ class PartitionReader:
         self.terms: list[str] = self.dict_tbl.column("term").to_pylist()
         self.contexts: list[str] = self.dict_tbl.column("context").to_pylist()
         self.term_lc = np.asarray(self.dict_tbl.column("term_lc").to_pylist(), dtype=object)
+        # case-folded shadow dictionary (written at build time): lc_perm is a
+        # per-context-span permutation into term_lc order, so nocase lookups
+        # are a binary search like the case-sensitive path
+        if "lc_perm" in self.dict_tbl.column_names:
+            self.lc_perm = self.dict_tbl.column("lc_perm").to_numpy()
+            self.term_lc_sorted = self.term_lc[self.lc_perm]
+        else:  # pre-format-4 index: fall back to the linear scan
+            self.lc_perm = None
+            self.term_lc_sorted = None
+        self.nocase_fallback_scans = 0  # diagnostics: stays 0 on format>=4
         self.df = self.dict_tbl.column("df").to_numpy()
         self.max_tf = self.dict_tbl.column("max_tf").to_numpy()
         self.n_chunks = self.dict_tbl.column("n_chunks").to_numpy()
@@ -92,15 +102,24 @@ class PartitionReader:
             i = bisect.bisect_left(self.terms, key, lo, hi)
             j = bisect.bisect_left(self.terms, key + MAX_CHAR, lo, hi)
             return list(range(i, j))
+        if op not in ("nocase", "prefix_nocase"):
+            raise ValueError(op)
         key_lc = key.lower()
+        if self.term_lc_sorted is not None:
+            # O(log |dict|): binary search the case-folded shadow order
+            i = bisect.bisect_left(self.term_lc_sorted, key_lc, lo, hi)
+            if op == "nocase":
+                j = bisect.bisect_right(self.term_lc_sorted, key_lc, lo, hi)
+            else:
+                j = bisect.bisect_left(self.term_lc_sorted, key_lc + MAX_CHAR, lo, hi)
+            return sorted(int(e) for e in self.lc_perm[i:j])
+        self.nocase_fallback_scans += 1
         span_lc = self.term_lc[lo:hi]
         if op == "nocase":
             mask = span_lc == key_lc
-        elif op == "prefix_nocase":
+        else:
             mask = np.fromiter((t.startswith(key_lc) for t in span_lc), dtype=bool,
                                count=hi - lo)
-        else:
-            raise ValueError(op)
         return (np.flatnonzero(mask) + lo).tolist()
 
     def lookup_range(self, context: str, lb: str, ub: str) -> list[int]:
@@ -165,6 +184,9 @@ class IndexReader:
         self.schema: Schema = schema_from_json(gen_info["schema"])
         self.boundaries: list[str] = gen_info["boundaries"]
         self.num_partitions: int = gen_info["num_partitions"]
+        # per-part [lc_min, lc_max] of term_lc (None for empty parts or
+        # pre-format-4 indexes) — prunes nocase fan-out
+        self.lc_ranges: list | None = gen_info.get("lc_ranges")
         self.stats: dict = gen_info.get("stats", {})
         self._parts: dict[int, PartitionReader] = {}
         self._docs = None
@@ -176,7 +198,20 @@ class IndexReader:
 
     def parts_for(self, op: str, key: str, ub: str | None = None) -> list[int]:
         if op in ("nocase", "prefix_nocase"):
-            return list(range(self.num_partitions))
+            if not self.lc_ranges:
+                return list(range(self.num_partitions))
+            kl = key.lower()
+            out = []
+            for k, rng in enumerate(self.lc_ranges[: self.num_partitions]):
+                if not rng:
+                    continue
+                lc_min, lc_max = rng
+                if op == "nocase":
+                    if lc_min <= kl <= lc_max:
+                        out.append(k)
+                elif lc_max >= kl and lc_min <= kl + MAX_CHAR:
+                    out.append(k)
+            return out
         if op == "case":
             return [self._part_of(key)]
         if op == "prefix_case":

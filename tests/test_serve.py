@@ -41,7 +41,12 @@ def test_routing_targets_single_partition(serve_index):
     try:
         # case-sensitive exact lookup routes to exactly one partition
         assert len(r.parts_for("case", "brain")) == 1
-        # nocase must fan out everywhere
-        assert len(r.parts_for("nocase", "brain")) == r.num_partitions
+        # nocase routes only to partitions whose folded range can hold the
+        # key (format-4 lc_ranges) — never more than full fan-out, and sound
+        probed = r.parts_for("nocase", "brain")
+        assert 1 <= len(probed) <= r.num_partitions
+        for k in range(r.num_partitions):
+            if any(t == "brain" for t in r.part(k).term_lc):
+                assert k in probed
     finally:
         r.shutdown()
