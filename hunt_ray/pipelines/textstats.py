@@ -39,10 +39,10 @@ def _flat_tokens(batch: pa.Table) -> pl.DataFrame:
     counts = np.nan_to_num(counts, nan=0).astype(np.int64)
     flat = lists.flatten()
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    toks = np.asarray(flat, dtype=object)
     rep = np.repeat(doc_ids, counts)
-    mask = np.fromiter((len(t) > 0 for t in toks), dtype=bool, count=len(toks))
-    return pl.DataFrame({"doc_id": rep[mask], "term": pl.Series(toks[mask], dtype=pl.String)})
+    # split_whitespace emits "" for leading/trailing runs — drop vectorized
+    df = pl.DataFrame({"doc_id": rep, "term": pl.from_arrow(flat)})
+    return df.filter(pl.col("term").str.len_bytes() > 0)
 
 
 # ------------------------------------------------------------------ postings
@@ -224,7 +224,6 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     heuristic is not reasonably SQL-expressible)."""
     df = _flat_tokens(batch)
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    scores = {lang: None for lang in _LANG_STOPWORDS}
     per = df.group_by("doc_id").agg(
         **{f"hit_{lang}": pl.col("term").is_in(sorted(words)).sum()
            for lang, words in _LANG_STOPWORDS.items()},
@@ -258,23 +257,37 @@ FP_OFFSET = np.uint64(14695981039346656037)
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Deterministic 64-bit document fingerprint: order-sensitive rolling
-    hash of the token stream (mod 2^64). Rows-only oracle."""
+    hash of the token stream (mod 2^64). Rows-only oracle.
+
+    The rolling recurrence fp = fp·B + h_i unrolls to
+    ``FP_OFFSET·Bⁿ + Σ h_i·Bⁿ⁻ⁱ`` — computed as one segmented Horner over
+    the whole batch: per-token power weights from a cumprod table and a
+    per-doc ``np.add.reduceat``, no per-token Python loop. mod-2^64
+    wraparound is the point — numpy's overflow note is silenced.
+    """
     df = _flat_tokens(batch)
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
     out = np.full(len(doc_ids), FP_OFFSET, dtype=np.uint64)
     if df.height:
-        toks = df["term"].to_arrow()
-        th = hash64(toks)
+        th = hash64(df["term"].to_arrow())
         d = df["doc_id"].to_numpy()
-        # rolling: fp = fp * BASE + token_hash, per doc in stream order
-        # (mod-2^64 wraparound is the point — silence numpy's overflow note)
-        order_fp = {}
+        # docs are contiguous segments in stream order (np.repeat layout)
+        change = np.r_[True, d[1:] != d[:-1]]
+        starts = np.flatnonzero(change)
+        seg_len = np.diff(np.r_[starts, len(d)])
+        seg_id = np.cumsum(change) - 1
+        pos_in_doc = np.arange(len(d), dtype=np.int64) - starts[seg_id]
+        exp = seg_len[seg_id] - 1 - pos_in_doc
+        maxn = int(seg_len.max())
+        pows = np.ones(maxn + 1, dtype=np.uint64)
         with np.errstate(over="ignore"):
-            for did, h in zip(d, th):
-                order_fp[did] = (order_fp.get(did, FP_OFFSET) * FP_BASE + np.uint64(h))
+            np.multiply.accumulate(np.full(maxn, FP_BASE, dtype=np.uint64),
+                                   out=pows[1:])
+            fps = np.add.reduceat(th * pows[exp], starts) + FP_OFFSET * pows[seg_len]
         idmap = {int(x): i for i, x in enumerate(doc_ids)}
-        for did, fp in order_fp.items():
-            out[idmap[int(did)]] = fp
+        rows = np.fromiter((idmap[int(x)] for x in d[starts]), dtype=np.int64,
+                           count=len(starts))
+        out[rows] = fps
     return pa.table({
         "doc_id": pa.array(doc_ids, pa.int64()),
         "fingerprint": pa.array(out, pa.uint64()),
