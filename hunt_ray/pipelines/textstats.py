@@ -171,40 +171,79 @@ def bm25_topk(sf_dir: str, query_terms: tuple[str, ...], k: int = 20,
     """BM25 top-k over the ``documents`` table with the exact formula the
     DuckDB oracle uses (idf = ln(1 + (N−df+0.5)/(df+0.5)), float64).
 
-    Distributed parts: tokenize + term-filter inside map_batches (only
-    matching-term posting rows leave the workers) and the doc-length map;
-    the final join/score runs on the driver over O(df·|q|) rows.
+    Fully distributed: posting rows for the query terms carry their doc's
+    length out of the same tokenizing map (no doc-stats join); per-row
+    scores are vectorized; a groupby-doc_id sum then a per-block partial
+    top-k leave only scalars, |q| df rows and n_blocks·k candidate rows on
+    the driver. The input is read twice (df pass + score pass) — both
+    passes stream. Ranking is (round(score, 6) desc, doc_id asc), matching
+    the oracle's ORDER BY over the rounded alias.
     """
     import pyarrow.compute as _pc
     import ray.data as rd
+    from ray.data.aggregate import Count, Sum
 
     terms = list(dict.fromkeys(query_terms))
 
+    # global scalars via streaming aggregate — two numbers on the driver
+    st = doc_stats(sf_dir).aggregate(Count(alias_name="n"),
+                                     Sum("n_tokens", alias_name="tok"))
+    N = int(st["n"])
+    avgdl = (float(st["tok"] or 0.0) / N) if N else 1.0
+
     def term_filter(batch: pa.Table) -> pa.Table:
+        """Posting rows (term, doc_id, tf, dl) for the query terms only."""
         p = postings_batch(batch)
-        return p.filter(_pc.is_in(p.column("term"), value_set=pa.array(terms)))
+        toks = _flat_tokens(batch)
+        cnt = (toks.group_by("doc_id").agg(n=pl.len())
+               if toks.height else pl.DataFrame({"doc_id": [], "n": []}))
+        ids = pl.DataFrame({"doc_id": batch.column("doc_id")
+                            .to_numpy(zero_copy_only=False)})
+        dlm = (ids.join(cnt, on="doc_id", how="left").fill_null(0)
+               .sort("doc_id"))
+        sel = p.filter(_pc.is_in(p.column("term"), value_set=pa.array(terms)))
+        rows = np.searchsorted(dlm["doc_id"].to_numpy(),
+                               sel.column("doc_id").to_numpy(zero_copy_only=False))
+        dl = dlm["n"].to_numpy().astype(np.float64)[rows] if sel.num_rows \
+            else np.empty(0, np.float64)
+        return sel.append_column("dl", pa.array(dl, pa.float64()))
 
-    post = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"]) \
-             .map_batches(term_filter, batch_format="pyarrow").to_pandas()
-    stats = doc_stats(sf_dir).to_pandas()
-    N = len(stats)
-    avgdl = float(stats["n_tokens"].mean()) if N else 1.0
-    dl = dict(zip(stats["doc_id"], stats["n_tokens"].astype(float)))
+    def post_ds():
+        return rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"]) \
+                 .map_batches(term_filter, batch_format="pyarrow")
 
-    score: dict[int, float] = {}
-    for t in terms:  # fixed term order (matches per-doc SQL sum over few terms)
-        sub = post[post["term"] == t]
-        df_t = len(sub)
-        if df_t == 0:
-            continue
-        idf = float(np.log(1.0 + (N - df_t + 0.5) / (df_t + 0.5)))
-        for did, tf in zip(sub["doc_id"], sub["tf"]):
-            denom = tf + k1 * (1.0 - b + b * dl[did] / avgdl)
-            score[did] = score.get(did, 0.0) + idf * (tf * (k1 + 1.0)) / denom
-    ranked = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    # per-term document frequency: |q| rows reach the driver
+    df_rows = post_ds().groupby("term").aggregate(Count(alias_name="df")).take_all()
+    idf = {r["term"]: float(np.log(1.0 + (N - r["df"] + 0.5) / (r["df"] + 0.5)))
+           for r in df_rows}
+    if not idf:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+
+    def row_score(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = batch.column("dl").to_numpy(zero_copy_only=False)
+        idfv = np.asarray([idf[t] for t in batch.column("term").to_pylist()])
+        sc = idfv * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "s": pa.array(sc, pa.float64())})
+
+    scored = (post_ds().map_batches(row_score, batch_format="pyarrow")
+              .groupby("doc_id").aggregate(Sum("s", alias_name="score")))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sc = np.round(batch.column("score").to_numpy(zero_copy_only=False), 6)
+        top = np.lexsort((ids, -sc))[: min(k, len(ids))]
+        return pa.table({"doc_id": pa.array(ids[top], pa.int64()),
+                         "score": pa.array(sc[top], pa.float64())})
+
+    cand = scored.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: (-r["score"], r["doc_id"]))
+    cand = cand[:k]
     return pa.table({
-        "doc_id": pa.array([d for d, _ in ranked], pa.int64()),
-        "score": pa.array([round(s, 6) for _, s in ranked], pa.float64()),
+        "doc_id": pa.array([r["doc_id"] for r in cand], pa.int64()),
+        "score": pa.array([r["score"] for r in cand], pa.float64()),
     })
 
 
