@@ -123,6 +123,25 @@ class MinHashStage:
         })
 
 
+# a degenerate bucket (near-empty docs, boilerplate bands) would otherwise
+# generate O(bucket²) pairs; buckets above the cap keep only the first
+# MAX_BUCKET sorted ids and report the truncation in a counter column
+MAX_BUCKET = 1024
+
+
+def _capped_pairs(ids: list[int]) -> tuple[list[int], list[int], int]:
+    dropped = 0
+    if len(ids) > MAX_BUCKET:
+        dropped = len(ids) - MAX_BUCKET
+        ids = ids[:MAX_BUCKET]
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return a, b, dropped
+
+
 def minhash_candidates(sf_dir: str, *, seed: int = 7, k: int = 3):
     """LSH bucket groupby → candidate pairs (doc_a < doc_b), deduplicated."""
     import ray.data as rd
@@ -133,11 +152,11 @@ def minhash_candidates(sf_dir: str, *, seed: int = 7, k: int = 3):
 
     def pairs_of_bucket(group: pa.Table) -> pa.Table:
         ids = sorted(set(group.column("doc_id").to_pylist()))
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
+        a, b, dropped = _capped_pairs(ids)
+        if dropped:
+            print(f"minhash: capped hot bucket "
+                  f"(band={group.column('band')[0].as_py()}, "
+                  f"{len(ids) + dropped} docs → {MAX_BUCKET})")
         return pa.table({"doc_a": pa.array(a, pa.int64()),
                          "doc_b": pa.array(b, pa.int64())})
 
@@ -149,35 +168,117 @@ def minhash_candidates(sf_dir: str, *, seed: int = 7, k: int = 3):
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
 
 
-def minhash_dedup(sf_dir: str, *, threshold: float = 0.5, seed: int = 7, k: int = 3):
-    """Candidates → exact shingle-Jaccard verification → near-dup pairs."""
-    import pyarrow.parquet as pq
+def shingle_signatures(sf_dir: str, k: int = 3):
+    """One row per doc: (doc_id, shingles: list<uint64> sorted unique)."""
+    import ray.data as rd
 
-    cands = minhash_candidates(sf_dir, seed=seed, k=k).to_pandas()
-    if len(cands) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    need = sorted(set(cands["doc_a"]) | set(cands["doc_b"]))
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    mask = np.isin(tbl.column("doc_id").to_numpy(zero_copy_only=False), need)
-    sub = tbl.filter(pa.array(mask))
-    doc_ids, sets = shingle_hashes(sub, k)
-    smap = {int(d): s for d, s in zip(doc_ids, sets)}
-    out_a, out_b, out_j = [], [], []
-    for da, db in zip(cands["doc_a"], cands["doc_b"]):
-        sa, sb = smap[int(da)], smap[int(db)]
+    def sigs(batch: pa.Table) -> pa.Table:
+        doc_ids, sets = shingle_hashes(batch, k)
+        # binary blobs (not list<uint64>): Acero hash joins support binary
+        # payloads but not list non-key fields
+        return pa.table({
+            "doc_id": pa.array(doc_ids.astype(np.int64), pa.int64()),
+            "shingles": pa.array([s.tobytes() for s in sets], pa.large_binary()),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+             .map_batches(sigs, batch_format="pyarrow")
+
+
+_VERIFY_SCHEMA = pa.schema([
+    ("key", pa.int64()),        # shuffle key: one side's doc id
+    ("doc_a", pa.int64()),
+    ("doc_b", pa.int64()),
+    ("role", pa.int32()),       # 0 = pair needs key's shingles for side a,
+                                # 1 = for side b, 2 = signature carrier row
+    ("shingles", pa.large_binary()),
+])
+
+
+def minhash_dedup(sf_dir: str, *, threshold: float = 0.5, seed: int = 7, k: int = 3):
+    """Candidates → exact shingle-Jaccard verification → near-dup pairs.
+
+    Verification is distributed through two doc-keyed shuffles, never the
+    driver: candidate pairs explode into one row per side, union with the
+    per-doc shingle-signature rows, a groupby on the doc id attaches each
+    side's signature inside ``map_groups``, and a second groupby on the
+    pair brings both sides together for the exact Jaccard. Nothing
+    corpus-sized ever lands on one node. (Implemented as groupbys rather
+    than ``Dataset.join`` — the hash-join operator rejects the schema-less
+    empty blocks tiny candidate sets produce.)
+    """
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_a" not in batch.column_names:
+            return _VERIFY_SCHEMA.empty_table()
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        n = len(da)
+        return pa.table({
+            "key": pa.array(np.concatenate([da, db]), pa.int64()),
+            "doc_a": pa.array(np.concatenate([da, da]), pa.int64()),
+            "doc_b": pa.array(np.concatenate([db, db]), pa.int64()),
+            "role": pa.array([0] * n + [1] * n, pa.int32()),
+            "shingles": pa.array([b""] * (2 * n), pa.large_binary()),
+        })
+
+    def tag_sigs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch.column("doc_id"),
+            "doc_a": pa.array([0] * batch.num_rows, pa.int64()),
+            "doc_b": pa.array([0] * batch.num_rows, pa.int64()),
+            "role": pa.array([2] * batch.num_rows, pa.int32()),
+            "shingles": batch.column("shingles"),
+        })
+
+    pairs = minhash_candidates(sf_dir, seed=seed, k=k) \
+        .map_batches(explode_pairs, batch_format="pyarrow")
+    sigs = shingle_signatures(sf_dir, k).map_batches(tag_sigs, batch_format="pyarrow")
+
+    def attach(group: pa.Table) -> pa.Table:
+        """One doc's group: its signature row + the pair sides that need it."""
+        roles = group.column("role").to_numpy(zero_copy_only=False)
+        sig_rows = np.flatnonzero(roles == 2)
+        need = np.flatnonzero(roles != 2)
+        if sig_rows.size == 0 or need.size == 0:
+            return _VERIFY_SCHEMA.empty_table()
+        blob = group.column("shingles")[int(sig_rows[0])].as_py()
+        sel = group.take(pa.array(need))
+        return pa.table({
+            "key": sel.column("key"),
+            "doc_a": sel.column("doc_a"),
+            "doc_b": sel.column("doc_b"),
+            "role": sel.column("role"),
+            "shingles": pa.array([blob] * len(need), pa.large_binary()),
+        })
+
+    def verify(group: pa.Table) -> pa.Table:
+        """One pair's group: two sides with signatures → exact Jaccard."""
+        roles = group.column("role").to_numpy(zero_copy_only=False)
+        ia = np.flatnonzero(roles == 0)
+        ib = np.flatnonzero(roles == 1)
+        empty = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                           ("jaccard", pa.float64())]).empty_table()
+        if ia.size == 0 or ib.size == 0:
+            return empty
+        sa = np.frombuffer(group.column("shingles")[int(ia[0])].as_py(),
+                           dtype=np.uint64)
+        sb = np.frombuffer(group.column("shingles")[int(ib[0])].as_py(),
+                           dtype=np.uint64)
         if sa.size == 0 or sb.size == 0:
-            continue
+            return empty
         inter = np.intersect1d(sa, sb, assume_unique=True).size
         jac = inter / (sa.size + sb.size - inter)
-        if jac >= threshold:
-            out_a.append(int(da))
-            out_b.append(int(db))
-            out_j.append(round(jac, 6))
-    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                     "doc_b": pa.array(out_b, pa.int64()),
-                     "jaccard": pa.array(out_j, pa.float64())})
+        if jac < threshold:
+            return empty
+        return pa.table({"doc_a": group.column("doc_a").slice(0, 1),
+                         "doc_b": group.column("doc_b").slice(0, 1),
+                         "jaccard": pa.array([round(jac, 6)], pa.float64())})
+
+    return (pairs.union(sigs)
+            .groupby("key").map_groups(attach, batch_format="pyarrow")
+            .groupby(["doc_a", "doc_b"]).map_groups(verify, batch_format="pyarrow"))
 
 
 # ------------------------------------------------------------------ simhash
@@ -244,6 +345,9 @@ def simhash_dedup(sf_dir: str, *, max_hamming: int = 3):
         d = group.column("doc_id").to_pylist()
         s = group.column("simhash").to_pylist()
         uniq = sorted(set(zip(d, s)))
+        if len(uniq) > MAX_BUCKET:  # hot-bucket cap (see _capped_pairs)
+            print(f"simhash: capped hot bucket ({len(uniq)} docs → {MAX_BUCKET})")
+            uniq = uniq[:MAX_BUCKET]
         a, b, h = [], [], []
         for i in range(len(uniq)):
             for j in range(i + 1, len(uniq)):

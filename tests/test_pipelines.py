@@ -67,6 +67,55 @@ def test_minhash_finds_planted_duplicates(tmp_path):
     assert j > 0.7
 
 
+def test_minhash_distributed_verify_multi_batch(tmp_path):
+    """Verification must work when docs span many input batches/blocks (the
+    distributed path: no driver to_pandas of candidates, no single-process
+    re-read of the corpus) and still find planted duplicates exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.pipelines.dedup import minhash_dedup
+
+    rows_id, rows_text = [], []
+    for i in range(400):
+        rows_id.append(i)
+        rows_text.append(f"unique document number {i} about topic {i % 7} "
+                         f"with filler words alpha beta gamma {i}" * 2)
+    # plant dup pairs far apart (different parquet files → different blocks)
+    rows_text[399] = rows_text[3]
+    rows_text[398] = rows_text[5].replace("alpha", "omega")
+    d = tmp_path / "mhbig"
+    d.mkdir()
+    for f in range(4):
+        sl = slice(f * 100, (f + 1) * 100)
+        pq.write_table(pa.table({"doc_id": pa.array(rows_id[sl], pa.int64()),
+                                 "text": pa.array(rows_text[sl], pa.string())}),
+                       str(d / f"documents.parquet")
+                       if f == 0 else str(d / f"part{f}.parquet"))
+    # single-file layout expected by the pipeline: merge into one file
+    tbl = pa.table({"doc_id": pa.array(rows_id, pa.int64()),
+                    "text": pa.array(rows_text, pa.string())})
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    for extra in d.glob("part*.parquet"):
+        extra.unlink()
+    pairs = minhash_dedup(str(d), threshold=0.5).to_pandas()
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].values.tolist()))
+    assert (3, 399) in found
+    assert (5, 398) in found
+    exact = pairs[(pairs.doc_a == 3) & (pairs.doc_b == 399)]["jaccard"].iloc[0]
+    assert exact == 1.0
+
+
+def test_minhash_hot_bucket_capped():
+    """An adversarial all-identical-band corpus must stay sub-quadratic."""
+    from hunt_ray.pipelines.dedup import MAX_BUCKET, _capped_pairs
+
+    ids = list(range(MAX_BUCKET + 500))
+    a, b, dropped = _capped_pairs(ids)
+    assert dropped == 500
+    assert len(a) == MAX_BUCKET * (MAX_BUCKET - 1) // 2
+
+
 def test_simhash_near_duplicates(tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
