@@ -153,7 +153,22 @@ class BM25Engine:
 
     def search_wand(self, query: str, k: int = 10, *, block_max: bool = True
                     ) -> list[tuple[int, float]]:
-        """Document-at-a-time top-k with WAND pruning (+ block-max skip).
+        """Block-max WAND top-k — exact, vectorized (the production path).
+
+        ``block_max=True`` routes to the numpy block-max scorer
+        (:meth:`search_block_max`); ``block_max=False`` keeps the
+        per-doc document-at-a-time reference implementation
+        (:meth:`search_wand_daat`) used by the identity tests.
+        """
+        if block_max:
+            return self.search_block_max(query, k)
+        return self.search_wand_daat(query, k)
+
+    def search_wand_daat(self, query: str, k: int = 10, *, block_max: bool = True
+                         ) -> list[tuple[int, float]]:
+        """Document-at-a-time top-k with classic WAND pivoting — the
+        result-identity reference implementation (per-doc Python loop; kept
+        for testing, not the serving path).
 
         Returns exactly the exhaustive top-k: full scores are summed in the
         same fixed term order, ties broken by doc_id ascending.
@@ -261,13 +276,29 @@ class BM25Engine:
         the per-doc Python loop of classic WAND would dominate latency.
         """
         terms = [tp for t in self._query_terms(query) if (tp := self._load_term(t))]
-        if not terms:
+        pruned = self._maxscore_candidates(terms, k)
+        if pruned is None:
             return []
+        cand, _theta, _full = pruned
+        scores = self._score_docs(terms, cand)
+        return self._top_k(cand, scores, k)
+
+    def _maxscore_candidates(self, terms: list[_TermPostings], k: int
+                             ) -> tuple[np.ndarray, float, bool] | None:
+        """MaxScore candidate generation shared by the pruned scorers.
+
+        Returns (candidate doc ids, threshold θ, θ_is_binding) or None for
+        an empty result. θ_is_binding is True when ≥k docs provably score
+        ≥ θ (the seed supplied k full scores), so stricter filters may
+        drop candidates bounded below θ without losing exactness.
+        """
+        if not terms:
+            return None
         order_ub = sorted(range(len(terms)), key=lambda i: -terms[i].ub)
         rarest = min(range(len(terms)), key=lambda i: len(terms[i].doc_ids))
         seed_ids = terms[rarest].doc_ids
         if len(seed_ids) == 0:
-            return []
+            return None
         seed_scores = self._score_docs(terms, seed_ids)
         kk = min(k, len(seed_ids))
         theta = float(np.partition(seed_scores, len(seed_scores) - kk)[len(seed_scores) - kk]) \
@@ -284,6 +315,33 @@ class BM25Engine:
                 break
         essential = [terms[i] for i in order_ub[:max(1, n_essential)]]
         cand = np.union1d(np.concatenate([tp.doc_ids for tp in essential]), seed_ids)
+        return cand, theta, len(seed_ids) >= k
+
+    def search_block_max(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Vectorized block-max WAND — exact top-k, numpy throughout.
+
+        On top of the MaxScore candidate set, each candidate is bounded by
+        Σ_t block_ub(t, block that could contain d) via one searchsorted
+        per term over the per-block metadata (BLOCK-doc blocks built at
+        postings load; the on-disk analog is the per-chunk max_tf /
+        last_doc_id columns in POSTINGS_SCHEMA). Candidates bounded below
+        θ are dropped before full scoring — valid because the bound is an
+        upper bound on the true score and θ is only treated as binding
+        when ≥k docs provably score ≥ θ. Results are bit-identical to the
+        exhaustive scorer (same _score_docs, same tie-break)."""
+        terms = [tp for t in self._query_terms(query) if (tp := self._load_term(t))]
+        pruned = self._maxscore_candidates(terms, k)
+        if pruned is None:
+            return []
+        cand, theta, theta_binding = pruned
+        if theta_binding and len(cand) > k:
+            bound = np.zeros(len(cand), dtype=np.float64)
+            for tp in terms:
+                bi = np.searchsorted(tp.block_last, cand, side="left")
+                valid = bi < len(tp.block_ub)
+                if valid.any():
+                    bound[valid] += tp.block_ub[bi[valid]]
+            cand = cand[bound >= theta]
         scores = self._score_docs(terms, cand)
         return self._top_k(cand, scores, k)
 

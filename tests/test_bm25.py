@@ -30,11 +30,22 @@ QUERIES = [
 
 @pytest.mark.parametrize("q", QUERIES)
 def test_wand_equals_exhaustive(bm25, q):
+    """search_wand is the vectorized block-max path — must be exact."""
     for k in (1, 5, 10, 50):
         ex = bm25.search_exhaustive(q, k)
         wd = bm25.search_wand(q, k)
         assert [d for d, _ in ex] == [d for d, _ in wd], f"{q!r} k={k}"
         assert np.allclose([s for _, s in ex], [s for _, s in wd], rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_wand_daat_reference_equals_exhaustive(bm25, q):
+    """The per-doc DAAT reference implementation, both with and without
+    its block-max skip, stays bit-identical to exhaustive."""
+    for k in (1, 10):
+        ex = bm25.search_exhaustive(q, k)
+        assert ex == bm25.search_wand_daat(q, k, block_max=True), f"{q!r} k={k}"
+        assert ex == bm25.search_wand_daat(q, k, block_max=False), f"{q!r} k={k}"
 
 
 @pytest.mark.parametrize("q", QUERIES[:3])
