@@ -72,8 +72,7 @@ class SearchEngine:
         if n == 0:
             return LimitedResult([], offset, limit, 0)
         docs = self.reader.docs
-        rows = docs.rows_of(sd.doc_ids)
-        final = (sd.scores * docs.weight[rows]).astype(F32)  # wght d * sc
+        final = (sd.scores * docs.weights_of(sd.doc_ids)).astype(F32)  # wght d * sc
         # rank: score desc, url asc (Ord RankedDoc, Intermediate.hs:380-384).
         # Top-k shortcut: partition down to the candidates that can reach the
         # page (score > kth, plus ALL ties at the kth score so the url
@@ -84,11 +83,12 @@ class SearchEngine:
             cand = np.flatnonzero(final >= kth)
         else:
             cand = np.arange(n)
-        urls_c = docs.url[rows[cand]]
+        urls_c = docs.urls_of(sd.doc_ids[cand])
         order_c = sorted(range(len(cand)), key=lambda i: (-final[cand[i]], urls_c[i]))
         page_idx = [cand[i] for i in order_c[offset: offset + limit]] if limit > 0 \
             else [cand[i] for i in order_c[offset:]]
-        urls_map = docs.url[rows[page_idx]] if page_idx else []
+        urls_map = docs.urls_of(sd.doc_ids[np.asarray(page_idx, dtype=np.int64)]) \
+            if page_idx else []
         descs: list = [None] * len(page_idx)
         if (with_desc or select_fields is not None) and page_idx:
             descs = docs.descs_of(sd.doc_ids[np.asarray(page_idx)])

@@ -58,17 +58,138 @@ class PartitionActor:
         return out
 
 
-class RemoteIndexReader(IndexReader):
-    """IndexReader whose partition lookups fan out to a PartitionActor pool.
+@ray.remote
+class DocShardActor:
+    """Owns the doc-table rows with ``doc_id % n_shards == shard``.
 
-    Dictionary routing, similarity scoring, doc table and stats stay on the
-    driver (the doc table would itself be actor-sharded at real scale —
-    hydration only ever touches top-k ids).
+    The Ray analog of sharding Hunt's ``HashedDocTable`` by id: each actor
+    loads only its modulo-slice of the docs parquet (plus the matching
+    doclens rows), so driver memory stays O(routing metadata) no matter the
+    corpus size. Hydration fans requested ids out by shard and reassembles
+    in request order. At real scale the docs parquet would additionally be
+    written id-partitioned so each shard reads only its own files; here
+    every shard filter-reads the shared files once at startup.
+    """
+
+    def __init__(self, index_dir: str, shard: int, n_shards: int):
+        import glob as g
+        import os
+
+        import pyarrow.parquet as pq
+
+        from ..analyze.schema import schema_from_json
+        from ..index.manifest import Manifest
+        from ..index.reader import DocTable
+
+        man = Manifest(index_dir)
+        info = man.latest()
+        schema = schema_from_json(info["schema"])
+        full = DocTable(os.path.join(index_dir, "docs"), schema)
+        keep = (full.doc_id % np.uint64(n_shards)) == np.uint64(shard)
+        self.doc_id = full.doc_id[keep]
+        self.url = full.url[keep]
+        self.weight = full.weight[keep]
+        self.desc = full.desc[keep] if full.desc is not None else None
+        self.lens = {cx: arr[keep] for cx, arr in full.lens.items()}
+        self.n_rows = int(keep.sum())
+
+    def count(self) -> int:
+        return self.n_rows
+
+    def _rows(self, doc_ids: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.doc_id, doc_ids)
+        idx = np.clip(idx, 0, max(0, len(self.doc_id) - 1))
+        if not (self.doc_id[idx] == doc_ids).all():
+            raise KeyError("unknown doc_ids in shard lookup")
+        return idx
+
+    def hydrate(self, doc_ids: np.ndarray, *, with_desc: bool = False):
+        rows = self._rows(doc_ids)
+        descs = None
+        if with_desc and self.desc is not None:
+            descs = [d for d in self.desc[rows]]
+        return self.url[rows], self.weight[rows], descs
+
+    def lens_of(self, context: str, doc_ids: np.ndarray) -> np.ndarray:
+        return self.lens[context][self._rows(doc_ids)]
+
+
+class ShardedDocTable:
+    """DocTable interface over a DocShardActor pool — the driver holds only
+    actor handles; lookups batch by ``doc_id % n_shards`` and return in the
+    caller's order."""
+
+    def __init__(self, index_dir: str, n_shards: int = 2):
+        self.n_shards = max(1, n_shards)
+        self.actors = [DocShardActor.remote(index_dir, s, self.n_shards)
+                       for s in range(self.n_shards)]
+        self.n_docs = sum(ray.get([a.count.remote() for a in self.actors]))
+
+    def _fanout(self, doc_ids: np.ndarray, with_desc: bool = False):
+        doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+        shard = (doc_ids % np.uint64(self.n_shards)).astype(np.int64)
+        urls = np.empty(len(doc_ids), dtype=object)
+        weights = np.empty(len(doc_ids), dtype=np.float32)
+        descs: list = [None] * len(doc_ids)
+        futs = []
+        idxs = []
+        for s in range(self.n_shards):
+            sel = np.flatnonzero(shard == s)
+            if sel.size == 0:
+                continue
+            futs.append(self.actors[s].hydrate.remote(doc_ids[sel],
+                                                      with_desc=with_desc))
+            idxs.append(sel)
+        for sel, (u, w, d) in zip(idxs, ray.get(futs)):
+            urls[sel] = u
+            weights[sel] = w
+            if d is not None:
+                for i, di in zip(sel, d):
+                    descs[i] = di
+        return urls, weights, descs
+
+    def urls_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        return self._fanout(doc_ids)[0]
+
+    def weights_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        return self._fanout(doc_ids)[1]
+
+    def lens_of(self, context: str, doc_ids: np.ndarray) -> np.ndarray:
+        doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+        shard = (doc_ids % np.uint64(self.n_shards)).astype(np.int64)
+        out = np.zeros(len(doc_ids), dtype=np.uint32)
+        futs, idxs = [], []
+        for s in range(self.n_shards):
+            sel = np.flatnonzero(shard == s)
+            if sel.size:
+                futs.append(self.actors[s].lens_of.remote(context, doc_ids[sel]))
+                idxs.append(sel)
+        for sel, arr in zip(idxs, ray.get(futs)):
+            out[sel] = arr
+        return out
+
+    def descs_of(self, doc_ids: np.ndarray) -> list[dict]:
+        import json
+
+        descs = self._fanout(doc_ids, with_desc=True)[2]
+        return [json.loads(d) if d else {} for d in descs]
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
+class RemoteIndexReader(IndexReader):
+    """IndexReader whose partition lookups fan out to a PartitionActor pool
+    and whose doc table is sharded across DocShardActors (driver memory =
+    routing metadata only).
     """
 
     def __init__(self, index_dir: str, n_actors: int = 4,
-                 generation: int | None = None):
+                 generation: int | None = None, *, doc_shards: int = 2):
         super().__init__(index_dir, generation)
+        self._doc_shards = doc_shards
         n_actors = max(1, min(n_actors, self.num_partitions))
         assign: list[list[int]] = [[] for _ in range(n_actors)]
         for k in range(self.num_partitions):
@@ -116,11 +237,20 @@ class RemoteIndexReader(IndexReader):
         results.sort(key=lambda t: t[0])
         return results
 
+    @property
+    def docs(self) -> ShardedDocTable:
+        if self._docs is None:
+            self._docs = ShardedDocTable(self.index_dir, self._doc_shards)
+        return self._docs
+
     def shutdown(self) -> None:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
         self.part_to_actor = {}
+        if self._docs is not None:
+            self._docs.shutdown()
+            self._docs = None
 
 
 def _range_score(reader: IndexReader, context: str, lb: str, ub: str, word: str):
