@@ -215,6 +215,91 @@ def norm_date(tokens) -> pa.Array:
     return pa.array([normalize_date(t) for t in arr.to_pylist()], pa.large_string())
 
 
+# ---------------------------------------------------------------- position
+
+# Parsec's `position` parser (Normalize/Position.hs:33-52): a signed decimal
+# latitude, a literal '-', a signed decimal longitude — prefix match
+# (the reference parses without eof, accepting trailing characters).
+_POS_RE = _re.compile(r"([+-]?[0-9]+(?:\.[0-9]+)?)-([+-]?[0-9]+(?:\.[0-9]+)?)")
+
+
+def parse_position(token: str) -> tuple[float, float] | None:
+    """(lat, lon) for a "lat-lon" token, None if invalid — bounds exclusive
+    (Position.hs:40-52: lat ∈ (-90, 90), lon ∈ (-180, 180))."""
+    m = _POS_RE.match(token)
+    if not m:
+        return None
+    lat, lon = float(m.group(1)), float(m.group(2))
+    if not (-90.0 < lat < 90.0 and -180.0 < lon < 180.0):
+        return None
+    return lat, lon
+
+
+def is_position(token: str) -> bool:
+    """isPosition (Position.hs:28-29)."""
+    return parse_position(token) is not None
+
+
+def validate_position(tokens) -> np.ndarray:
+    arr = _as_arrow(tokens)
+    return np.fromiter((is_position(t) for t in arr.to_pylist()),
+                       dtype=bool, count=len(arr))
+
+
+def _dec2bin(i: int) -> str:
+    """dec2bin (Position.hs:107-116): sign char ('0' = NEGATIVE, '1' =
+    non-negative — the reference's convention) + 31-bit zero-padded binary
+    magnitude."""
+    sign = "0" if i < 0 else "1"
+    return sign + format(abs(i), "b").zfill(31)
+
+
+def _bin2dec(s: str) -> int:
+    """bin2dec (Position.hs:97-104)."""
+    mag = int(s[1:], 2)
+    return -mag if s[0] == "0" else mag
+
+
+def normalize_position(token: str) -> str:
+    """Position.normalize (Position.hs:61-68): lat/lon → 1e-7 fixed point →
+    32-char sign+binary each → bit-interleaved (lat first) 64-char string.
+    Golden: normalize("1-1") ==
+    "1100000000000000110000111100000011000011001111001100000000000000"
+    (AnalyzerTests.hs:155-156)."""
+    p = parse_position(token)
+    if p is None:
+        return token
+    la = _dec2bin(round(p[0] * 10000000))
+    lo = _dec2bin(round(p[1] * 10000000))
+    return "".join(a + b for a, b in zip(la, lo))
+
+
+def denormalize_position(key: str) -> str:
+    """Position.denormalize (Position.hs:74-95): de-interleave, decode each
+    dimension, format with 7 decimals (showFFloat (Just 7))."""
+    la = _bin2dec(key[0::2]) / 10000000.0
+    lo = _bin2dec(key[1::2]) / 10000000.0
+    return f"{la:.7f}-{lo:.7f}"
+
+
+def position_in_range(key: str, lb: str, ub: str) -> bool:
+    """2-dim containment over interleaved keys — the observable semantics
+    of ``Data.StringMap.Dim2Search.lookupRange`` (PrefixTreeIndex2Dim.hs:
+    96-97): each dimension's 32-char sign+binary string must lie within the
+    corresponding bound strings lexicographically. (Sign-magnitude encoding
+    means negative coordinates order inverted — a reference quirk we keep;
+    its own property test only exercises non-negative coordinates,
+    InterpreterTests.hs:543-560.)"""
+    return (lb[0::2] <= key[0::2] <= ub[0::2]
+            and lb[1::2] <= key[1::2] <= ub[1::2])
+
+
+def norm_position(tokens) -> pa.Array:
+    arr = _as_arrow(tokens)
+    return pa.array([normalize_position(t) for t in arr.to_pylist()],
+                    pa.large_string())
+
+
 # ---------------------------------------------------------------- registry
 
 NORMALIZERS = {
@@ -222,6 +307,7 @@ NORMALIZERS = {
     "UpperCase": norm_uppercase,
     "ZeroFill": norm_zerofill,
     "Date": norm_date,
+    "Position": norm_position,
 }
 
 VALIDATORS = {
@@ -229,6 +315,7 @@ VALIDATORS = {
     "text-small": validate_non_empty,
     "int": validate_int,
     "date": validate_date,
+    "position": validate_position,
 }
 
 

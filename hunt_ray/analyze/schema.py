@@ -32,6 +32,7 @@ class ContextType:
     key_normalizer: str | None  # applied after the user chain (proxy)
     search_score: str           # "similar" | "similar_int" | "default"
     range_score: str            # "default" | "similar_range_int"
+    range_filter: str = "none"  # "none" | "position2d" (Dim2Search semantics)
 
 
 CONTEXT_TYPES: dict[str, ContextType] = {
@@ -72,6 +73,19 @@ CONTEXT_TYPES: dict[str, ContextType] = {
         search_score="default",
         range_score="default",
     ),
+    "position": ContextType(
+        name="position",
+        # Schema.hs:168: the reference's lat-long token regex
+        token_pattern=(r"-?(?:90(?:\.0*)?|[1-8]?[0-9](?:\.[0-9]*)?)-"
+                       r"-?(?:(?:180(?:\.0*)?)|(?:1[0-7][0-9])|(?:[1-9]?[0-9]))"
+                       r"(?:\.[0-9]*)?"),
+        validator="position",
+        value_kind="docset",                 # PrefixTreeIndexPosition: DocIdSet
+        key_normalizer="Position",
+        search_score="default",
+        range_score="default",
+        range_filter="position2d",           # Dim2Search.lookupRange semantics
+    ),
 }
 
 
@@ -111,6 +125,7 @@ def default_schema() -> Schema:
         ),
         "datecontext": ContextSchema(type="date", default=False, source="text"),
         "intcontext": ContextSchema(type="int", default=False, source="text"),
+        "geocontext": ContextSchema(type="position", default=False, source="text"),
     }
 
 

@@ -21,6 +21,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+# bump when the generated corpus changes shape/content, so external caches
+# (e.g. flagship.rank_identity's /tmp pages dir) invalidate
+FIXTURE_VERSION = 2
+
 BASE_TS_US = 1356998400000000  # 2013-01-01T00:00:00Z in microseconds
 TS_STEP_US = 37_000_000
 
@@ -43,6 +47,9 @@ def build_vocab(seed: int = 42, size: int = 10_000) -> list[str]:
         "mission", "tonight", "data", "text", "search", "index", "query",
         "2013-01-01", "2013-02-15", "2013-06-30", "2014-11-11",
         "6443264", "42", "1024", "-17",
+        # geo-position tokens (reference geoDoc canon "53.60000-10.00000",
+        # TestHelper.hs:258-265)
+        "53.6-10.0", "1-1", "25.5-7.25", "-3.25-100.5",
     ]
     seen = set(vocab)
     while len(vocab) < size:
@@ -118,6 +125,10 @@ def generate_pages(seed: int = 42, n_rows: int = 2000, url_offset: int = 0) -> p
         elif i_kind == 2:
             title, headline = "Int doc", "numbers"
             toks[:2] = ["int", "6443264"]
+        elif i_kind == 3:
+            # canon geo doc (geoDoc, TestHelper.hs:258-265)
+            title, headline = "Geo doc", "geo location hamburg"
+            toks[:3] = ["at", "53.6-10.0", "today"]
         else:
             title = " ".join(vocab[rng.choice(len(vocab), size=2, p=probs)])
             headline = " ".join(vocab[rng.choice(len(vocab), size=3, p=probs)])

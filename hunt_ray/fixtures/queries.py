@@ -31,6 +31,10 @@ REFERENCE_QUERIES: list[tuple[str, str, str]] = [
     ("follow_query", "follow", "take FOLLOW 3 world"),
     ("date_range", "range", "datecontext:[2013-01-01 TO 2013-06-30]"),
     ("int_range", "range", "intcontext:[40 TO 1024]"),
+    # geo 2-dim range over Morton-interleaved keys (InterpreterTests.hs:
+    # 543-560 prop_position_range shape)
+    ("geo_range", "range", "geocontext:[1-1 TO 60-20]"),
+    ("geo_range_tight", "range", "geocontext:[53.5-9.9 TO 53.7-10.1]"),
     ("fuzzy", "fuzzy", "~brain"),
     ("headlines_lower", "context", "headlines:PINKY"),
     ("or_of_ands", "or", "(take AND world) OR (brain AND mission)"),

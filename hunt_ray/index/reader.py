@@ -27,7 +27,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..analyze.normalize import denormalize_date, unzerofill_int
+from ..analyze.normalize import (
+    denormalize_date,
+    denormalize_position,
+    position_in_range as _pos_in_range,
+    unzerofill_int,
+)
 from ..analyze.schema import Schema, schema_from_json
 from ..common import scores as sc
 from .codec import decode_doc_ids, decode_positions, decode_tfs
@@ -234,6 +239,8 @@ class IndexReader:
             return unzerofill_int(word)
         if kn == "Date":
             return denormalize_date(word)
+        if kn == "Position":
+            return denormalize_position(word)
         return word
 
     def search_sc(self, op: str, context: str, key: str, *,
@@ -280,6 +287,9 @@ class IndexReader:
             pr = self.part(k)
             for entry in pr.lookup_range(context, lb, ub):
                 word = pr.terms[entry]
+                if cs.ctype.range_filter == "position2d" and \
+                        not _pos_in_range(word, lb, ub):
+                    continue  # Z-order scan superset → per-dimension filter
                 if cs.ctype.range_score == "similar_range_int":
                     s = _similar_range_int(unzerofill_int(lb), unzerofill_int(ub),
                                            self._denorm(context, word))

@@ -94,14 +94,20 @@ def rank_identity(sf_dir: str) -> pa.Table:
     from ..query.oracle import OracleIndex, OracleProcessor
     from ..query.parser import parse_query
 
+    from ..analyze.schema import schema_to_json
+    from ..fixtures.pages import FIXTURE_VERSION
+
     # the reference query set targets the fixture vocabulary, so the probe
-    # runs over the generated canon corpus (not the derived driver pages)
-    pages_dir = os.path.join(CACHE_ROOT, "rankid-pages-500")
+    # runs over the generated canon corpus (not the derived driver pages);
+    # cache key includes fixture version + schema so corpus changes rebuild
+    skey = hashlib.sha256(schema_to_json(default_schema()).encode()).hexdigest()[:8]
+    tag = f"500-v{FIXTURE_VERSION}-{skey}"
+    pages_dir = os.path.join(CACHE_ROOT, f"rankid-pages-{tag}")
     if not os.path.exists(os.path.join(pages_dir, "_done")):
         write_pages(pages_dir, seed=42, n_rows=500, rows_per_file=250)
         with open(os.path.join(pages_dir, "_done"), "w") as f:
             f.write("ok")
-    index_dir = os.path.join(CACHE_ROOT, "rankid-index-500")
+    index_dir = os.path.join(CACHE_ROOT, f"rankid-index-{tag}")
     build_index(pages_dir, index_dir,
                 BuildConfig(num_partitions=4, salt_buckets=2, batch_size=128,
                             analyzer_concurrency=2))  # resumes when cached

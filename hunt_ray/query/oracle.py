@@ -89,8 +89,12 @@ class OracleIndex:
         return w
 
     def range(self, cx: str, lb: str, ub: str) -> list[tuple[str, np.float32, Occ]]:
+        from ..analyze.normalize import position_in_range
+
         cs = self.schema[cx]
         words = sorted(w for w in self.ix[cx] if lb <= w <= ub)
+        if cs.ctype.range_filter == "position2d":
+            words = [w for w in words if position_in_range(w, lb, ub)]
         out = []
         for w in words:
             if cs.ctype.range_score == "similar_range_int":

@@ -229,8 +229,12 @@ class RemoteIndexReader(IndexReader):
 
     def lookup_range_sc(self, context: str, lb: str, ub: str, *,
                         with_positions: bool = True):
+        from ..analyze.normalize import position_in_range
+
         parts = self.parts_for("range", lb, ub)
         found = self._fanout("lookup_range", parts, (context, lb, ub), with_positions)
+        if self.schema[context].ctype.range_filter == "position2d":
+            found = [(w, t) for w, t in found if position_in_range(w, lb, ub)]
         results = [(w, _range_score(self, context, lb, ub, w),
                     Postings(doc_ids=t[0], tfs=t[1], pos_flat=t[2], pos_offsets=t[3]))
                    for w, t in found]

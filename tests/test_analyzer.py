@@ -133,10 +133,13 @@ def test_fixture_deterministic():
 
 def test_default_schema_shape():
     s = default_schema()
-    assert set(s) == {"body", "title", "headlines", "datecontext", "intcontext"}
+    assert set(s) == {"body", "title", "headlines", "datecontext",
+                      "intcontext", "geocontext"}
     assert s["title"].weight == 2.0
     assert s["headlines"].normalizers == ("LowerCase",)
     assert not s["datecontext"].default
+    assert not s["geocontext"].default
+    assert s["geocontext"].ctype.range_filter == "position2d"
 
 
 def test_date_extended_shapes():
