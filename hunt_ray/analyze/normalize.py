@@ -115,13 +115,19 @@ _DAYS_IN_MONTH = np.array([0, 31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31])
 
 
 def validate_date(tokens) -> np.ndarray:
-    """isAnyDate for the YYYY-MM-DD token shape the date tokenizer emits
-    (Date.hs:77-79): month/day range check incl. leap years, vectorized."""
+    """isAnyDate (Date.hs:77-79): vectorized month/day range check incl.
+    leap years for the dominant YYYY-MM-DD token shape; the remaining xsd
+    shapes (dateTime, gYearMonth, gYear, gMonthDay, gMonth, gDay, optional
+    timezone) fall back to the scalar reader set."""
     arr = _as_arrow(tokens)
     shaped = pc.match_substring_regex(
         arr, r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$").to_numpy(zero_copy_only=False).astype(bool)
     n = len(arr)
     ok = np.zeros(n, dtype=bool)
+    if not shaped.all():
+        toks = arr.to_pylist()
+        for i in np.flatnonzero(~shaped):
+            ok[i] = parse_any_date(toks[i]) is not None
     if shaped.any():
         yy = pc.utf8_slice_codeunits(arr, 0, 4).cast(pa.string())
         mm = pc.utf8_slice_codeunits(arr, 5, 7)
@@ -152,6 +158,9 @@ _DATE_FORMATS = (
     ("%Y-%m-%d", 10),            # xsd:date
     ("%Y-%m", 7),                # xsd:gYearMonth
     ("%Y", 4),                   # xsd:gYear
+    ("--%m-%d", 7),              # xsd:gMonthDay → year 1 (Date.hs:281-287)
+    ("--%m", 4),                 # xsd:gMonth    → (1, m, 1) (Date.hs:289-293)
+    ("---%d", 5),                # xsd:gDay      → (1, 1, d) (Date.hs:295-299)
 )
 
 import re as _re
@@ -160,9 +169,15 @@ _TZ_RE = _re.compile(r"(Z|[+-]\d{2}:\d{2})$")
 
 
 def parse_any_date(token: str) -> datetime | None:
-    """readAnyDateM equivalent: the xsd date/dateTime/gYearMonth/gYear
-    shapes with optional Z / ±HH:MM timezone (Date.hs:162-327) — scalar,
-    query-key path only."""
+    """readAnyDateM equivalent: the xsd dateTime/date/gYearMonth/gYear/
+    gMonthDay/gMonth/gDay shapes with optional Z / ±HH:MM timezone
+    (Date.hs:162-327) — scalar, shared by query keys and the tokenizer
+    fallback path.
+
+    Timezone quirk kept for parity: the reference's ``toUTCTime`` ADDS the
+    offset to the wall time (``addUTCTime tz d``, Date.hs:150-156) rather
+    than subtracting it, so "+02:00" moves the normalized time forward.
+    """
     from datetime import timedelta
 
     t = token
@@ -180,10 +195,12 @@ def parse_any_date(token: str) -> datetime | None:
         if len(t) == ln:
             try:
                 d = datetime.strptime(t, fmt)
+                if fmt.startswith("-"):  # gMonthDay/gMonth/gDay: year 1
+                    d = d.replace(year=1)
             except ValueError:
                 continue
             if offset is not None:
-                d = d - offset  # to UTC (toUTC, Date.hs)
+                d = d + offset  # toUTC adds the offset (reference quirk)
             return d
     return None
 
@@ -195,7 +212,9 @@ def normalize_date(token: str) -> str:
     d = parse_any_date(token)
     if d is None:
         return token
-    return d.strftime("%Y%m%d%H%M%S")
+    # f-string formatting: strftime %Y does not zero-pad year 1 everywhere
+    return (f"{d.year:04d}{d.month:02d}{d.day:02d}"
+            f"{d.hour:02d}{d.minute:02d}{d.second:02d}")
 
 
 def denormalize_date(key: str) -> str:

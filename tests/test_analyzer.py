@@ -147,7 +147,61 @@ def test_date_extended_shapes():
     assert normalize_date("2013") == "20130101000000"
     assert normalize_date("2013-06") == "20130601000000"
     assert normalize_date("2013-01-01T12:00:00Z") == "20130101120000"
-    assert normalize_date("2013-01-01T12:00:00+02:00") == "20130101100000"
-    assert normalize_date("2013-01-01T12:00:00-01:30") == "20130101133000"
+    # timezone parity quirk: the reference's toUTCTime ADDS the offset
+    # (addUTCTime tz d, Date.hs:150-156)
+    assert normalize_date("2013-01-01T12:00:00+02:00") == "20130101140000"
+    assert normalize_date("2013-01-01T12:00:00-01:30") == "20130101103000"
     assert is_any_date("2013")
     assert not is_any_date("20x3")
+
+
+def test_date_g_shapes():
+    # gMonthDay / gMonth / gDay readers anchor at year 1 (Date.hs:281-299)
+    assert normalize_date("--01-16") == "00010116000000"
+    assert normalize_date("--03") == "00010301000000"
+    assert normalize_date("---12") == "00010112000000"
+    assert is_any_date("--01-16") and is_any_date("--03") and is_any_date("---12")
+
+
+def test_date_scan_token_counts():
+    """scanTextRE date-regex token counts (AnalyzerTests.hs:221-255): the
+    default date tokenizer extracts only full YYYY-MM-DD tokens — partial
+    dates yield zero tokens, matching the reference default regex."""
+    import pyarrow as pa
+
+    from hunt_ray.analyze.schema import ContextSchema
+    from hunt_ray.analyze.tokenize import tokenize_context
+
+    cs = ContextSchema(type="date", default=False, source="text")
+
+    def scan(text: str) -> list[str]:
+        return tokenize_context(pa.array([text]), cs).tokens_list()
+
+    assert len(scan("w1 w2 w3")) == 0                       # test_scan_date1
+    assert len(scan("2013-01-01")) == 1                     # test_scan_date2
+    assert len(scan("2013-01-01 2012-12-31")) == 2          # test_scan_date3
+    got = scan("2013-01-01 asd 2013-01-01")                 # test_scan_date4
+    assert len(got) == 2 and got[1] == "20130101000000"     # (normalized)
+    assert len(scan("2013-01")) == 0                        # test_scan_date5
+    assert len(scan("2013")) == 0                           # test_scan_date6
+
+
+def test_date_custom_regex_context_indexes_g_shapes():
+    """A context with a user tokenizer override that emits gYear/gYearMonth
+    tokens must normalize them through the full reader set at INDEX time
+    (not just for query keys)."""
+    import pyarrow as pa
+
+    from hunt_ray.analyze.schema import ContextSchema
+    from hunt_ray.analyze.tokenize import tokenize_context
+    from hunt_ray.analyze.normalize import norm_date
+
+    cs = ContextSchema(type="date", default=False, source="text",
+                       regexp=r"[0-9]{4}(?:-[0-9]{2}(?:-[0-9]{2})?)?")
+    stream = tokenize_context(pa.array(["in 2013 and 2013-06 and 2013-01-01"]), cs)
+    # tokenize_context normalizes through the full reader set already
+    assert stream.tokens_list() == ["20130101000000", "20130601000000",
+                                    "20130101000000"]
+    # the vectorized normalizer kernel agrees with the scalar readers
+    normed = norm_date(pa.array(["2013", "2013-06", "2013-01-01"])).to_pylist()
+    assert normed == ["20130101000000", "20130601000000", "20130101000000"]
