@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # threshold 0.45: the synthetic embeddings top out at ~0.51 cosine,
         # so this exercises real near-dup pairs (0.95 would be vacuous)
         "q_embedding_dedup": lambda sf: dedup.embedding_dedup(sf, threshold=0.45),
+        # LSH-bucketed scale path (recall vs brute tested in pytest)
+        "q_embedding_dedup_lsh": lambda sf: dedup.embedding_dedup_lsh(sf, threshold=0.45),
         # --- similarity search (driver mandate)
         "q_knn_cosine": lambda sf: similarity.knn_brute(sf, KNN_QUERY_IDS, 10),
         "q_knn_ivf": lambda sf: similarity.knn_ivf(sf, KNN_QUERY_IDS, 10),

@@ -401,3 +401,90 @@ def embedding_dedup(sf_dir: str, *, threshold: float = 0.95):
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ds.map_batches(block, batch_format="pyarrow")
+
+
+def embedding_dedup_lsh(sf_dir: str, *, threshold: float = 0.45,
+                        n_planes: int | None = None, n_tables: int = 16,
+                        seed: int = 5):
+    """Near-dup pairs by cosine with random-hyperplane LSH blocking — the
+    100 TB path (``embedding_dedup`` stays the brute-force oracle mode).
+
+    Each of ``n_tables`` hash tables buckets vectors by the sign pattern of
+    ``vec @ planes`` (n_planes random hyperplanes); candidate pairs only
+    ever meet inside a (table, bucket) group, where exact cosine verifies
+    them. Recall is probabilistic (two vectors at angle θ collide in one
+    table with probability (1−θ/π)^n_planes); more tables → higher recall.
+    No all-pairs stage and no whole-corpus broadcast.
+
+    ``n_planes`` defaults from the threshold: p = 1 − arccos(threshold)/π,
+    planes chosen so one table retains ≳15% of threshold-grade pairs —
+    high thresholds (0.9+, the usual near-dup regime) afford many planes
+    (small buckets); loose thresholds need fewer, coarser buckets.
+    """
+    import math
+
+    import ray.data as rd
+
+    if n_planes is None:
+        p = 1.0 - math.acos(min(1.0, threshold)) / math.pi
+        n_planes = max(2, min(16, int(math.log(0.15) / math.log(p))))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        # planes derived from the seed per call — no state to ship
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        bm = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float32)
+        nrm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        dim = bm.shape[1]
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, dim, n_planes)).astype(np.float32)
+        out = {"table": [], "bucket": [], "vec_id": [], "vec": []}
+        weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+        vec_bytes = [nrm[i].tobytes() for i in range(len(bids))]
+        for t in range(n_tables):
+            bits = (nrm @ planes[t]) > 0.0
+            bucket = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+            out["table"].extend([t] * len(bids))
+            out["bucket"].extend(bucket.tolist())
+            out["vec_id"].extend(bids.tolist())
+            out["vec"].extend(vec_bytes)
+        return pa.table({"table": pa.array(out["table"], pa.int32()),
+                         "bucket": pa.array(out["bucket"], pa.uint64()),
+                         "vec_id": pa.array(out["vec_id"], pa.int64()),
+                         "vec": pa.array(out["vec"], pa.large_binary())})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                           ("cosine", pa.float64())]).empty_table()
+        if group.num_rows < 2:
+            return empty
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        uniq_mask = np.r_[True, ids[1:] != ids[:-1]]
+        rows = order[uniq_mask]
+        ids = ids[uniq_mask]
+        if len(ids) < 2:
+            return empty
+        if len(ids) > MAX_BUCKET:
+            print(f"embedding-lsh: capped hot bucket ({len(ids)} → {MAX_BUCKET})")
+            rows, ids = rows[:MAX_BUCKET], ids[:MAX_BUCKET]
+        vec_col = group.column("vec")
+        mat = np.stack([np.frombuffer(vec_col[int(r)].as_py(), dtype=np.float32)
+                        for r in rows]).astype(np.float64)
+        sims = mat @ mat.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        keep_a = np.minimum(ids[ii], ids[jj])
+        keep_b = np.maximum(ids[ii], ids[jj])
+        return pa.table({"vec_a": pa.array(keep_a, pa.int64()),
+                         "vec_b": pa.array(keep_b, pa.int64()),
+                         "cosine": pa.array(np.round(sims[ii, jj], 6), pa.float64())})
+
+    from ray.data.aggregate import Max
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    pairs = (ds.map_batches(bucketize, batch_format="pyarrow")
+             .groupby(["table", "bucket"])
+             .map_groups(bucket_pairs, batch_format="pyarrow"))
+    # a pair can collide in several tables — keep one row per pair
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("cosine", alias_name="cosine"))

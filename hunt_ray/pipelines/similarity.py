@@ -102,11 +102,17 @@ def knn_ivf(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 
     import ray
     import ray.data as rd
 
+    import ray.data as rd
+
     qids, qn = _load_queries(sf_dir, query_ids)
-    # sample → centroids (driver side, bounded)
-    sample = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                           columns=["embedding"]).column("embedding")
-    smat = np.stack(sample.to_numpy(zero_copy_only=False)[:4096]).astype(np.float64)
+    # seeded RANDOM sample → centroids (driver holds ≤4096 rows; a
+    # first-N slice would bias centroids toward the file's row order)
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    frac = min(1.0, 4096 * 1.25 / max(1, n_rows))
+    sample_rows = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["embedding"])
+                   .random_sample(frac, seed=seed).limit(4096).take_all())
+    smat = np.stack([r["embedding"] for r in sample_rows]).astype(np.float64)
     smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
     cents = _kmeans_lite(smat, n_clusters, seed)
     probes = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (q, nprobe)

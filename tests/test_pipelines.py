@@ -139,6 +139,25 @@ def test_simhash_near_duplicates(tmp_path):
     assert not ((pairs["doc_a"] == 1) & (pairs["doc_b"] == 3)).any()
 
 
+def test_embedding_lsh_recall_vs_brute():
+    """LSH-bucketed dedup must (a) return only true ≥-threshold pairs with
+    exact cosines (verification is exact) and (b) recall most of brute
+    force's pairs on the driver embeddings."""
+    from hunt_ray.pipelines.dedup import embedding_dedup, embedding_dedup_lsh
+
+    brute = embedding_dedup(SF, threshold=0.45).to_pandas()
+    lsh = embedding_dedup_lsh(SF, threshold=0.45).to_pandas()
+    bp = set(map(tuple, brute[["vec_a", "vec_b"]].values.tolist()))
+    lp = set(map(tuple, lsh[["vec_a", "vec_b"]].values.tolist()))
+    assert lp <= bp                      # no false positives (exact verify)
+    if bp:
+        assert len(lp & bp) / len(bp) >= 0.6   # probabilistic recall
+    # cosines agree with brute on the common pairs
+    bmap = {(a, b): c for a, b, c in brute.values.tolist()}
+    for a, b, c in lsh.values.tolist():
+        assert abs(bmap[(a, b)] - c) < 1e-9
+
+
 def test_knn_brute_vs_numpy():
     import pyarrow.parquet as pq
 
