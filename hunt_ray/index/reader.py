@@ -152,10 +152,13 @@ class PartitionReader:
         doc_parts, tf_parts, pos_parts, off_parts = [], [], [], []
         base = 0
         any_pos = False
-        for r in range(lo, hi):
-            dblob = tbl.column("doc_ids")[r].as_py()
-            tblob = tbl.column("tfs")[r].as_py()
-            pblob = tbl.column("positions")[r].as_py()
+        # one column slice per blob kind (head terms span many chunk rows —
+        # per-row .as_py() scalar indexing costs a wrapper object each)
+        sub = tbl.slice(lo, hi - lo)
+        dblobs = sub.column("doc_ids").to_pylist()
+        tblobs = sub.column("tfs").to_pylist()
+        pblobs = sub.column("positions").to_pylist()
+        for dblob, tblob, pblob in zip(dblobs, tblobs, pblobs):
             dids = decode_doc_ids(dblob)
             tfs = decode_tfs(tblob)
             doc_parts.append(dids)
