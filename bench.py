@@ -213,7 +213,7 @@ def run_bench() -> dict:
     dedup.exact_dedup_groups(SF_DIR).count()
     timings["exact_dedup"] = round(time.time() - t, 3)
     t = time.time()
-    dedup.minhash_dedup(SF_DIR)
+    dedup.minhash_dedup(SF_DIR).count()  # lazy Dataset — force execution
     timings["minhash_dedup"] = round(time.time() - t, 3)
     t = time.time()
     similarity.knn_brute(SF_DIR)

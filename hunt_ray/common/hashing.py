@@ -51,3 +51,21 @@ def doc_ids_for_urls(urls: pa.Array | pa.ChunkedArray) -> np.ndarray:
 
 def bucket_of(hashes: np.ndarray, n_buckets: int) -> np.ndarray:
     return (hashes % np.uint64(n_buckets)).astype(np.int32)
+
+
+def doc_id_to_hex(doc_id: int) -> str:
+    """toHex (DocId.hs:79-85): "0x" + lowercase hex, no padding — the
+    JSON/debug rendering of a doc id."""
+    return f"0x{int(doc_id):x}"
+
+
+def doc_id_from_hex(text: str) -> int | None:
+    """fromHex (DocId.hs:87-89): parse hex with or without the 0x prefix;
+    None when not a valid hex string."""
+    t = text[2:] if text.startswith(("0x", "0X")) else text
+    if not t:
+        return None
+    try:
+        return int(t, 16)
+    except ValueError:
+        return None

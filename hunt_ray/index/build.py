@@ -673,10 +673,14 @@ def build_index(pages_path: str | list[str], index_dir: str,
         # faults fresh anonymous pages at ~80 MB/s — see bench.py notes)
         import ray as _ray
 
-        # NB: capped — merge throughput on this sandbox VM is bound by
-        # hypervisor page backing above ~8 concurrent workers (see bench.py
-        # notes); parts are batched per task so footer parsing amortizes
-        merge_conc = max(2, min(len(todo), 8,
+        # NB: default cap 8 — merge throughput on this sandbox VM is bound
+        # by hypervisor page backing above ~8 concurrent workers (see
+        # bench.py notes); parts are batched per task so footer parsing
+        # amortizes. On real clusters raise HUNT_MERGE_CONC (or set it to
+        # the per-node core count) — the cap is an environment workaround,
+        # not a design limit.
+        cap = int(os.environ.get("HUNT_MERGE_CONC", "8"))
+        merge_conc = max(2, min(len(todo), cap,
                                 int(_ray.cluster_resources().get("CPU", 8)) // 2))
         parts_per_task = max(1, len(todo) // max(1, merge_conc))
         merge_stats = rd.from_items([{"part": k} for k in todo]).map_batches(

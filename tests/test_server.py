@@ -1,0 +1,98 @@
+"""HTTP shim: the reference server's REST surface over the command
+interpreter (Server.hs:87-101 routes)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from hunt_ray.query.commands import CommandInterpreter
+from hunt_ray.server import HuntServer
+
+DOCS = [
+    {"uri": "http://a", "index": {"body": "brain takes over the world"},
+     "description": {"k": "v1"}},
+    {"uri": "http://b", "index": {"body": "pinky follows the brain"},
+     "description": {"k": "v2"}},
+    {"uri": "http://c", "index": {"body": "unrelated document text"}},
+]
+
+
+@pytest.fixture(scope="module")
+def server(ray_session, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("httpidx"))
+    interp = CommandInterpreter(root)
+    interp.execute({"cmd": "sequence",
+                    "cmds": [{"cmd": "insert", "document": d} for d in DOCS]})
+    srv = HuntServer(interp).start()
+    yield srv, interp
+    srv.shutdown()
+
+
+def _get(srv: HuntServer, path: str) -> dict:
+    with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}") as r:
+        return json.loads(r.read())
+
+
+def _post(srv: HuntServer, path: str, payload: dict) -> dict:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def test_http_search_matches_interpreter(server):
+    srv, interp = server
+    via_http = _get(srv, "/search/brain")
+    assert via_http["code"] == 0
+    direct = interp.execute({"cmd": "search", "query": "brain"})
+    assert via_http["msg"] == direct
+    uris = [h["uri"] for h in via_http["msg"]["result"]]
+    assert set(uris) == {"http://a", "http://b"}
+
+
+def test_http_search_paged(server):
+    srv, _ = server
+    page = _get(srv, "/search/brain/1/1")["msg"]
+    assert page["offset"] == 1 and page["max"] == 1
+    assert len(page["result"]) == 1 and page["count"] == 2
+
+
+def test_http_completion_and_status(server):
+    srv, _ = server
+    comp = _get(srv, "/completion/bra/5")["msg"]
+    assert any(w["word"] == "brain" for w in comp["words"])
+    st = _get(srv, "/status")["msg"]
+    assert st["doc_count"] == 3
+
+
+def test_http_eval_roundtrip(server):
+    srv, _ = server
+    res = _post(srv, "/eval", {"cmd": "search", "query": "pinky"})
+    assert res["code"] == 0
+    assert [h["uri"] for h in res["msg"]["result"]] == ["http://b"]
+
+
+def test_http_unknown_route(server):
+    srv, _ = server
+    try:
+        _get(srv, "/nope")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_hex_docid_rendering():
+    from hunt_ray.common.hashing import doc_id_from_hex, doc_id_to_hex
+
+    assert doc_id_to_hex(255) == "0xff"
+    assert doc_id_from_hex("0xff") == 255
+    assert doc_id_from_hex("ff") == 255
+    assert doc_id_from_hex("xyz") is None
+    assert doc_id_from_hex("0x") is None
+    big = 2**63 + 12345
+    assert doc_id_from_hex(doc_id_to_hex(big)) == big
