@@ -79,7 +79,31 @@ def _flat_tokens_fast(texts: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray
 
 
 def _flat_tokens_regex(texts: pa.Array, pattern: str) -> tuple[np.ndarray, pa.Array, np.ndarray]:
-    """Per-doc regex findall for non-\\w+ tokenizers (int/date contexts)."""
+    """Vectorized regex scan for non-\\w+ tokenizers (int/date/geo
+    contexts): polars ``str.extract_all`` (Rust regex crate, leftmost-first
+    alternation like Python ``re``) over the whole column. Patterns the
+    Rust engine rejects (lookaround, backrefs) fall back to a per-row
+    Python findall."""
+    s = pl.from_arrow(texts)
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    try:
+        lists = s.str.extract_all(pattern)
+    except Exception:  # unsupported pattern features → slow path
+        return _flat_tokens_regex_py(texts, pattern)
+    counts = lists.list.len().fill_null(0).to_numpy().astype(np.int64)
+    flat = lists.explode().drop_nulls()  # empty/null docs explode to null rows
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    positions = _positions_within(doc_idx)
+    tokens = flat.to_arrow()
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    return doc_idx, tokens, positions
+
+
+def _flat_tokens_regex_py(texts: pa.Array, pattern: str) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """Per-doc Python findall fallback (NOTE: with capturing groups Python
+    ``findall`` returns group contents — use non-capturing groups)."""
     rex = re.compile(pattern)
     tokens_l: list[str] = []
     counts = np.zeros(len(texts), dtype=np.int64)
