@@ -53,8 +53,20 @@ class BM25Engine:
         self.N = int(reader.stats.get("n_docs", 0))
         self.avgdl = float(reader.stats.get(f"avgdl_{context}", 0.0)) or 1.0
         docs = reader.docs
-        self._doc_id_sorted = docs.doc_id
-        self._doclen = docs.lens[context].astype(np.float64)
+        if hasattr(docs, "doc_id"):
+            # local whole-corpus DocTable: resident doclen arrays
+            self._doc_id_sorted = docs.doc_id
+            self._doclen = docs.lens[context].astype(np.float64)
+            self._docs = None
+        else:
+            # sharded doc table (serve mode): doclens fetched in batches on
+            # demand and cached as growing sorted arrays — driver memory is
+            # O(docs touched by queries), never O(corpus)
+            self._doc_id_sorted = None
+            self._doclen = None
+            self._docs = docs
+            self._dl_ids = np.empty(0, dtype=np.uint64)
+            self._dl_vals = np.empty(0, dtype=np.float64)
         self._term_cache: dict[str, _TermPostings | None] = {}
 
     # -- query analysis ---------------------------------------------
@@ -115,9 +127,35 @@ class BM25Engine:
 
     # -- scoring ----------------------------------------------------
 
+    def _ensure_dl(self, doc_ids: np.ndarray) -> None:
+        """Serve mode: bulk-fetch uncached doclens from the shard actors
+        (one fan-out per scoring batch, not per doc)."""
+        if self._doclen is not None or len(doc_ids) == 0:
+            return
+        ids = np.unique(np.asarray(doc_ids, dtype=np.uint64))
+        if len(self._dl_ids):
+            pos = np.searchsorted(self._dl_ids, ids)
+            pos_c = np.minimum(pos, len(self._dl_ids) - 1)
+            miss = ids[self._dl_ids[pos_c] != ids]
+        else:
+            miss = ids
+        if miss.size == 0:
+            return
+        vals = np.asarray(self._docs.lens_of(self.context, miss),
+                          dtype=np.float64)
+        all_ids = np.concatenate([self._dl_ids, miss])
+        all_vals = np.concatenate([self._dl_vals, vals])
+        order = np.argsort(all_ids, kind="stable")
+        self._dl_ids = all_ids[order]
+        self._dl_vals = all_vals[order]
+
     def _norm_denominator(self, tfs: np.ndarray, doc_ids: np.ndarray) -> np.ndarray:
-        idx = np.searchsorted(self._doc_id_sorted, doc_ids)
-        dl = self._doclen[idx]
+        if self._doclen is not None:
+            idx = np.searchsorted(self._doc_id_sorted, doc_ids)
+            dl = self._doclen[idx]
+        else:
+            self._ensure_dl(doc_ids)
+            dl = self._dl_vals[np.searchsorted(self._dl_ids, doc_ids)]
         return tfs + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
 
     def _tf_score(self, tp: _TermPostings, sel: np.ndarray | slice) -> np.ndarray:

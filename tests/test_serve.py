@@ -66,6 +66,29 @@ def test_sharded_doc_table_matches_local(serve_index):
         sharded.shutdown()
 
 
+def test_bm25_over_sharded_doc_table(serve_index):
+    """BM25 through RemoteIndexReader (partition actors + sharded doclens)
+    must match the local engine bit-for-bit, with no whole-corpus arrays on
+    the driver — only the on-demand doclen cache."""
+    from hunt_ray.index.reader import IndexReader
+    from hunt_ray.query.bm25 import BM25Engine
+
+    local = BM25Engine(IndexReader(serve_index))
+    rr = RemoteIndexReader(serve_index, n_actors=2, doc_shards=3)
+    remote = BM25Engine(rr)
+    try:
+        assert remote._doclen is None  # sharded path active
+        for q in ["brain", "take over the world", "the and of", "brain pinky"]:
+            for mode in ("maxscore", "wand", "exhaustive"):
+                a = local.search(q, k=10, mode=mode, hydrate=True)
+                b = remote.search(q, k=10, mode=mode, hydrate=True)
+                assert a == b, (q, mode)
+        # cache grew only as far as the queries touched
+        assert 0 < len(remote._dl_ids) <= local._doc_id_sorted.size
+    finally:
+        rr.shutdown()
+
+
 def test_routing_targets_single_partition(serve_index):
     r = RemoteIndexReader(serve_index, n_actors=2)
     try:
