@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family (driver mandate)
         "q_exact_dedup": dedup.exact_dedup_groups,
         "q_minhash_dedup": lambda sf: dedup.minhash_dedup(sf, threshold=0.5),
+        "q_ngram_jaccard": lambda sf: dedup.ngram_jaccard_dedup(sf, threshold=0.75),
         "q_simhash": dedup.simhash,
         "q_simhash_dedup": lambda sf: dedup.simhash_dedup(sf, max_hamming=3),
         # threshold 0.45: the synthetic embeddings top out at ~0.51 cosine,
@@ -258,6 +259,25 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
             "SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_copies, "
             "min(doc_id)::BIGINT AS keep_doc_id FROM documents GROUP BY md5(text)"
         ),
+        "q_ngram_jaccard": """
+WITH grams AS (
+  SELECT DISTINCT d.doc_id, substring(lower(d.text), t.i::INT, 3) AS g
+  FROM documents d,
+       unnest(generate_series(1, greatest(length(d.text) - 2, 0))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+       round(i / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.doc_a
+JOIN sizes sb ON sb.doc_id = inter.doc_b
+WHERE i / (sa.n + sb.n - i) >= 0.75
+""",
         "q_embedding_dedup": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
             "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine "

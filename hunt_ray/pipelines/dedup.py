@@ -281,6 +281,226 @@ def minhash_dedup(sf_dir: str, *, threshold: float = 0.5, seed: int = 7, k: int 
             .groupby(["doc_a", "doc_b"]).map_groups(verify, batch_format="pyarrow"))
 
 
+# ------------------------------------------------------------------ n-gram jaccard (exact)
+
+_GMIX = (np.uint64(0x9E3779B185EBCA87), np.uint64(0xC2B2AE3D27D4EB4F),
+         np.uint64(0x165667B19E3779F9))
+
+
+def _char_ngram_hashes(text: str, n: int) -> np.ndarray:
+    """Distinct character-n-gram hashes of lower(text) — vectorized per doc
+    (utf-32 view + sliding windows + one mix/unique pass)."""
+    t = (text or "").lower()
+    if len(t) < n:
+        return np.empty(0, np.uint64)
+    u = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+    w = np.lib.stride_tricks.sliding_window_view(u, n).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = np.zeros(len(w), dtype=np.uint64)
+        for j in range(n):
+            h ^= (w[:, j] + np.uint64(j + 1)) * _GMIX[j % 3]
+    return np.unique(h)
+
+
+def ngram_jaccard_dedup(sf_dir: str, *, threshold: float = 0.75, n: int = 3):
+    """EXACT near-dup pairs by character-n-gram Jaccard ≥ threshold.
+
+    Same result as the SQL oracle (pairs share ≥1 gram; |A∩B| counted via
+    a gram-keyed shuffle, |A|/|B| attached via a doc-keyed shuffle) — the
+    deterministic mode for moderate corpora. Shared-gram pair generation
+    is inherently Σ_g df(g)² — at web scale use ``minhash_dedup`` (the
+    probabilistic path); this one is the oracle-matched ground truth.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        hs = [_char_ngram_hashes(t, n) for t in texts]
+        counts = np.asarray([len(x) for x in hs], dtype=np.int64)
+        return pa.table({
+            "gram": pa.array(np.concatenate(hs) if len(hs) else
+                             np.empty(0, np.uint64), pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+        })
+
+    def size_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        sizes = np.asarray([len(_char_ngram_hashes(t, n)) for t in texts],
+                           dtype=np.float64)
+        return pa.table({"key": pa.array(ids, pa.int64()),
+                         "doc_a": pa.array(np.zeros(len(ids)), pa.int64()),
+                         "doc_b": pa.array(np.zeros(len(ids)), pa.int64()),
+                         "i": pa.array(np.zeros(len(ids)), pa.float64()),
+                         "role": pa.array([2] * len(ids), pa.int32()),
+                         "n": pa.array(sizes, pa.float64())})
+
+    # pair generation is bucketed into P gram-hash partitions (ONE group
+    # call per partition, segments vectorized inside) — a per-gram
+    # map_groups would invoke Python once per distinct gram
+    P = 32
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (batch.column("gram").to_numpy(zero_copy_only=False)
+                % np.uint64(P)).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    _PAIRS_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                               ("i", pa.float64()), ("ppart", pa.int32())])
+
+    def _pair_partials(a: np.ndarray, b: np.ndarray, w: np.ndarray | None
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Collapse (a, b[, weight]) rows to per-pair sums via one lexsort."""
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        wv = w[order] if w is not None else np.ones(len(a))
+        starts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        sums = np.add.reduceat(wv, starts) if len(a) else np.empty(0)
+        return a[starts], b[starts], sums
+
+    def pairs_of_part(group: pa.Table) -> pa.Table:
+        """One gram-hash bucket → per-pair PARTIAL co-gram counts (the
+        map-side combine: a pair sharing many grams in this bucket is one
+        row out, not many)."""
+        g = group.column("gram").to_numpy(zero_copy_only=False)
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, g))
+        g, d = g[order], d[order]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        outs_a, outs_b = [], []
+        for lo, hi in zip(starts, ends):  # per-gram segment, numpy inside
+            k = int(hi - lo)
+            if k < 2:
+                continue
+            ii, jj = np.triu_indices(k, k=1)
+            outs_a.append(d[lo:hi][ii])
+            outs_b.append(d[lo:hi][jj])
+        if not outs_a:
+            return _PAIRS_SCHEMA.empty_table()
+        pa_, pb, pi = _pair_partials(np.concatenate(outs_a),
+                                     np.concatenate(outs_b), None)
+        with np.errstate(over="ignore"):
+            ph = ((pa_.astype(np.uint64) * _GMIX[0]) ^
+                  (pb.astype(np.uint64) * _GMIX[1])) % np.uint64(P)
+        return pa.table({"doc_a": pa.array(pa_, pa.int64()),
+                         "doc_b": pa.array(pb, pa.int64()),
+                         "i": pa.array(pi, pa.float64()),
+                         "ppart": pa.array(ph.astype(np.int32), pa.int32())})
+
+    def sum_pair_part(group: pa.Table) -> pa.Table:
+        """One pair-hash bucket → final per-pair co-gram counts."""
+        if group.num_rows == 0 or "doc_a" not in group.column_names:
+            return pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                              ("i", pa.float64())]).empty_table()
+        fa, fb, fi = _pair_partials(
+            group.column("doc_a").to_numpy(zero_copy_only=False),
+            group.column("doc_b").to_numpy(zero_copy_only=False),
+            group.column("i").to_numpy(zero_copy_only=False))
+        return pa.table({"doc_a": pa.array(fa, pa.int64()),
+                         "doc_b": pa.array(fb, pa.int64()),
+                         "i": pa.array(fi, pa.float64())})
+
+    def read():
+        return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    inter = (read().map_batches(gram_rows, batch_format="pyarrow")
+             .map_batches(add_part, batch_format="pyarrow")
+             .groupby("part").map_groups(pairs_of_part, batch_format="pyarrow")
+             .groupby("ppart").map_groups(sum_pair_part, batch_format="pyarrow"))
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_a" not in batch.column_names:
+            return pa.schema([("key", pa.int64()), ("doc_a", pa.int64()),
+                              ("doc_b", pa.int64()), ("i", pa.float64()),
+                              ("role", pa.int32()), ("n", pa.float64())]).empty_table()
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        iv = batch.column("i").to_numpy(zero_copy_only=False).astype(np.float64)
+        m = len(da)
+        return pa.table({
+            "key": pa.array(np.concatenate([da, db]), pa.int64()),
+            "doc_a": pa.array(np.concatenate([da, da]), pa.int64()),
+            "doc_b": pa.array(np.concatenate([db, db]), pa.int64()),
+            "i": pa.array(np.concatenate([iv, iv]), pa.float64()),
+            "role": pa.array([0] * m + [1] * m, pa.int32()),
+            "n": pa.array(np.zeros(2 * m), pa.float64()),
+        })
+
+    def add_kpart(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "key" not in batch.column_names:
+            return pa.schema([("key", pa.int64()), ("doc_a", pa.int64()),
+                              ("doc_b", pa.int64()), ("i", pa.float64()),
+                              ("role", pa.int32()), ("n", pa.float64()),
+                              ("kpart", pa.int32())]).empty_table()
+        kp = (batch.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
+              % np.uint64(P)).astype(np.int32)
+        return batch.append_column("kpart", pa.array(kp, pa.int32()))
+
+    def attach_part(group: pa.Table) -> pa.Table:
+        """One key-hash bucket: per-key segments, size rows (role 2) fill
+        the pair-side rows' n — fully vectorized; output carries the
+        pair-hash bucket for the final combine."""
+        k = group.column("key").to_numpy(zero_copy_only=False)
+        roles = group.column("role").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, roles = k[order], roles[order]
+        sel = group.take(pa.array(order))
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        seg_of = np.searchsorted(starts, np.arange(len(k)), side="right") - 1
+        n_vals = sel.column("n").to_numpy(zero_copy_only=False)
+        seg_n = np.full(len(starts), np.nan)
+        is_sig = roles == 2
+        seg_n[seg_of[is_sig]] = n_vals[is_sig]
+        filled = seg_n[seg_of]
+        keep = (~is_sig) & ~np.isnan(filled)
+        out = sel.filter(pa.array(keep))
+        out = out.set_column(out.column_names.index("n"), "n",
+                             pa.array(filled[keep], pa.float64()))
+        a = out.column("doc_a").to_numpy(zero_copy_only=False)
+        b = out.column("doc_b").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            ph = ((a.astype(np.uint64) * _GMIX[0]) ^
+                  (b.astype(np.uint64) * _GMIX[1])) % np.uint64(P)
+        return out.set_column(out.column_names.index("kpart"), "kpart",
+                              pa.array(ph.astype(np.int32), pa.int32()))
+
+    def combine_part(group: pa.Table) -> pa.Table:
+        """One pair-hash bucket: both attached sides of each pair meet here
+        — jaccard = i / (n_a + n_b − i), vectorized over segments."""
+        empty = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                           ("jaccard", pa.float64())]).empty_table()
+        if group.num_rows == 0 or "doc_a" not in group.column_names:
+            return empty
+        a = group.column("doc_a").to_numpy(zero_copy_only=False)
+        b = group.column("doc_b").to_numpy(zero_copy_only=False)
+        iv = group.column("i").to_numpy(zero_copy_only=False)
+        nv = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, iv, nv = a[order], b[order], iv[order], nv[order]
+        starts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        counts = np.diff(np.r_[starts, len(a)])
+        n_sum = np.add.reduceat(nv, starts)
+        i0 = iv[starts]
+        union = n_sum - i0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            jac = np.where(union > 0, i0 / np.maximum(union, 1e-300), 0.0)
+        keep = (counts == 2) & (jac >= threshold)
+        return pa.table({"doc_a": pa.array(a[starts][keep], pa.int64()),
+                         "doc_b": pa.array(b[starts][keep], pa.int64()),
+                         "jaccard": pa.array(np.round(jac[keep], 6), pa.float64())})
+
+    sizes = read().map_batches(size_rows, batch_format="pyarrow")
+    return (inter.map_batches(explode_pairs, batch_format="pyarrow")
+            .union(sizes)
+            .map_batches(add_kpart, batch_format="pyarrow")
+            .groupby("kpart").map_groups(attach_part, batch_format="pyarrow")
+            .groupby("kpart").map_groups(combine_part, batch_format="pyarrow"))
+
+
 # ------------------------------------------------------------------ simhash
 
 def simhash_batch(batch: pa.Table) -> pa.Table:

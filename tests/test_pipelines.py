@@ -139,6 +139,43 @@ def test_simhash_near_duplicates(tmp_path):
     assert not ((pairs["doc_a"] == 1) & (pairs["doc_b"] == 3)).any()
 
 
+def test_ngram_jaccard_exact_vs_bruteforce(tmp_path):
+    """The distributed exact n-gram Jaccard must equal a direct per-pair
+    Python computation on a planted-duplicate corpus."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.pipelines.dedup import _char_ngram_hashes, ngram_jaccard_dedup
+
+    texts = ["the quick brown fox jumps over the lazy dog " * 3,
+             "the quick brown fox jumps over the lazy cat " * 3,
+             "completely different content about databases " * 3,
+             "the quick brown fox jumps over the lazy dog " * 3 + "tail",
+             "x"]
+    d = tmp_path / "ng"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                             "text": pa.array(texts, pa.string())}),
+                   str(d / "documents.parquet"))
+    got = ngram_jaccard_dedup(str(d), threshold=0.6).to_pandas()
+    got_pairs = {(a, b): j for a, b, j in got.values.tolist()}
+    sets = [set(_char_ngram_hashes(t, 3).tolist()) for t in texts]
+    want = {}
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        if not sets[a] or not sets[b]:
+            continue
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            continue
+        j = inter / len(sets[a] | sets[b])
+        if j >= 0.6:
+            want[(a, b)] = round(j, 6)
+    assert got_pairs == want
+    assert (0, 1) in want and (0, 3) in want and (0, 2) not in want
+
+
 def test_embedding_lsh_recall_vs_brute():
     """LSH-bucketed dedup must (a) return only true ≥-threshold pairs with
     exact cosines (verification is exact) and (b) recall most of brute
