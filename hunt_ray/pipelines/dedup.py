@@ -66,28 +66,55 @@ def _perm_params(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def shingle_hashes(batch: pa.Table, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
-    """Per-doc k-word shingle hash sets → (doc_ids, list of uint64 arrays)."""
+_SHMIX = (np.uint64(0x9E3779B185EBCA87), np.uint64(0xC2B2AE3D27D4EB4F),
+          np.uint64(0x165667B19E3779F9), np.uint64(0x27D4EB2F165667C5),
+          np.uint64(0x85EBCA77C2B2AE63))
+
+
+def shingle_hashes(batch: pa.Table, k: int = 3) -> tuple[np.ndarray, list]:
+    """Per-doc k-word shingle hash sets → (doc_ids, list of uint64 arrays).
+
+    Vectorized over the whole batch: one hash64 of all tokens, sliding
+    windows mixed position-wise into shingle hashes with doc boundaries
+    masked, one lexsort for per-doc dedup. Docs with 0 < n_tokens < k get
+    one whole-doc shingle (matching the reference join-all behavior).
+    """
     df = _flat_tokens(batch)
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    out = []
     if df.height == 0:
         return doc_ids, [np.empty(0, np.uint64) for _ in doc_ids]
-    sh = (df.group_by("doc_id", maintain_order=True)
-          .agg(toks=pl.col("term")))
+    th = hash64(df["term"].to_arrow())
+    d = df["doc_id"].to_numpy()
+    n = len(th)
     shmap: dict[int, np.ndarray] = {}
-    for did, toks in zip(sh["doc_id"].to_list(), sh["toks"].to_list()):
-        if len(toks) < k:
-            shingles = [" ".join(toks)] if toks else []
-        else:
-            shingles = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-        if shingles:
-            shmap[did] = np.unique(hash64(pa.array(shingles, pa.string())))
-        else:
-            shmap[did] = np.empty(0, np.uint64)
-    for did in doc_ids:
-        out.append(shmap.get(int(did), np.empty(0, np.uint64)))
-    return doc_ids, out
+    with np.errstate(over="ignore"):
+        if n >= k:
+            w = np.lib.stride_tricks.sliding_window_view(th, k)
+            sh = np.zeros(len(w), dtype=np.uint64)
+            for j in range(k):
+                sh ^= (w[:, j] + np.uint64(j + 1)) * _SHMIX[j % len(_SHMIX)]
+            valid = d[: n - k + 1] == d[k - 1:]
+            vd = d[: n - k + 1][valid]
+            vs = sh[valid]
+            # per-doc unique: docs are contiguous, one lexsort
+            order = np.lexsort((vs, vd))
+            vd, vs = vd[order], vs[order]
+            keep = np.r_[True, (vd[1:] != vd[:-1]) | (vs[1:] != vs[:-1])]
+            vd, vs = vd[keep], vs[keep]
+            starts = np.flatnonzero(np.r_[True, vd[1:] != vd[:-1]])
+            ends = np.r_[starts[1:], len(vd)]
+            for lo, hi in zip(starts, ends):
+                shmap[int(vd[lo])] = vs[lo:hi]
+        # short docs (< k tokens): one whole-doc shingle each
+        seg_starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        seg_lens = np.diff(np.r_[seg_starts, n])
+        for lo, ln in zip(seg_starts[seg_lens < k], seg_lens[seg_lens < k]):
+            h = np.uint64(0)
+            for j in range(int(ln)):
+                h ^= (th[lo + j] + np.uint64(j + 1)) * _SHMIX[j % len(_SHMIX)]
+            shmap[int(d[lo])] = np.asarray([h], dtype=np.uint64)
+    return doc_ids, [shmap.get(int(did), np.empty(0, np.uint64))
+                     for did in doc_ids]
 
 
 class MinHashStage:
@@ -103,23 +130,31 @@ class MinHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids, shingle_sets = shingle_hashes(batch, self.k)
-        rows_doc, rows_band, rows_hash = [], [], []
-        for did, sset in zip(doc_ids, shingle_sets):
-            if sset.size == 0:
-                continue
-            # universal-hash minima: sig[p] = min_x (a_p*x + b_p mod M)
-            vals = (self.a[:, None] * sset[None, :] + self.b[:, None]) % _MERSENNE
-            sig = vals.min(axis=1)
-            bands = sig.reshape(N_BANDS, ROWS_PER_BAND)
-            for bi in range(N_BANDS):
-                h = hashlib.blake2b(bands[bi].tobytes(), digest_size=8).digest()
-                rows_doc.append(int(did))
-                rows_band.append(bi)
-                rows_hash.append(int.from_bytes(h, "little"))
+        keep = [i for i, s in enumerate(shingle_sets) if s.size]
+        if not keep:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.uint64())})
+        flat = np.concatenate([shingle_sets[i] for i in keep])
+        counts = np.asarray([len(shingle_sets[i]) for i in keep], dtype=np.int64)
+        starts = np.r_[0, np.cumsum(counts)[:-1]]
+        nd = len(keep)
+        with np.errstate(over="ignore"):
+            # universal-hash minima for the whole batch at once:
+            # sig[p, doc] = min over the doc's shingles of (a_p·x + b_p) mod M
+            vals = (self.a[:, None] * flat[None, :] + self.b[:, None]) % _MERSENNE
+            sig = np.minimum.reduceat(vals, starts, axis=1)        # (P, nd)
+            bands = sig.reshape(N_BANDS, ROWS_PER_BAND, nd)
+            bh = np.zeros((N_BANDS, nd), dtype=np.uint64)
+            for r in range(ROWS_PER_BAND):  # band digest: position-wise mix
+                bh ^= (bands[:, r, :] + np.uint64(r + 1)) * _SHMIX[r % len(_SHMIX)]
+        ids = doc_ids[np.asarray(keep)]
         return pa.table({
-            "doc_id": pa.array(rows_doc, pa.int64()),
-            "band": pa.array(rows_band, pa.int32()),
-            "band_hash": pa.array(rows_hash, pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids[None, :], N_BANDS, axis=0).ravel()
+                               .astype(np.int64), pa.int64()),
+            "band": pa.array(np.repeat(np.arange(N_BANDS, dtype=np.int32), nd),
+                             pa.int32()),
+            "band_hash": pa.array(bh.ravel(), pa.uint64()),
         })
 
 
