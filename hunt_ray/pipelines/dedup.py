@@ -551,13 +551,12 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
         d = g["doc_id"].to_numpy()
         idmap = {int(x): i for i, x in enumerate(doc_ids)}
         drow = np.fromiter((idmap[int(x)] for x in d), dtype=np.int64, count=len(d))
-        votes = np.zeros((len(doc_ids), 64), dtype=np.int64)
-        for bit in range(64):
+        sig = np.zeros(len(doc_ids), dtype=np.uint64)
+        for bit in range(64):  # per-bit vote via one bincount (not add.at)
             bitset = ((th >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
             contrib = tf * (2 * bitset - 1)
-            np.add.at(votes[:, bit], drow, contrib)
-        bits = (votes > 0).astype(np.uint64)
-        sig = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+            votes = np.bincount(drow, weights=contrib, minlength=len(doc_ids))
+            sig |= (votes > 0).astype(np.uint64) << np.uint64(bit)
     return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
                      "simhash": pa.array(sig, pa.uint64())})
 
@@ -584,17 +583,15 @@ def simhash_dedup(sf_dir: str, *, max_hamming: int = 3):
     def explode(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy(zero_copy_only=False)
         s = batch.column("simhash").to_numpy(zero_copy_only=False)
-        outs = {"doc_id": [], "quarter": [], "qval": [], "simhash": []}
-        for q in range(n_blocks):
-            qv = (s >> np.uint64(block_bits * q)) & mask
-            outs["doc_id"].extend(d.tolist())
-            outs["quarter"].extend([q] * len(d))
-            outs["qval"].extend(qv.tolist())
-            outs["simhash"].extend(s.tolist())
-        return pa.table({"doc_id": pa.array(outs["doc_id"], pa.int64()),
-                         "quarter": pa.array(outs["quarter"], pa.int32()),
-                         "qval": pa.array(outs["qval"], pa.int64()),
-                         "simhash": pa.array(outs["simhash"], pa.uint64())})
+        shifts = (np.uint64(block_bits) * np.arange(n_blocks, dtype=np.uint64))
+        qv = ((s[None, :] >> shifts[:, None]) & mask).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.tile(d, n_blocks), pa.int64()),
+            "quarter": pa.array(np.repeat(np.arange(n_blocks, dtype=np.int32),
+                                          len(d)), pa.int32()),
+            "qval": pa.array(qv.ravel(), pa.int64()),
+            "simhash": pa.array(np.tile(s, n_blocks), pa.uint64()),
+        })
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         d = group.column("doc_id").to_pylist()
