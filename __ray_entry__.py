@@ -152,6 +152,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (driver mandate; decode stubbed)
         "q_multimodal_features": lambda sf: multimodal.decode_features(
             flagship.ensure_pages(sf)),
+        "q_multimodal_resize": lambda sf: multimodal.resize_thumbnails(
+            flagship.ensure_pages(sf)),
+        "q_multimodal_frames": lambda sf: multimodal.sample_frames(
+            flagship.ensure_pages(sf)),
         # --- generic relational ops (events range scan, TPC-H-ish agg)
         "q_events_range": q_events_range,
         "q_lineitem_q1": q_lineitem_q1,

@@ -98,3 +98,102 @@ def decode_features(pages_dir: str, *, batch_size: int = 64,
     return (ds.map_batches(rename, batch_format="pyarrow")
             .map_batches(FakeDecoder, batch_format="pyarrow",
                          batch_size=batch_size, concurrency=concurrency))
+
+
+class FakeResizer:
+    """Actor-pool resize stage: payload → fixed-size thumbnail bytes.
+
+    STUB semantics (strided byte sample standing in for pixel resampling;
+    swap for PIL's ``Image.resize`` on a real cluster) — the plumbing is
+    real: bounded output width (thumb_bytes per row regardless of input
+    size), small batches for wide rows, stateless-but-configured actor.
+    """
+
+    def __init__(self, thumb_w: int = 64, thumb_h: int = 64):
+        self.n_out = thumb_w * thumb_h
+        self.thumb_w, self.thumb_h = thumb_w, thumb_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column("key")
+        outs = []
+        for p in batch.column("payload").to_pylist():
+            p = p or b"\x00"
+            buf = np.frombuffer(p, dtype=np.uint8)
+            idx = np.linspace(0, len(buf) - 1, self.n_out).astype(np.int64)
+            outs.append(buf[idx].tobytes())
+        return pa.table({
+            "key": keys,
+            "thumb_w": pa.array([self.thumb_w] * batch.num_rows, pa.int32()),
+            "thumb_h": pa.array([self.thumb_h] * batch.num_rows, pa.int32()),
+            "thumb": pa.array(outs, pa.binary()),
+        })
+
+
+class FrameSampler:
+    """Actor-pool frame sampler: payload → one row per sampled frame.
+
+    Treats the payload as a pseudo-video of fixed-size frames (frame size
+    from the stub header) and emits every ``every``-th frame — the
+    row-expanding (flat-map) plumbing a real ffmpeg keyframe sampler needs:
+    output rows ≫ input rows, each bounded, ordered (key, frame_idx).
+    """
+
+    def __init__(self, every: int = 4, frame_bytes: int = 4096,
+                 max_frames: int = 64):
+        self.every = max(1, every)
+        self.frame_bytes = frame_bytes
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys_out, idx_out, frames_out = [], [], []
+        keys = batch.column("key").to_pylist()
+        for key, p in zip(keys, batch.column("payload").to_pylist()):
+            p = p or b""
+            n_frames = min((len(p) + self.frame_bytes - 1) // self.frame_bytes,
+                           self.max_frames * self.every)
+            for fi in range(0, n_frames, self.every):
+                lo = fi * self.frame_bytes
+                keys_out.append(key)
+                idx_out.append(fi)
+                frames_out.append(p[lo: lo + self.frame_bytes])
+        return pa.table({
+            "key": pa.array(keys_out, pa.string()),
+            "frame_idx": pa.array(idx_out, pa.int32()),
+            "frame": pa.array(frames_out, pa.binary()),
+        })
+
+
+def resize_thumbnails(pages_dir: str, *, thumb: tuple[int, int] = (64, 64),
+                      batch_size: int = 64,
+                      concurrency: tuple[int, int] | int = (1, 4)):
+    """Actor-pool resize over the binary column (stubbed resampling)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(pages_dir, columns=["url", "html"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("url").cast(pa.string()),
+                         "payload": batch.column("html")})
+
+    return (ds.map_batches(rename, batch_format="pyarrow")
+            .map_batches(FakeResizer, fn_constructor_args=thumb,
+                         batch_format="pyarrow", batch_size=batch_size,
+                         concurrency=concurrency))
+
+
+def sample_frames(pages_dir: str, *, every: int = 4, frame_bytes: int = 4096,
+                  batch_size: int = 32,
+                  concurrency: tuple[int, int] | int = (1, 4)):
+    """Actor-pool frame sampling over the binary column (stubbed frames)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(pages_dir, columns=["url", "html"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("url").cast(pa.string()),
+                         "payload": batch.column("html")})
+
+    return (ds.map_batches(rename, batch_format="pyarrow")
+            .map_batches(FrameSampler, fn_constructor_args=(every, frame_bytes),
+                         batch_format="pyarrow", batch_size=batch_size,
+                         concurrency=concurrency))

@@ -259,3 +259,27 @@ def test_multimodal_decode_plumbing(pages_small):
     assert (out["n_bytes"] > 0).all()
     with pytest.raises(NotImplementedError):
         FakeDecoder(real_decoder=True)
+
+
+def test_multimodal_resize_plumbing(pages_small):
+    from hunt_ray.pipelines.multimodal import resize_thumbnails
+
+    out = resize_thumbnails(pages_small, thumb=(8, 8), batch_size=32).to_pandas()
+    assert len(out) == 300
+    # bounded output width regardless of input payload size
+    assert all(len(t) == 64 for t in out["thumb"])
+    assert (out["thumb_w"] == 8).all() and (out["thumb_h"] == 8).all()
+
+
+def test_multimodal_frame_sampling(pages_small):
+    from hunt_ray.pipelines.multimodal import sample_frames
+
+    out = sample_frames(pages_small, every=2, frame_bytes=512,
+                        batch_size=32).to_pandas()
+    # row-expanding: more frame rows than docs, every-2 stride
+    assert len(out) > 300
+    assert set(out["frame_idx"].unique()) <= set(range(0, 1000, 2))
+    assert all(0 < len(f) <= 512 for f in out["frame"])
+    # frames reassemble the sampled windows of the source payload
+    g = out[out["key"] == out["key"].iloc[0]].sort_values("frame_idx")
+    assert list(g["frame_idx"])[:2] == [0, 2]
