@@ -78,6 +78,50 @@ def schema_for_apidocs(base: Schema) -> Schema:
     }
 
 
+def ingest_apidocs_jsonl(jsonl_path: str | list[str], staging_dir: str,
+                         contexts: set[str], *,
+                         concurrency: int = 8) -> str:
+    """Ray-native distributed ApiDocument JSONL ingest.
+
+    ``ray.data.read_json`` streams the JSONL corpus; each batch converts to
+    the columnar ``cx_<context>`` layout in ``map_batches`` (per-batch
+    duplicate-URI check, like the reference's per-insert-batch check) and
+    lands as partitioned staging parquet for ``build_index``. The scale
+    path for JSONL corpora — ``apidocs_to_table`` stays for driver-side
+    command batches.
+    """
+    import ray.data as rd
+
+    cxs = sorted(contexts)
+
+    def to_cols(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        uris = [r.get("uri") for r in rows]
+        if len(set(uris)) != len(uris):
+            raise ValueError("duplicate URI in ApiDocument batch")
+        cols: dict[str, list] = {"url": uris, "weight": [], "desc": []}
+        for cx in cxs:
+            cols[f"cx_{cx}"] = []
+        for r in rows:
+            cols["weight"].append(float(r.get("weight") or 0.0) or 1.0)
+            desc = {k: v for k, v in (r.get("description") or {}).items()
+                    if v is not None}
+            cols["desc"].append(json.dumps(desc, sort_keys=True))
+            idx = r.get("index") or {}
+            for cx in cxs:
+                cols[f"cx_{cx}"].append(idx.get(cx) or "")
+        fields = dict([("url", pa.string()), ("weight", pa.float32()),
+                       ("desc", pa.string())]
+                      + [(f"cx_{cx}", pa.string()) for cx in cxs])
+        return pa.table({k: pa.array(v, fields[k]) for k, v in cols.items()})
+
+    paths = [jsonl_path] if isinstance(jsonl_path, str) else list(jsonl_path)
+    ds = rd.read_json(paths)
+    ds.map_batches(to_cols, batch_format="pyarrow",
+                   concurrency=concurrency).write_parquet(staging_dir)
+    return staging_dir
+
+
 def write_apidocs_parquet(docs: list[dict] | str, out_dir: str,
                           rows_per_file: int = 4096,
                           contexts: "set[str] | None" = None) -> str:

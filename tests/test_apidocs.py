@@ -96,3 +96,52 @@ def test_select_fields_projection(canon_engine):
 def test_duplicate_uri_rejected():
     with pytest.raises(ValueError, match="duplicate URI"):
         apidocs_list_to_table([BRAIN_DOC, BRAIN_DOC])
+
+
+def test_ray_native_jsonl_ingest(ray_session, tmp_path):
+    """Distributed read_json ingest must index identically to the
+    driver-side apidocs_to_table path."""
+    import json
+
+    from hunt_ray.analyze.schema import ContextSchema
+    from hunt_ray.index.build import BuildConfig, build_index
+    from hunt_ray.query.engine import SearchEngine
+    from hunt_ray.sources.apidocs import (
+        ingest_apidocs_jsonl,
+        schema_for_apidocs,
+        write_apidocs_parquet,
+    )
+
+    docs = [
+        {"uri": f"doc://{i}",
+         "index": {"body": f"word{i} shared brain" if i % 2 else f"word{i} shared"},
+         "description": {"n": i},
+         "weight": 0.0}
+        for i in range(40)
+    ]
+    jsonl = tmp_path / "docs.jsonl"
+    with open(jsonl, "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+
+    base = {"body": ContextSchema(type="text", default=True, source="text")}
+    schema = schema_for_apidocs(base)
+    cfg = BuildConfig(schema=schema, num_partitions=2, salt_buckets=1,
+                      batch_size=32, analyzer_concurrency=2)
+
+    stage_ray = str(tmp_path / "stage_ray")
+    ingest_apidocs_jsonl(str(jsonl), stage_ray, contexts={"body"})
+    idx_ray = str(tmp_path / "idx_ray")
+    build_index(stage_ray, idx_ray, cfg)
+
+    stage_drv = str(tmp_path / "stage_drv")
+    write_apidocs_parquet(docs, stage_drv, contexts={"body"})
+    idx_drv = str(tmp_path / "idx_drv")
+    build_index(stage_drv, idx_drv, cfg)
+
+    e1, e2 = SearchEngine(idx_ray), SearchEngine(idx_drv)
+    for q in ["brain", "shared", "word3", "shared AND NOT brain"]:
+        r1 = [(h.url, h.score) for h in e1.search(q, limit=0).result]
+        r2 = [(h.url, h.score) for h in e2.search(q, limit=0).result]
+        assert r1 == r2, q
+    assert len(e1.search("shared", limit=0).result) == 40

@@ -66,6 +66,17 @@ def test_sharded_doc_table_matches_local(serve_index):
         sharded.shutdown()
 
 
+def test_completion_matches_local(serve_index):
+    local = SearchEngine(serve_index)
+    rr = RemoteIndexReader(serve_index, n_actors=2)
+    remote = SearchEngine.from_reader(rr)
+    try:
+        for q in ["bra", "take AND wor", "title:br"]:
+            assert local.complete(q, limit=10) == remote.complete(q, limit=10), q
+    finally:
+        rr.shutdown()
+
+
 def test_bm25_over_sharded_doc_table(serve_index):
     """BM25 through RemoteIndexReader (partition actors + sharded doclens)
     must match the local engine bit-for-bit, with no whole-corpus arrays on
