@@ -106,15 +106,223 @@ class SegmentedIndex:
 
     # -- reading -----------------------------------------------------
 
-    def reader(self) -> "IndexReader | MultiReader":
+    def _segment_dirs(self) -> list[str]:
         meta = self._meta()
-        segs = [IndexReader(self.root)]
-        for rel in meta["segments"]:
-            segs.append(IndexReader(os.path.join(self.root, rel)))
+        base = meta.get("base")
+        dirs = [os.path.join(self.root, base) if base else self.root]
+        dirs += [os.path.join(self.root, rel) for rel in meta["segments"]]
+        return dirs
+
+    def reader(self) -> "IndexReader | MultiReader":
+        segs = [IndexReader(d) for d in self._segment_dirs()]
         tombs = self._tombstones()
         if len(segs) == 1 and tombs.size == 0:
             return segs[0]
         return MultiReader(segs, tombs)
+
+    # -- compaction ---------------------------------------------------
+
+    def compact(self) -> dict:
+        """Merge all live segments minus tombstones into one fresh segment
+        (Hunt's segment-merge + generation-bump path, SegmentIndex.hs:94-113
+        / IndexWriter commit). Distributed per output partition (resumable
+        via per-part completion records like a normal build); doc table and
+        doclens rewrite tombstone-free, so avgdl becomes exact again.
+        After the commit the view is a single segment with no tombstones;
+        old segment directories stay on disk for concurrent readers of the
+        previous generation."""
+        import ray.data as rd
+
+        from ..analyze.schema import schema_to_json
+        from .build import _doc_stats
+        from .manifest import Manifest, params_hash
+
+        meta = self._meta()
+        seg_dirs = self._segment_dirs()
+        tombs = self._tombstones()
+        base_info = IndexReader(seg_dirs[0]).info
+        boundaries = base_info["boundaries"]
+        P = base_info["num_partitions"]
+        chunk_docs = base_info.get("chunk_docs", 4096)
+        schema_json = base_info["schema"]
+
+        gen_tag = meta["generation"] + 1
+        out_rel = os.path.join("compacted", f"cmp_{gen_tag:03d}")
+        out_dir = os.path.join(self.root, out_rel)
+        phash = params_hash({
+            "compact": [os.path.relpath(d, self.root) for d in seg_dirs],
+            "tombstones": int(tombs.size),
+            "boundaries": boundaries,
+        })
+        man = Manifest(out_dir)
+        gen = 0
+
+        # per-part merge+encode (skips parts already completed on resume)
+        todo = [k for k in range(P) if not man.part_done(gen, k, phash)]
+        if todo:
+            merge = _make_compactor(seg_dirs, tombs, out_dir, boundaries, P,
+                                    chunk_docs, phash)
+            conc = max(2, min(len(todo), 8))
+            _ = (rd.from_items([{"part": k} for k in todo])
+                 .map_batches(merge, batch_format="pyarrow", batch_size=1,
+                              concurrency=conc).take_all())
+
+        # docs table minus tombstones (streamed; tombstones broadcast once)
+        import glob as g
+
+        import ray
+
+        docs_files = []
+        for d in seg_dirs:
+            docs_files += sorted(g.glob(os.path.join(d, "docs", "*.parquet")))
+        tomb_ref = ray.put(tombs)
+
+        def drop_tombstoned(batch: pa.Table) -> pa.Table:
+            t = ray.get(tomb_ref)
+            if t.size == 0:
+                return batch
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(~np.isin(ids, t)))
+
+        rd.read_parquet(docs_files).map_batches(
+            drop_tombstoned, batch_format="pyarrow"
+        ).write_parquet(os.path.join(out_dir, "docs"))
+
+        lc_ranges = []
+        for k in range(P):
+            rec = man.part_record(gen, k)
+            lc_ranges.append(rec.get("lc_range") if rec else None)
+        from ..analyze.schema import schema_from_json
+
+        stats = _doc_stats(out_dir, os.path.join(out_dir, "docs"),
+                           schema_from_json(schema_json))
+        man.commit_generation(gen, {
+            "params_hash": phash,
+            "schema": schema_json,
+            "boundaries": boundaries,
+            "lc_ranges": lc_ranges,
+            "num_partitions": P,
+            "chunk_docs": chunk_docs,
+            "stats": stats,
+            "compacted_from": [os.path.relpath(d, self.root) for d in seg_dirs],
+            "complete": True,
+        })
+        self._commit({"base": out_rel, "segments": [], "tombstones": None})
+        return man.read_generation(gen)
+
+
+def _make_compactor(seg_dirs: list[str], tombs: np.ndarray, out_dir: str,
+                    boundaries: list[str], P: int, chunk_docs: int, phash: str):
+    """map_batches fn over part items: decode every segment's postings for
+    the output part's term range, drop tombstones, merge and re-encode."""
+    import bisect
+    import time
+
+    from .build import _encode_partition
+    from .manifest import Manifest
+    from .reader import MAX_CHAR, PartitionReader
+
+    def compact_part(batch: pa.Table) -> pa.Table:
+        man = Manifest(out_dir)
+        out = []
+        for part in batch.column("part").to_pylist():
+            if man.part_done(0, part, phash):
+                out.append(part)
+                continue
+            t0 = time.time()
+            lb = boundaries[part - 1] if part > 0 else ""
+            ub = boundaries[part] if part < len(boundaries) else MAX_CHAR
+            cxs, terms, dids, tfs = [], [], [], []
+            pos_vals, pos_counts = [], []
+            len_cx, len_did, len_dl = [], [], []
+            for seg in seg_dirs:
+                from .reader import IndexReader as _IR
+
+                rdr = _IR(seg)
+                for k2 in rdr.parts_for("range", lb, ub):
+                    if k2 >= rdr.num_partitions:
+                        continue
+                    pr = PartitionReader(seg, k2)
+                    for cx, (lo, hi) in pr.cx_span.items():
+                        i = bisect.bisect_left(pr.terms, lb, lo, hi)
+                        j = bisect.bisect_left(pr.terms, ub, lo, hi)
+                        for e in range(i, j):
+                            p = pr.postings(e)
+                            keep = ~np.isin(p.doc_ids, tombs) if tombs.size \
+                                else np.ones(p.df, dtype=bool)
+                            if not keep.any():
+                                continue
+                            kd = p.doc_ids[keep]
+                            kt = p.tfs[keep]
+                            cxs.extend([cx] * len(kd))
+                            terms.extend([pr.terms[e]] * len(kd))
+                            dids.append(kd)
+                            tfs.append(kt.astype(np.uint32))
+                            if p.pos_flat is not None:
+                                for r in np.flatnonzero(keep):
+                                    pos_vals.append(
+                                        p.pos_flat[p.pos_offsets[r]:p.pos_offsets[r + 1]])
+                                pos_counts.append(kt.astype(np.int64))
+                            else:
+                                pos_counts.append(np.zeros(len(kd), np.int64))
+            # doclens: read each segment's doclens (files are doc-routed in
+            # their own partitioning; re-route by doc % P)
+            for seg in seg_dirs:
+                import glob as g
+
+                import pyarrow.parquet as _pq
+                for f in sorted(g.glob(os.path.join(seg, "doclens", "*.parquet"))):
+                    lt = _pq.read_table(f)
+                    if lt.num_rows == 0:
+                        continue
+                    ids = lt.column("doc_id").to_numpy(zero_copy_only=False)
+                    sel = (ids % np.uint64(P)) == np.uint64(part)
+                    if tombs.size:
+                        sel &= ~np.isin(ids, tombs)
+                    if not sel.any():
+                        continue
+                    sub = lt.filter(pa.array(sel))
+                    len_cx.extend(sub.column("context").to_pylist())
+                    len_did.append(sub.column("doc_id").to_numpy(zero_copy_only=False))
+                    len_dl.append(sub.column("doclen").to_numpy(zero_copy_only=False))
+            # assemble the merged flat table _encode_partition expects
+            all_cx = cxs + len_cx
+            all_terms = terms + [""] * len(len_cx)
+            all_dids = np.concatenate(dids + len_did) if (dids or len_did) \
+                else np.empty(0, np.uint64)
+            all_tfs = np.concatenate(
+                [t for t in tfs] + [d.astype(np.uint32) for d in len_dl]
+            ) if (tfs or len_dl) else np.empty(0, np.uint32)
+            counts = np.concatenate(
+                pos_counts + [np.zeros(sum(len(x) for x in len_did), np.int64)]
+            ) if (pos_counts or len_did) else np.empty(0, np.int64)
+            flat = np.concatenate(pos_vals).astype(np.uint32) if pos_vals \
+                else np.empty(0, np.uint32)
+            offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            pos_arr = pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()), pa.array(flat, pa.uint32()))
+            merged = pa.table({
+                "context": pa.array(all_cx, pa.string()),
+                "term": pa.array(all_terms, pa.string()),
+                "doc_id": pa.array(all_dids, pa.uint64()),
+                "tf": pa.array(all_tfs, pa.uint32()),
+                "positions": pos_arr,
+            }) if len(all_cx) else None
+            n_rows, n_terms, lc_range = _encode_partition(
+                merged, out_dir, part, chunk_docs)
+            man.mark_part_done(0, part, {
+                "params_hash": phash, "part": part, "rows": n_rows,
+                "terms": n_terms, "lc_range": lc_range,
+                "lineage": {"inputs": seg_dirs, "params_hash": phash,
+                            "kind": "compaction"},
+                "merge_seconds": round(time.time() - t0, 3),
+                "completed_at": time.time(),
+            })
+            out.append(part)
+        return pa.table({"part": pa.array(out, pa.int32())})
+
+    return compact_part
 
 
 class MultiReader:

@@ -100,6 +100,12 @@ class CommandInterpreter:
             r = self.segmented.reader()
             return {"ok": True, "doc_count": int(r.stats.get("n_docs", 0)),
                     "contexts": sorted(r.schema)}
+        if kind == "compact":
+            # extension beyond the reference envelope: explicit segment
+            # merge (Hunt merges internally on its own schedule)
+            info = self.segmented.compact()
+            return {"ok": True, "compacted": True,
+                    "n_docs": int(info["stats"]["n_docs"])}
         raise ValueError(f"unknown command: {kind!r}")
 
     def _insert_batch(self, docs: list[dict]) -> dict:

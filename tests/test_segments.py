@@ -81,3 +81,72 @@ def test_phrase_across_segments(seg_index):
     # the canon doc test://0 was deleted via "brain" delete_by_query above?
     # (module-scoped: delete ran first; test://0 contains "brain")
     assert all(h.url != "test://0" for h in res.result)
+
+
+def test_compaction_rank_identity_and_exact_stats(ray_session, tmp_path):
+    """compact(): multi-segment + tombstones → one segment, identical
+    query results, tombstone-free doc table and exact avgdl."""
+    import numpy as np
+
+    from hunt_ray.common.hashing import hash64
+    from hunt_ray.fixtures.pages import generate_pages, write_pages
+    from hunt_ray.index.build import BuildConfig
+    from hunt_ray.index.reader import IndexReader
+    from hunt_ray.index.segments import SegmentedIndex
+    from hunt_ray.query.engine import SearchEngine
+
+    root = str(tmp_path / "segroot")
+    cfg = BuildConfig(num_partitions=3, salt_buckets=2, batch_size=64,
+                      analyzer_concurrency=2)
+    p0 = str(tmp_path / "p0")
+    write_pages(p0, seed=42, n_rows=120, rows_per_file=60)
+    from hunt_ray.index.build import build_index
+
+    build_index(p0, root, cfg)
+    seg = SegmentedIndex(root)
+
+    # second segment (disjoint urls via offset), then delete a few docs
+    import pyarrow.parquet as pq
+
+    p1 = str(tmp_path / "p1")
+    import os
+
+    os.makedirs(p1, exist_ok=True)
+    pq.write_table(generate_pages(seed=43, n_rows=80, url_offset=1000),
+                   os.path.join(p1, "pages-0.parquet"))
+    seg.insert_pages(p1, cfg)
+    victims = [f"test://{i}" for i in (2, 50, 1003)]
+    n_del = seg.delete_doc_ids(np.asarray(hash64(victims), dtype=np.uint64))
+    assert n_del == 3
+
+    queries = ["brain", "bra", '"take over the world"', "take AND world",
+               "the AND NOT mission", "datecontext:[2013-01-01 TO 2013-06-30]"]
+    before_eng = SearchEngine.from_reader(seg.reader())
+    before = {q: [(h.url, h.score) for h in before_eng.search(q, limit=0).result]
+              for q in queries}
+    n_live = seg.reader().stats["n_docs"]
+
+    info = seg.compact()
+    assert info["complete"] is True
+    after_reader = seg.reader()
+    # single plain segment again, no tombstones
+    assert isinstance(after_reader, IndexReader)
+    after_eng = SearchEngine.from_reader(after_reader)
+    for q in queries:
+        got = [(h.url, h.score) for h in after_eng.search(q, limit=0).result]
+        assert got == before[q], q
+    # victims are physically gone from the doc table
+    assert after_reader.docs.n_docs == n_live == 120 + 80 - 3
+    vict_ids = np.asarray(hash64(victims), dtype=np.uint64)
+    assert not np.isin(vict_ids, after_reader.docs.doc_id).any()
+    # avgdl recomputed exactly over the live docs (MultiReader only
+    # approximates it while tombstones exist)
+    lens = after_reader.docs.lens["body"]
+    assert abs(after_reader.stats["avgdl_body"] - lens.mean()) < 1e-9
+    # further inserts still work on the compacted base
+    p2 = str(tmp_path / "p2")
+    os.makedirs(p2, exist_ok=True)
+    pq.write_table(generate_pages(seed=44, n_rows=30, url_offset=5000),
+                   os.path.join(p2, "pages-0.parquet"))
+    seg.insert_pages(p2, cfg)
+    assert seg.reader().stats["n_docs"] == 120 + 80 - 3 + 30
