@@ -89,6 +89,28 @@ CONTEXT_TYPES: dict[str, ContextType] = {
 }
 
 
+def register_context_type(ctype: ContextType, *, normalizer=None,
+                          validator=None) -> ContextType:
+    """User-extension hook (Hunt's ``initHuntEnv`` ContextTypes/CNormalizer
+    registries, Interpreter.hs:183-200; custom-type demo
+    hunt-demos/extended-hunt/src/Main.hs:65): register a new context kind
+    plus its optional key normalizer / validator callables, after which any
+    ``ContextSchema(type=ctype.name)`` uses it — build, query-key
+    normalization and range scoring all dispatch through the registries."""
+    from .normalize import NORMALIZERS, VALIDATORS
+
+    if normalizer is not None and ctype.key_normalizer:
+        NORMALIZERS[ctype.key_normalizer] = normalizer
+    if validator is not None:
+        VALIDATORS[ctype.validator] = validator
+    if ctype.validator not in VALIDATORS:
+        raise ValueError(f"validator {ctype.validator!r} is not registered")
+    if ctype.key_normalizer and ctype.key_normalizer not in NORMALIZERS:
+        raise ValueError(f"normalizer {ctype.key_normalizer!r} is not registered")
+    CONTEXT_TYPES[ctype.name] = ctype
+    return ctype
+
+
 @dataclass(frozen=True)
 class ContextSchema:
     """One context's config (Schema.hs:80-92)."""

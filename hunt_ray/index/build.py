@@ -81,10 +81,24 @@ class BuildConfig:
     #   cold start). "actor": a dedicated actor pool — use when the stage
     #   state is genuinely heavy (models, big lookup tables).
     analyzer_mode: str = "task"
+    # worker setup hooks: callables run once per analyzer worker before any
+    # batch (e.g. schema.register_context_type for custom context kinds —
+    # registries are per-process, so driver-side registration alone never
+    # reaches Ray workers). Hashed into the params via their pickled bytes.
+    worker_setup: tuple = ()
 
     def params(self, files: list[str]) -> dict:
+        setup_digest = ""
+        if self.worker_setup:
+            import hashlib
+
+            from ray import cloudpickle as _cp
+
+            setup_digest = hashlib.sha256(
+                b"".join(_cp.dumps(f) for f in self.worker_setup)).hexdigest()[:16]
         return {
             "format": 4,  # bump to invalidate caches on layout changes
+            "worker_setup": setup_digest,
             "schema": schema_to_json(self.schema),
             "num_partitions": self.num_partitions,
             "salt_buckets": self.salt_buckets,
@@ -186,7 +200,10 @@ class AnalyzerStage:
     """
 
     def __init__(self, schema_json: str, boundaries: list[str], hot_terms: list[str],
-                 salt_buckets: int, num_partitions: int, run_dir: str | None = None):
+                 salt_buckets: int, num_partitions: int, run_dir: str | None = None,
+                 worker_setup: tuple = ()):
+        for fn in worker_setup:  # per-process extension hooks (registries)
+            fn()
         self.schema = schema_from_json(schema_json)
         self.boundaries = np.asarray(boundaries, dtype=object)
         self.hot = frozenset(hot_terms)
@@ -353,7 +370,7 @@ _ANALYZER_CACHE: dict = {}
 
 def make_analyzer_task(schema_json: str, boundaries: list[str], hot_terms: list[str],
                        salt_buckets: int, num_partitions: int, run_dir: str | None,
-                       cache_key: str):
+                       cache_key: str, worker_setup: tuple = ()):
     """Stateless-task analyzer: the per-process AnalyzerStage instance is
     cached at module level, so reused Ray task workers pay the (already
     small) setup once — the task-worker analog of actor __init__."""
@@ -362,7 +379,8 @@ def make_analyzer_task(schema_json: str, boundaries: list[str], hot_terms: list[
         st = _ANALYZER_CACHE.get(cache_key)
         if st is None:
             st = AnalyzerStage(schema_json, boundaries, hot_terms,
-                               salt_buckets, num_partitions, run_dir)
+                               salt_buckets, num_partitions, run_dir,
+                               worker_setup)
             _ANALYZER_CACHE[cache_key] = st
         return st(batch)
 
@@ -639,7 +657,8 @@ def build_index(pages_path: str | list[str], index_dir: str,
             flat = ds.map_batches(
                 make_analyzer_task(schema_json, boundaries, hot_terms,
                                    cfg.salt_buckets, cfg.num_partitions, run_dir,
-                                   cache_key=f"{phash}:{gen}"),
+                                   cache_key=f"{phash}:{gen}",
+                                   worker_setup=cfg.worker_setup),
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
                 concurrency=conc,
@@ -648,7 +667,8 @@ def build_index(pages_path: str | list[str], index_dir: str,
             flat = ds.map_batches(
                 AnalyzerStage,
                 fn_constructor_args=(schema_json, boundaries, hot_terms,
-                                     cfg.salt_buckets, cfg.num_partitions, run_dir),
+                                     cfg.salt_buckets, cfg.num_partitions, run_dir,
+                                     cfg.worker_setup),
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
                 concurrency=cfg.analyzer_concurrency,

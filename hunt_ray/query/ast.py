@@ -198,3 +198,98 @@ def set_fuzzy(q: Query) -> Query:
     if isinstance(q, QPhrase):
         return QPhrase(FUZZY, q.phrase)
     return q
+
+
+# -- the remaining Builder.hs client surface (Builder.hs:47-230) ------
+
+def q_word(w: str) -> Query:
+    """qWord: case-sensitive prefix search."""
+    return QWord(CASE, w)
+
+
+def q_word_nocase(w: str) -> Query:
+    return QWord(NOCASE, w)
+
+
+def q_full_word(w: str) -> Query:
+    return QFullWord(CASE, w)
+
+
+def q_full_word_nocase(w: str) -> Query:
+    return QFullWord(NOCASE, w)
+
+
+def q_phrase(text: str) -> Query:
+    """qPhrase: exact case-sensitive word sequence."""
+    return q_phrase_words(q_full_word, text)
+
+
+def q_phrase_nocase(text: str) -> Query:
+    return q_phrase_words(q_full_word_nocase, text)
+
+
+def q_prefix_phrase(text: str) -> Query:
+    """qPrefixPhrase (the reference maps both variants to nocase words)."""
+    return q_phrase_words(q_word_nocase, text)
+
+
+def q_range(lb: str, ub: str) -> Query:
+    return QRange(lb, ub)
+
+
+def q_context(cx: str, w: str) -> Query:
+    """qContext: case-sensitive word search within one context."""
+    return QContext((cx,), QWord(CASE, w))
+
+
+def q_ands(qs: list[Query]) -> Query:
+    return mk_assoc_seq(AND, list(qs))
+
+
+def q_ors(qs: list[Query]) -> Query:
+    return mk_assoc_seq(OR, list(qs))
+
+
+def q_and_nots(qs: list[Query]) -> Query:
+    return mk_left_assoc_seq(AND_NOT, list(qs))
+
+
+def q_nexts(qs: list[Query]) -> Query:
+    return mk_assoc_seq(PHRASE, list(qs))
+
+
+def q_follow(d: int, q1: Query, q2: Query) -> Query:
+    return mk_assoc_seq(Follow(d), [q1, q2])
+
+
+def q_follows(d: int, qs: list[Query]) -> Query:
+    return mk_assoc_seq(Follow(d), list(qs))
+
+
+def q_nears(d: int, qs: list[Query]) -> Query:
+    return mk_assoc_seq(Near(d), list(qs))
+
+
+def set_nocase(q: Query) -> Query:
+    """setNoCaseSearch (Builder.hs:192-196)."""
+    if isinstance(q, QWord):
+        return QWord(NOCASE, q.word)
+    if isinstance(q, QFullWord):
+        return QFullWord(NOCASE, q.word)
+    if isinstance(q, QPhrase):
+        return QPhrase(NOCASE, q.phrase)
+    return q
+
+
+def set_contexts(cxs: list[str], q: Query) -> Query:
+    """setContexts (Builder.hs:208-209)."""
+    return QContext(tuple(cxs), q)
+
+
+def set_context(cx: str, q: Query) -> Query:
+    return set_contexts([cx], q)
+
+
+def set_boost(w: float, q: Query) -> Query:
+    """setBoost (Builder.hs:226-227)."""
+    return QBoost(w, q)

@@ -108,6 +108,41 @@ class CommandInterpreter:
                     "n_docs": int(info["stats"]["n_docs"])}
         raise ValueError(f"unknown command: {kind!r}")
 
+    # -- client-side command builders (ClientInterface.hs:191-500) -----
+
+    @staticmethod
+    def cmd_insert_doc(uri: str, index: dict, description: dict | None = None,
+                       weight: float = 0.0) -> dict:
+        return {"cmd": "insert", "document": {
+            "uri": uri, "index": index,
+            "description": description or {}, "weight": weight}}
+
+    @staticmethod
+    def cmd_delete_doc(uri: str) -> dict:
+        return {"cmd": "delete", "uri": uri}
+
+    @staticmethod
+    def cmd_delete_by_query(query: str) -> dict:
+        return {"cmd": "delete-by-query", "query": query}
+
+    @staticmethod
+    def cmd_search(query, offset: int = 0, max: int = 20) -> dict:
+        from .parser import render_query
+
+        q = query if isinstance(query, str) else render_query(query)
+        return {"cmd": "search", "query": q, "offset": offset, "max": max}
+
+    @staticmethod
+    def cmd_completion(query, max: int = 20) -> dict:
+        from .parser import render_query
+
+        q = query if isinstance(query, str) else render_query(query)
+        return {"cmd": "completion", "query": q, "max": max}
+
+    @staticmethod
+    def cmd_sequence(cmds: list[dict]) -> dict:
+        return {"cmd": "sequence", "cmds": list(cmds)}
+
     def _insert_batch(self, docs: list[dict]) -> dict:
         self._tmp_seq += 1
         staging = os.path.join(self.root, "staging", f"batch_{self._tmp_seq:06d}")

@@ -340,3 +340,70 @@ class _P:
 
 def parse_query(s: str) -> A.Query:
     return _P(s).query()
+
+
+# -- rendering (AST → query string, parse_query inverse) ---------------
+
+def _esc_word(w: str) -> str:
+    return "".join("\\" + c if c in NOT_WORD_CHAR else c for c in w)
+
+
+def _esc_phrase(p: str) -> str:
+    return p.replace('"', '\\"')
+
+
+def _fmt_num(x: float) -> str:
+    s = f"{x:g}"
+    return s
+
+
+def render_query(q: A.Query) -> str:
+    """Render an AST back to query-language text such that
+    ``parse_query(render_query(q)) == q`` for parser-producible shapes
+    (builder-only shapes like explicit Follow render to the FOLLOW syntax,
+    which the reference grammar reads back as Near — its documented quirk,
+    Parser.hs:125-133)."""
+    if isinstance(q, A.QWord):
+        if q.op == A.CASE:
+            return "!" + _esc_word(q.word)
+        if q.op == A.FUZZY:
+            return "~" + _esc_word(q.word)
+        return _esc_word(q.word)
+    if isinstance(q, A.QFullWord):
+        body = '"' + _esc_phrase(q.word) + '"'
+        if q.op == A.CASE:
+            return "!" + body
+        if q.op == A.FUZZY:
+            return "~" + body
+        return body
+    if isinstance(q, A.QPhrase):
+        body = '"' + _esc_phrase(q.phrase) + '"'
+        if q.op == A.CASE:
+            return "!" + body
+        if q.op == A.FUZZY:
+            return "~" + body
+        return body
+    if isinstance(q, A.QRange):
+        return f"[{_esc_word(q.lower)} TO {_esc_word(q.upper)}]"
+    if isinstance(q, A.QContext):
+        return ",".join(q.contexts) + ":(" + render_query(q.query) + ")"
+    if isinstance(q, A.QBoost):
+        return "(" + render_query(q.query) + ")^" + _fmt_num(q.weight)
+    if isinstance(q, A.QSeq):
+        parts = ["(" + render_query(a) + ")" for a in q.args]
+        if q.op == A.AND:
+            sep = " AND "
+        elif q.op == A.OR:
+            sep = " OR "
+        elif q.op == A.AND_NOT:
+            sep = " AND NOT "
+        elif q.op == A.PHRASE:
+            sep = " ++ "
+        elif isinstance(q.op, A.Near):
+            sep = f" NEAR {q.op.d} "
+        elif isinstance(q.op, A.Follow):
+            sep = f" FOLLOW {q.op.d} "
+        else:
+            raise ValueError(f"render: unknown op {q.op!r}")
+        return sep.join(parts)
+    raise ValueError(f"render: unknown query node {q!r}")

@@ -205,3 +205,85 @@ def test_date_custom_regex_context_indexes_g_shapes():
     # the vectorized normalizer kernel agrees with the scalar readers
     normed = norm_date(pa.array(["2013", "2013-06", "2013-01-01"])).to_pylist()
     assert normed == ["20130101000000", "20130601000000", "20130101000000"]
+
+
+def test_register_custom_context_type(ray_session, tmp_path):
+    """§2.11 extension surface: a user-registered context type (like the
+    extended-hunt demo's cRealInt) plugs into build + query with its own
+    tokenizer regex, validator and key normalizer."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.analyze.schema import (
+        CONTEXT_TYPES,
+        ContextSchema,
+        ContextType,
+        register_context_type,
+    )
+    from hunt_ray.index.build import BuildConfig, build_index
+    from hunt_ray.query.engine import SearchEngine
+
+    def norm_realint(tokens):
+        """Zero-pad reals as order-preserving text keys: 12.5 → 00012.500."""
+        out = []
+        arr = tokens if hasattr(tokens, "to_pylist") else pa.array(list(tokens))
+        for t in arr.to_pylist():
+            v = float(t)
+            out.append(f"{v:09.3f}")
+        return pa.array(out, pa.large_string())
+
+    def val_realint(tokens):
+        arr = tokens if hasattr(tokens, "to_pylist") else pa.array(list(tokens))
+        ok = []
+        for t in arr.to_pylist():
+            try:
+                ok.append(0.0 <= float(t) < 100000.0)
+            except ValueError:
+                ok.append(False)
+        return np.asarray(ok, dtype=bool)
+
+    ct = ContextType(name="realint-test", token_pattern=r"[0-9]+\.[0-9]+",
+                     validator="realint-test", value_kind="docset",
+                     key_normalizer="RealIntTest", search_score="default",
+                     range_score="default")
+
+    def setup():
+        # runs in the driver AND in every analyzer worker (registries are
+        # per-process) — BuildConfig.worker_setup ships it
+        from hunt_ray.analyze.schema import register_context_type as reg
+
+        reg(ct, normalizer=norm_realint, validator=val_realint)
+
+    try:
+        setup()
+        texts = ["price 12.5 end", "price 7.25 end", "price 99.125 end", "none"]
+        d = tmp_path / "realint"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "url": pa.array([f"r://{i}" for i in range(4)], pa.string()),
+            "warc_ts": pa.array(np.arange(4, dtype=np.int64), pa.timestamp("us")),
+            "html": pa.array([b""] * 4, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+        }), str(d / "p.parquet"))
+        schema = {
+            "body": ContextSchema(type="text", default=True, source="text"),
+            "price": ContextSchema(type="realint-test", default=False,
+                                   source="text"),
+        }
+        idx = str(tmp_path / "realint_idx")
+        build_index(str(d), idx, BuildConfig(schema=schema, num_partitions=2,
+                                             batch_size=8,
+                                             analyzer_concurrency=2,
+                                             worker_setup=(setup,)))
+        eng = SearchEngine(idx)
+        # range over normalized keys: 7.25 and 12.5 fall inside, 99.125 out
+        hits = eng.search("price:[5.0 TO 50.0]", limit=0)
+        assert sorted(h.url for h in hits.result) == ["r://0", "r://1"]
+    finally:
+        CONTEXT_TYPES.pop("realint-test", None)
+        from hunt_ray.analyze.normalize import NORMALIZERS, VALIDATORS
+
+        NORMALIZERS.pop("RealIntTest", None)
+        VALIDATORS.pop("realint-test", None)

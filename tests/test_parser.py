@@ -139,3 +139,61 @@ def test_optimize_prefix_subsumption():
     # recursion through boost/context
     q = parse_query("title:(fork forks)")
     assert optimize(q) == A.QContext(("title",), A.QWord(A.NOCASE, "forks"))
+
+
+def test_render_roundtrip_reference_queries():
+    """parse → render → parse is identity over the whole reference query
+    set (render_query is the ClientInterface serialization path)."""
+    from hunt_ray.fixtures.queries import REFERENCE_QUERIES
+    from hunt_ray.query.parser import parse_query, render_query
+
+    for _name, _kind, qs in REFERENCE_QUERIES:
+        ast1 = parse_query(qs)
+        ast2 = parse_query(render_query(ast1))
+        assert ast2 == ast1, qs
+
+
+def test_builder_api_roundtrip():
+    """Builder-constructed ASTs serialize and parse back identically
+    (Follow renders to FOLLOW syntax, read back as Near — the reference
+    parser quirk)."""
+    from hunt_ray.query import ast as A
+    from hunt_ray.query.parser import parse_query, render_query
+
+    qs = [
+        A.q_word("Brain"),
+        A.q_word_nocase("brain"),
+        A.q_full_word("Pinky"),
+        A.q_phrase("take over the world"),
+        A.q_prefix_phrase("take over"),
+        A.q_ands([A.q_word_nocase("a"), A.q_word_nocase("b"),
+                  A.q_word_nocase("c")]),
+        A.q_ors([A.q_word_nocase("x"), A.q_full_word_nocase("y")]),
+        A.q_and_nots([A.q_word_nocase("all"), A.q_word_nocase("bad")]),
+        A.q_nears(2, [A.q_word_nocase("take"), A.q_word_nocase("world")]),
+        A.set_boost(2.5, A.q_word_nocase("brain")),
+        A.set_context("title", A.q_word_nocase("brain")),
+        A.set_contexts(["title", "headlines"], A.q_word_nocase("brain")),
+        A.q_range("2013-01-01", "2013-06-30"),
+        A.set_nocase(A.q_word("MiXeD")),
+        A.q_nexts([A.q_word_nocase("take"), A.q_word_nocase("over")]),
+    ]
+    for q in qs:
+        assert parse_query(render_query(q)) == q, q
+    # the documented Follow→Near quirk
+    f = A.q_follow(3, A.q_word_nocase("a"), A.q_word_nocase("b"))
+    assert parse_query(render_query(f)) == A.q_nears(
+        3, [A.q_word_nocase("a"), A.q_word_nocase("b")])
+
+
+def test_builder_matches_parser_shapes():
+    from hunt_ray.query import ast as A
+    from hunt_ray.query.parser import parse_query
+
+    assert parse_query("brain") == A.q_word_nocase("brain")
+    assert parse_query("!Brain") == A.q_word("Brain")
+    assert parse_query('"pinky"') == A.q_phrase_nocase("pinky")
+    assert parse_query("a AND b") == A.q_ands(
+        [A.q_word_nocase("a"), A.q_word_nocase("b")])
+    assert parse_query("title:brain") == A.set_context(
+        "title", A.q_word_nocase("brain"))
