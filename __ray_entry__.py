@@ -310,8 +310,50 @@ SELECT query_id, vec_id, round(cos, 6) AS cosine FROM ranked WHERE rk <= 10
             "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue, "
             "count(*)::BIGINT AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
-        # q_minhash_dedup / q_simhash* / q_lang_id / q_fingerprint /
-        # q_knn_ivf / q_multimodal_features / q_index_search / q_index_bm25:
-        # non-SQL-expressible (hash permutations, bit algebra, heuristics,
-        # stateful index build) → rows-only checks by design.
+        # SimHash: md5-top-8-byte token hashes make the whole signature and
+        # the banded near-dup pairs exactly SQL-reproducible (pigeonhole
+        # banding is exact for the hamming radius)
+        "q_simhash": f"""
+WITH tokens AS ({_TOKENS}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tokens GROUP BY 1, 2),
+th AS (SELECT term, ('0x' || substring(md5(term), 1, 16))::UBIGINT AS h
+       FROM (SELECT DISTINCT term FROM tf)),
+bits AS (
+  SELECT tf.doc_id, b.bit,
+         sum(tf.tf * (CASE WHEN (th.h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END)) AS v
+  FROM tf JOIN th USING (term)
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY 1, 2),
+sig AS (SELECT doc_id,
+               sum(CASE WHEN v > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END)::UBIGINT AS simhash
+        FROM bits GROUP BY doc_id)
+SELECT d.doc_id::BIGINT AS doc_id, coalesce(s.simhash, 0)::UBIGINT AS simhash
+FROM documents d LEFT JOIN sig s USING (doc_id)
+""",
+        "q_simhash_dedup": f"""
+WITH tokens AS ({_TOKENS}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tokens GROUP BY 1, 2),
+th AS (SELECT term, ('0x' || substring(md5(term), 1, 16))::UBIGINT AS h
+       FROM (SELECT DISTINCT term FROM tf)),
+bits AS (
+  SELECT tf.doc_id, b.bit,
+         sum(tf.tf * (CASE WHEN (th.h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END)) AS v
+  FROM tf JOIN th USING (term)
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY 1, 2),
+sig0 AS (SELECT doc_id,
+                sum(CASE WHEN v > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END)::UBIGINT AS simhash
+         FROM bits GROUP BY doc_id),
+sig AS (SELECT d.doc_id, coalesce(s.simhash, 0::UBIGINT) AS simhash
+        FROM documents d LEFT JOIN sig0 s USING (doc_id))
+SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+        # q_minhash_dedup / q_lang_id / q_fingerprint / q_knn_ivf /
+        # q_embedding_dedup_lsh / q_multimodal_* / q_index_search /
+        # q_index_bm25 / q_rank_identity: non-SQL-expressible (seeded hash
+        # permutations, heuristics, probabilistic recall, stateful index
+        # build) → rows-only checks by design.
     }

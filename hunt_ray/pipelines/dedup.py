@@ -538,15 +538,35 @@ def ngram_jaccard_dedup(sf_dir: str, *, threshold: float = 0.75, n: int = 3):
 
 # ------------------------------------------------------------------ simhash
 
+_MD5_CACHE: dict[str, int] = {}
+
+
+def _md5_hash64(terms: np.ndarray) -> np.ndarray:
+    """Top 8 bytes of md5(term) as uint64 — DuckDB-reproducible
+    (``('0x' || substring(md5(term), 1, 16))::UBIGINT``), so SimHash gets
+    an exact SQL oracle. Hashed once per distinct term (cached)."""
+    uniq, inv = np.unique(np.asarray(terms, dtype=object), return_inverse=True)
+    out = np.empty(len(uniq), dtype=np.uint64)
+    for i, t in enumerate(uniq):
+        h = _MD5_CACHE.get(t)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            if len(_MD5_CACHE) < 1_000_000:  # bound worker memory
+                _MD5_CACHE[t] = h
+        out[i] = h
+    return out[inv]
+
+
 def simhash_batch(batch: pa.Table) -> pa.Table:
     """64-bit SimHash per doc from tf-weighted token hashes (vectorized
-    bit-vote: for each bit, Σ tf·(±1))."""
+    bit-vote: for each bit, Σ tf·(±1)). Token hash = md5 top-8-bytes so the
+    whole signature is byte-identical to the DuckDB oracle."""
     df = _flat_tokens(batch)
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
     sig = np.zeros(len(doc_ids), dtype=np.uint64)
     if df.height:
         g = df.group_by(["doc_id", "term"]).agg(tf=pl.len())
-        th = hash64(g["term"].to_arrow())
+        th = _md5_hash64(g["term"].to_numpy())
         tf = g["tf"].to_numpy().astype(np.int64)
         d = g["doc_id"].to_numpy()
         idmap = {int(x): i for i, x in enumerate(doc_ids)}
