@@ -310,6 +310,26 @@ SELECT query_id, vec_id, round(cos, 6) AS cosine FROM ranked WHERE rk <= 10
             "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue, "
             "count(*)::BIGINT AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
+        # lang-id heuristic: per-language stopword hits, argmax with
+        # first-language-wins ties (np.argmax order en,de,es,fr = the CASE
+        # cascade), 'und' when nothing hits
+        "q_lang_id": f"""
+WITH tokens AS ({_TOKENS}),
+hits AS (SELECT doc_id,
+  sum(CASE WHEN term IN ('the','and','of','to','a','in','is','it') THEN 1 ELSE 0 END) AS h_en,
+  sum(CASE WHEN term IN ('der','die','das','und','ist','nicht','ein','zu') THEN 1 ELSE 0 END) AS h_de,
+  sum(CASE WHEN term IN ('el','la','los','que','de','un','una','por') THEN 1 ELSE 0 END) AS h_es,
+  sum(CASE WHEN term IN ('le','la','les','et','des','une','est','que') THEN 1 ELSE 0 END) AS h_fr
+  FROM tokens GROUP BY doc_id)
+SELECT d.doc_id::BIGINT AS doc_id,
+  CASE WHEN greatest(coalesce(h.h_en,0), coalesce(h.h_de,0),
+                     coalesce(h.h_es,0), coalesce(h.h_fr,0)) = 0 THEN 'und'
+       WHEN h.h_en >= h.h_de AND h.h_en >= h.h_es AND h.h_en >= h.h_fr THEN 'en'
+       WHEN h.h_de >= h.h_es AND h.h_de >= h.h_fr THEN 'de'
+       WHEN h.h_es >= h.h_fr THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM documents d LEFT JOIN hits h USING (doc_id)
+""",
         # SimHash: md5-top-8-byte token hashes make the whole signature and
         # the banded near-dup pairs exactly SQL-reproducible (pigeonhole
         # banding is exact for the hamming radius)
@@ -351,9 +371,45 @@ SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
-        # q_minhash_dedup / q_lang_id / q_fingerprint / q_knn_ivf /
-        # q_embedding_dedup_lsh / q_multimodal_* / q_index_search /
-        # q_index_bm25 / q_rank_identity: non-SQL-expressible (seeded hash
-        # permutations, heuristics, probabilistic recall, stateful index
-        # build) → rows-only checks by design.
+        # fingerprint: md5-hashed tokens + the unrolled rolling polynomial
+        # FP_OFFSET·Bⁿ + Σ h_i·Bⁿ⁻ⁱ (mod 2^64) — UHUGEINT modular
+        # arithmetic with a recursive-CTE power table
+        "q_fingerprint": """
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, arr[i.i] AS term, i.i AS pos, len(arr) AS n
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS arr
+        FROM documents),
+       unnest(generate_series(1, len(arr))) AS i(i)
+),
+maxn AS (SELECT coalesce(max(n), 0) AS m FROM toks),
+pows(e, v) AS (
+  SELECT 0, 1::UHUGEINT
+  UNION ALL
+  SELECT e + 1, (v * 1099511628211::UHUGEINT) % 18446744073709551616::UHUGEINT
+  FROM pows WHERE e < (SELECT m FROM maxn)
+),
+contrib AS (
+  SELECT t.doc_id, t.n,
+         ((('0x' || substring(md5(t.term), 1, 16))::UBIGINT::UHUGEINT * p.v)
+          % 18446744073709551616::UHUGEINT)::HUGEINT AS c
+  FROM toks t JOIN pows p ON p.e = t.n - t.pos
+),
+fp AS (
+  SELECT c.doc_id,
+         ((sum(c.c)::UHUGEINT
+           + (14695981039346656037::UHUGEINT * pn.v)
+             % 18446744073709551616::UHUGEINT)
+          % 18446744073709551616::UHUGEINT)::UBIGINT AS fingerprint
+  FROM contrib c JOIN pows pn ON pn.e = c.n
+  GROUP BY c.doc_id, pn.v
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(f.fingerprint, 14695981039346656037::UBIGINT) AS fingerprint
+FROM documents d LEFT JOIN fp f USING (doc_id)
+""",
+        # q_minhash_dedup / q_knn_ivf / q_embedding_dedup_lsh /
+        # q_multimodal_* / q_index_search / q_index_bm25 / q_rank_identity:
+        # non-SQL-expressible (seeded hash permutations, probabilistic
+        # recall, stateful index build) → rows-only checks by design.
     }

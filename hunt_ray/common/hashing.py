@@ -53,6 +53,28 @@ def bucket_of(hashes: np.ndarray, n_buckets: int) -> np.ndarray:
     return (hashes % np.uint64(n_buckets)).astype(np.int32)
 
 
+_MD5_CACHE: dict[str, int] = {}
+
+
+def md5_hash64(terms) -> np.ndarray:
+    """Top 8 bytes of md5(term) as uint64 — DuckDB-reproducible
+    (``('0x' || substring(md5(term), 1, 16))::UBIGINT``), used by the
+    pipelines whose outputs carry exact SQL oracles (SimHash,
+    fingerprints). Hashed once per distinct term (bounded cache)."""
+    uniq, inv = np.unique(np.asarray(terms, dtype=object), return_inverse=True)
+    out = np.empty(len(uniq), dtype=np.uint64)
+    import hashlib
+
+    for i, t in enumerate(uniq):
+        h = _MD5_CACHE.get(t)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            if len(_MD5_CACHE) < 1_000_000:
+                _MD5_CACHE[t] = h
+        out[i] = h
+    return out[inv]
+
+
 def doc_id_to_hex(doc_id: int) -> str:
     """toHex (DocId.hs:79-85): "0x" + lowercase hex, no padding — the
     JSON/debug rendering of a doc id."""

@@ -538,23 +538,7 @@ def ngram_jaccard_dedup(sf_dir: str, *, threshold: float = 0.75, n: int = 3):
 
 # ------------------------------------------------------------------ simhash
 
-_MD5_CACHE: dict[str, int] = {}
-
-
-def _md5_hash64(terms: np.ndarray) -> np.ndarray:
-    """Top 8 bytes of md5(term) as uint64 — DuckDB-reproducible
-    (``('0x' || substring(md5(term), 1, 16))::UBIGINT``), so SimHash gets
-    an exact SQL oracle. Hashed once per distinct term (cached)."""
-    uniq, inv = np.unique(np.asarray(terms, dtype=object), return_inverse=True)
-    out = np.empty(len(uniq), dtype=np.uint64)
-    for i, t in enumerate(uniq):
-        h = _MD5_CACHE.get(t)
-        if h is None:
-            h = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
-            if len(_MD5_CACHE) < 1_000_000:  # bound worker memory
-                _MD5_CACHE[t] = h
-        out[i] = h
-    return out[inv]
+from ..common.hashing import md5_hash64 as _md5_hash64
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:

@@ -296,7 +296,8 @@ FP_OFFSET = np.uint64(14695981039346656037)
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Deterministic 64-bit document fingerprint: order-sensitive rolling
-    hash of the token stream (mod 2^64). Rows-only oracle.
+    hash of the token stream (mod 2^64). Token hash = md5 top-8-bytes, so
+    the whole fingerprint is SQL-reproducible (exact DuckDB oracle).
 
     The rolling recurrence fp = fp·B + h_i unrolls to
     ``FP_OFFSET·Bⁿ + Σ h_i·Bⁿ⁻ⁱ`` — computed as one segmented Horner over
@@ -304,11 +305,13 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     per-doc ``np.add.reduceat``, no per-token Python loop. mod-2^64
     wraparound is the point — numpy's overflow note is silenced.
     """
+    from ..common.hashing import md5_hash64
+
     df = _flat_tokens(batch)
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
     out = np.full(len(doc_ids), FP_OFFSET, dtype=np.uint64)
     if df.height:
-        th = hash64(df["term"].to_arrow())
+        th = md5_hash64(df["term"].to_numpy())
         d = df["doc_id"].to_numpy()
         # docs are contiguous segments in stream order (np.repeat layout)
         change = np.r_[True, d[1:] != d[:-1]]

@@ -6,7 +6,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from hunt_ray.common.hashing import hash64
+from hunt_ray.common.hashing import md5_hash64
 from hunt_ray.pipelines.textstats import (
     FP_BASE,
     FP_OFFSET,
@@ -20,7 +20,7 @@ def _reference_loop(batch: pa.Table) -> dict[int, int]:
     df = _flat_tokens(batch)
     fps: dict[int, np.uint64] = {}
     if df.height:
-        th = hash64(df["term"].to_arrow())
+        th = md5_hash64(df["term"].to_numpy())
         with np.errstate(over="ignore"):
             for did, h in zip(df["doc_id"].to_numpy(), th):
                 fps[int(did)] = fps.get(int(did), FP_OFFSET) * FP_BASE + np.uint64(h)
