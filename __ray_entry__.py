@@ -408,8 +408,59 @@ SELECT d.doc_id::BIGINT AS doc_id,
        coalesce(f.fingerprint, 14695981039346656037::UBIGINT) AS fingerprint
 FROM documents d LEFT JOIN fp f USING (doc_id)
 """,
+        # index-served BM25 vs corpus-recomputed BM25: the pages corpus
+        # derives deterministically from documents (pages_from_documents:
+        # body = "doc <id> heading" + ws-normalized text), so the oracle
+        # recomputes BM25 from text and must match the inverted-index path
+        "q_index_bm25": _index_bm25_oracle_sql(),
         # q_minhash_dedup / q_knn_ivf / q_embedding_dedup_lsh /
-        # q_multimodal_* / q_index_search / q_index_bm25 / q_rank_identity:
+        # q_multimodal_* / q_index_search / q_rank_identity:
         # non-SQL-expressible (seeded hash permutations, probabilistic
-        # recall, stateful index build) → rows-only checks by design.
+        # recall, index-state probes) → rows-only checks by design.
     }
+
+
+def _index_bm25_oracle_sql() -> str:
+    from hunt_ray.pipelines.flagship import FLAGSHIP_BM25_QUERIES
+
+    qterms = []
+    for q in FLAGSHIP_BM25_QUERIES:
+        seen = []
+        for t in q.lower().split():
+            if t not in seen:
+                seen.append(t)
+        for t in seen:
+            qterms.append(f"('{q}', '{t}')")
+    values = ", ".join(qterms)
+    return f"""
+WITH body AS (
+  SELECT doc_id, 'doc://' || doc_id AS url,
+         CASE WHEN trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) = ''
+              THEN 'doc ' || doc_id || ' heading'
+              ELSE 'doc ' || doc_id || ' heading ' ||
+                   trim(regexp_replace(text, '\\s+', ' ', 'g')) END AS btext
+  FROM documents),
+toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(btext), '[a-z0-9_]+')) AS term
+         FROM body),
+dl AS (SELECT b.doc_id, b.url, coalesce(t.n, 0)::DOUBLE AS dl
+       FROM body b LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t
+       USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+q(query, term) AS (VALUES {values}),
+tf AS (SELECT q.query, q.term, t.doc_id, count(*)::DOUBLE AS tf
+       FROM q JOIN toks t ON t.term = q.term GROUP BY 1, 2, 3),
+df AS (SELECT query, term, count(*)::DOUBLE AS df FROM tf GROUP BY 1, 2),
+scored AS (
+  SELECT tf.query, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN df USING (query, term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT sc.query, dl.url, round(sc.score, 6) AS score,
+         row_number() OVER (PARTITION BY sc.query
+                            ORDER BY round(sc.score, 6) DESC, dl.url ASC) AS rk
+  FROM scored sc JOIN dl USING (doc_id))
+SELECT query, (rk - 1)::INT AS rank, url, score FROM ranked WHERE rk <= 10
+"""

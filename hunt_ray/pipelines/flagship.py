@@ -133,16 +133,27 @@ def rank_identity(sf_dir: str) -> pa.Table:
     })
 
 
+FLAGSHIP_BM25_QUERIES = ["join hash batch", "customer window", "document 42"]
+
+
 def flagship_bm25(sf_dir: str, k: int = 10) -> pa.Table:
-    """BM25/WAND top-k over the same index (body context)."""
+    """BM25/WAND top-k over the built index (body context).
+
+    Ranking is (round(score, 6) desc, url asc) — deterministic and
+    SQL-reproducible, so the index-served results carry an exact DuckDB
+    oracle that recomputes BM25 from the corpus text. The engine fetches a
+    5k buffer before the rounded re-rank so rounded-score ties at the
+    boundary resolve identically."""
     from ..index.reader import IndexReader
     from ..query.bm25 import BM25Engine
 
     index_dir = ensure_index(sf_dir)
     eng = BM25Engine(IndexReader(index_dir))
     rows = {"query": [], "rank": [], "url": [], "score": []}
-    for q in ["join hash batch", "customer window", "document 42"]:
-        for rank, hit in enumerate(eng.search(q, k=k, mode="wand")):
+    for q in FLAGSHIP_BM25_QUERIES:
+        hits = eng.search(q, k=5 * k, mode="wand")
+        hits.sort(key=lambda h: (-round(h["score"], 6), h["url"]))
+        for rank, hit in enumerate(hits[:k]):
             rows["query"].append(q)
             rows["rank"].append(rank)
             rows["url"].append(hit["url"])
