@@ -79,25 +79,23 @@ def extract_title(html: pa.Array | pa.ChunkedArray) -> pa.Array:
 def extract_headlines(html: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Text of all h1..h6 elements, space-joined (HtmlHunter.hs:330-335).
 
-    Vectorized trick: keep only headline contents by (1) dropping scripts,
-    (2) marking headline spans, (3) deleting everything outside the marks.
-    """
-    import re
+    Vectorized: one Rust-regex extract_all over the column, headline
+    elements joined per row, tags stripped, whitespace-normalized (the
+    join+strip order yields the same normalized text as per-match
+    stripping)."""
+    import polars as pl
 
     arr = _drop_scripts(_as_string_array(html))
-    # Per-row findall with one compiled regex; headlines are short and few,
-    # so this loop is not on the hot path (body/title dominate bytes).
-    rex = re.compile(r"(?s)<h[1-6][^>]*>(.*?)</h[1-6]>")
-    tag = re.compile(r"<[^>]*>")
-    out = []
-    for v in arr.to_pylist():
-        if not v:
-            out.append("")
-            continue
-        parts = [tag.sub(" ", m) for m in rex.findall(v)]
-        out.append(" ".join(parts))
-    res = pa.array(out, type=pa.string())
-    return _normalize_ws(_unescape(res))
+    s = pl.from_arrow(arr)
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    joined = (s.str.extract_all(r"(?s)<h[1-6][^>]*>.*?</h[1-6]>")
+              .list.join(" ").fill_null(""))
+    res = joined.to_arrow()
+    if isinstance(res, pa.ChunkedArray):
+        res = res.combine_chunks()
+    res = pc.replace_substring_regex(res, pattern=r"<[^>]*>", replacement=" ")
+    return _normalize_ws(_unescape(res)).cast(pa.string())
 
 
 EXTRACTORS = {
