@@ -159,9 +159,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- generic relational ops (events range scan, TPC-H-ish agg)
         "q_events_range": q_events_range,
         "q_lineitem_q1": q_lineitem_q1,
-        # --- flagship index build + query (rows-only: non-SQL-expressible)
+        # --- flagship index build + query
         "q_index_search": flagship.flagship_search,
         "q_index_bm25": flagship.flagship_bm25,
+        # per-partition build lineage + metrics (north_rule visibility)
+        "q_index_metrics": flagship.index_metrics,
         # self-checking rank-identity probe: engine vs independent oracle,
         # one row per reference query with a boolean verdict
         "q_rank_identity": flagship.rank_identity,

@@ -136,6 +136,39 @@ def rank_identity(sf_dir: str) -> pa.Table:
 FLAGSHIP_BM25_QUERIES = ["join hash batch", "customer window", "document 42"]
 
 
+def index_metrics(sf_dir: str) -> pa.Table:
+    """Per-partition build lineage + metrics from the manifest completion
+    records (north_rule: 'resumable from checkpoint with per-partition
+    lineage + metrics') — one row per partition of the flagship index."""
+    from ..index.manifest import Manifest
+    from ..index.reader import IndexReader
+
+    index_dir = ensure_index(sf_dir)
+    info = IndexReader(index_dir).info
+    man = Manifest(index_dir)
+    gen = info["generation"]
+    rows = {"part": [], "rows": [], "terms": [], "merge_seconds": [],
+            "params_hash": [], "n_run_files": [], "n_input_files": []}
+    for k in range(info["num_partitions"]):
+        rec = man.part_record(gen, k) or {}
+        rows["part"].append(k)
+        rows["rows"].append(int(rec.get("rows", -1)))
+        rows["terms"].append(int(rec.get("terms", -1)))
+        rows["merge_seconds"].append(float(rec.get("merge_seconds", -1.0)))
+        rows["params_hash"].append(rec.get("params_hash", ""))
+        rows["n_run_files"].append(len(rec.get("runs", [])))
+        rows["n_input_files"].append(len(rec.get("lineage", {}).get("inputs", [])))
+    return pa.table({
+        "part": pa.array(rows["part"], pa.int32()),
+        "rows": pa.array(rows["rows"], pa.int64()),
+        "terms": pa.array(rows["terms"], pa.int64()),
+        "merge_seconds": pa.array(rows["merge_seconds"], pa.float64()),
+        "params_hash": pa.array(rows["params_hash"], pa.string()),
+        "n_run_files": pa.array(rows["n_run_files"], pa.int32()),
+        "n_input_files": pa.array(rows["n_input_files"], pa.int32()),
+    })
+
+
 def flagship_bm25(sf_dir: str, k: int = 10) -> pa.Table:
     """BM25/WAND top-k over the built index (body context).
 
