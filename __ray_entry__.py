@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # self-checking rank-identity probe: engine vs independent oracle,
         # one row per reference query with a boolean verdict
         "q_rank_identity": flagship.rank_identity,
+        # self-checking serve-mode probe: actor-pool serving vs local engine
+        "q_serve_identity": flagship.serve_identity,
     }
 
 

@@ -169,6 +169,36 @@ def index_metrics(sf_dir: str) -> pa.Table:
     })
 
 
+def serve_identity(sf_dir: str) -> pa.Table:
+    """Self-checking serve-mode probe: for each flagship query, the
+    partition-actor + sharded-doc-table serving path must produce results
+    identical to the local in-process engine over the same index. One row
+    per query with a boolean verdict (rows-only by design — the check IS
+    the payload)."""
+    from ..query.engine import SearchEngine
+    from ..query.serve import RemoteIndexReader
+
+    index_dir = ensure_index(sf_dir)
+    local = SearchEngine(index_dir)
+    rr = RemoteIndexReader(index_dir, n_actors=2, doc_shards=2)
+    remote = SearchEngine.from_reader(rr)
+    rows = {"query": [], "identical": [], "n_results": []}
+    try:
+        for q in FLAGSHIP_QUERIES:
+            a = [(h.url, h.score) for h in local.search(q, limit=0).result]
+            b = [(h.url, h.score) for h in remote.search(q, limit=0).result]
+            rows["query"].append(q)
+            rows["identical"].append(a == b)
+            rows["n_results"].append(len(a))
+    finally:
+        rr.shutdown()
+    return pa.table({
+        "query": pa.array(rows["query"], pa.string()),
+        "identical": pa.array(rows["identical"], pa.bool_()),
+        "n_results": pa.array(rows["n_results"], pa.int64()),
+    })
+
+
 def flagship_bm25(sf_dir: str, k: int = 10) -> pa.Table:
     """BM25/WAND top-k over the built index (body context).
 
