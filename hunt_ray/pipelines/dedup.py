@@ -337,7 +337,8 @@ def _char_ngram_hashes(text: str, n: int) -> np.ndarray:
     return np.unique(h)
 
 
-def ngram_jaccard_dedup(sf_dir: str, *, threshold: float = 0.75, n: int = 3):
+def ngram_jaccard_dedup(sf_dir: str, *, threshold: float = 0.75, n: int = 3,
+                        num_buckets: int = 32):
     """EXACT near-dup pairs by character-n-gram Jaccard ≥ threshold.
 
     Same result as the SQL oracle (pairs share ≥1 gram; |A∩B| counted via
@@ -345,9 +346,16 @@ def ngram_jaccard_dedup(sf_dir: str, *, threshold: float = 0.75, n: int = 3):
     deterministic mode for moderate corpora. Shared-gram pair generation
     is inherently Σ_g df(g)² — at web scale use ``minhash_dedup`` (the
     probabilistic path); this one is the oracle-matched ground truth.
+
+    ``num_buckets`` bounds per-group memory: each hash bucket's group
+    (≈ total gram/pair rows ÷ num_buckets) is materialized in one
+    ``map_groups`` call, so size it to the corpus — the default fits the
+    test tables; a large corpus wants thousands.
     """
     import ray.data as rd
     from ray.data.aggregate import Count
+
+    P = max(2, num_buckets)
 
     def gram_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -375,7 +383,6 @@ def ngram_jaccard_dedup(sf_dir: str, *, threshold: float = 0.75, n: int = 3):
     # pair generation is bucketed into P gram-hash partitions (ONE group
     # call per partition, segments vectorized inside) — a per-gram
     # map_groups would invoke Python once per distinct gram
-    P = 32
 
     def add_part(batch: pa.Table) -> pa.Table:
         part = (batch.column("gram").to_numpy(zero_copy_only=False)
