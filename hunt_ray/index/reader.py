@@ -87,7 +87,13 @@ class PartitionReader:
             if i == len(self.contexts) or self.contexts[i] != self.contexts[lo]:
                 self.cx_span[self.contexts[lo]] = (lo, i)
                 lo = i
+        # bounded decoded-postings cache: long-lived serve actors would
+        # otherwise grow with every distinct term ever queried. FIFO
+        # eviction (dict preserves insertion order) — head terms are
+        # re-queried constantly and re-enter immediately.
         self._postings_cache: dict[int, Postings] = {}
+        self._postings_cache_cap = int(os.environ.get(
+            "HUNT_POSTINGS_CACHE", "4096"))
 
     # -- dictionary lookups -----------------------------------------
 
@@ -177,6 +183,8 @@ class PartitionReader:
         else:
             pos_flat, pos_offsets = None, None
         p = Postings(doc_ids=doc_ids, tfs=tfs, pos_flat=pos_flat, pos_offsets=pos_offsets)
+        if len(self._postings_cache) >= self._postings_cache_cap:
+            self._postings_cache.pop(next(iter(self._postings_cache)))
         self._postings_cache[entry] = p
         return p
 

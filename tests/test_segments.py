@@ -150,3 +150,64 @@ def test_compaction_rank_identity_and_exact_stats(ray_session, tmp_path):
                    os.path.join(p2, "pages-0.parquet"))
     seg.insert_pages(p2, cfg)
     assert seg.reader().stats["n_docs"] == 120 + 80 - 3 + 30
+
+
+def test_bm25_over_segments_and_compaction(ray_session, tmp_path):
+    """BM25 must work over a multi-segment view with tombstones (never
+    surfacing deleted docs), and after compaction must equal a fresh
+    single-segment build of the live corpus bit-for-bit (exact avgdl)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from hunt_ray.common.hashing import hash64
+    from hunt_ray.fixtures.pages import generate_pages, write_pages
+    from hunt_ray.index.build import BuildConfig, build_index
+    from hunt_ray.index.reader import IndexReader
+    from hunt_ray.index.segments import SegmentedIndex
+    from hunt_ray.query.bm25 import BM25Engine
+
+    cfg = BuildConfig(num_partitions=3, salt_buckets=2, batch_size=64,
+                      analyzer_concurrency=2)
+    root = str(tmp_path / "segroot2")
+    p0 = str(tmp_path / "p0b")
+    write_pages(p0, seed=42, n_rows=100, rows_per_file=50)
+    build_index(p0, root, cfg)
+    seg = SegmentedIndex(root)
+    p1 = str(tmp_path / "p1b")
+    os.makedirs(p1, exist_ok=True)
+    t1 = generate_pages(seed=47, n_rows=60, url_offset=2000)
+    pq.write_table(t1, os.path.join(p1, "pages-0.parquet"))
+    seg.insert_pages(p1, cfg)
+    victims = ["test://5", "test://2012"]
+    seg.delete_doc_ids(np.asarray(hash64(victims), dtype=np.uint64))
+    vict_ids = set(int(x) for x in hash64(victims))
+
+    # multi-segment BM25: runs, and tombstoned docs never appear
+    eng_multi = BM25Engine(seg.reader())
+    for q in ("brain", "take over the world", "the and of"):
+        hits = eng_multi.search(q, k=50, hydrate=False)
+        assert hits
+        assert not ({h["doc_id"] for h in hits} & vict_ids), q
+
+    # after compaction: bit-identical to a fresh build of the live corpus
+    seg.compact()
+    live_pages = str(tmp_path / "live")
+    os.makedirs(live_pages, exist_ok=True)
+    t0 = generate_pages(seed=42, n_rows=100)
+    keep0 = [i for i in range(100) if f"test://{i}" not in victims]
+    keep1 = [i for i in range(60) if f"test://{2000 + i}" not in victims]
+    pq.write_table(t0.take(keep0), os.path.join(live_pages, "a.parquet"))
+    pq.write_table(t1.take(keep1), os.path.join(live_pages, "b.parquet"))
+    fresh_idx = str(tmp_path / "fresh")
+    build_index(live_pages, fresh_idx, cfg)
+
+    eng_a = BM25Engine(seg.reader())
+    eng_b = BM25Engine(IndexReader(fresh_idx))
+    assert eng_a.N == eng_b.N
+    assert abs(eng_a.avgdl - eng_b.avgdl) < 1e-12
+    for q in ("brain", "take over the world", "the and of", "pinky data"):
+        a = eng_a.search(q, k=20, hydrate=True)
+        b = eng_b.search(q, k=20, hydrate=True)
+        assert a == b, q
