@@ -37,14 +37,14 @@ def _matching(sf_dir: str, fn):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _has_term(batch: pa.Table, term: str) -> np.ndarray:
-    s = _token_string(batch)
+def _has_term_in(s: pa.Array, term: str) -> np.ndarray:
     return pc.match_substring(s, f" {term} ").to_numpy(zero_copy_only=False).astype(bool)
 
 
 def search_and(sf_dir: str, t1: str, t2: str):
     def fn(batch: pa.Table) -> pa.Table:
-        m = _has_term(batch, t1) & _has_term(batch, t2)
+        s = _token_string(batch)  # one normalization pass per batch
+        m = _has_term_in(s, t1) & _has_term_in(s, t2)
         return pa.table({"doc_id": batch.column("doc_id").filter(pa.array(m))})
 
     return _matching(sf_dir, fn)
@@ -52,7 +52,8 @@ def search_and(sf_dir: str, t1: str, t2: str):
 
 def search_or(sf_dir: str, t1: str, t2: str):
     def fn(batch: pa.Table) -> pa.Table:
-        m = _has_term(batch, t1) | _has_term(batch, t2)
+        s = _token_string(batch)
+        m = _has_term_in(s, t1) | _has_term_in(s, t2)
         return pa.table({"doc_id": batch.column("doc_id").filter(pa.array(m))})
 
     return _matching(sf_dir, fn)
@@ -60,7 +61,8 @@ def search_or(sf_dir: str, t1: str, t2: str):
 
 def search_and_not(sf_dir: str, t1: str, t2: str):
     def fn(batch: pa.Table) -> pa.Table:
-        m = _has_term(batch, t1) & ~_has_term(batch, t2)
+        s = _token_string(batch)
+        m = _has_term_in(s, t1) & ~_has_term_in(s, t2)
         return pa.table({"doc_id": batch.column("doc_id").filter(pa.array(m))})
 
     return _matching(sf_dir, fn)
