@@ -39,4 +39,9 @@ REFERENCE_QUERIES: list[tuple[str, str, str]] = [
     ("headlines_lower", "context", "headlines:PINKY"),
     ("or_of_ands", "or", "(take AND world) OR (brain AND mission)"),
     ("andnot_chain", "andnot", "the AND NOT world AND NOT mission"),
+    # compound shapes: local ops under context restriction, boosted range,
+    # range mixed into boolean algebra
+    ("near_in_context", "multicontext", "title,body:(take NEAR 3 world)"),
+    ("boosted_range", "boost", "datecontext:[2013-01-01 TO 2014-12-31]^2"),
+    ("range_or_word", "or", "intcontext:[40 TO 1024] OR brain"),
 ]
