@@ -73,6 +73,22 @@ CONTEXT_TYPES: dict[str, ContextType] = {
         search_score="default",
         range_score="default",
     ),
+    # position-rtree shares the position type's observable semantics
+    # (Schema.hs:173-179: same regex/validator, rectangle lookupRange) —
+    # the reference's R-tree vs prefix-tree split is an index-implementation
+    # choice that the sorted Z-order dictionary subsumes here
+    "position-rtree": ContextType(
+        name="position-rtree",
+        token_pattern=(r"-?(?:90(?:\.0*)?|[1-8]?[0-9](?:\.[0-9]*)?)-"
+                       r"-?(?:(?:180(?:\.0*)?)|(?:1[0-7][0-9])|(?:[1-9]?[0-9]))"
+                       r"(?:\.[0-9]*)?"),
+        validator="position",
+        value_kind="docset",
+        key_normalizer="Position",
+        search_score="default",
+        range_score="default",
+        range_filter="position2d",
+    ),
     "position": ContextType(
         name="position",
         # Schema.hs:168: the reference's lat-long token regex

@@ -96,3 +96,60 @@ def test_hex_docid_rendering():
     assert doc_id_from_hex("0x") is None
     big = 2**63 + 12345
     assert doc_id_from_hex(doc_id_to_hex(big)) == big
+
+
+def test_client_bindings(server):
+    """HuntClient (hunt-client analog) over the shim, incl. builder ASTs."""
+    from hunt_ray.client import HuntClient, HuntClientError
+    from hunt_ray.query import ast as A
+
+    srv, interp = server
+    cl = HuntClient(f"http://127.0.0.1:{srv.port}")
+    st = cl.status()
+    assert st["doc_count"] == 3
+    res = cl.search("brain", max=10)
+    assert {h["uri"] for h in res["result"]} == {"http://a", "http://b"}
+    # builder AST serialized through render_query
+    res2 = cl.search(A.q_and(A.q_word_nocase("brain"),
+                             A.q_word_nocase("world")), max=10)
+    assert [h["uri"] for h in res2["result"]] == ["http://a"]
+    assert any(w["word"] == "brain" for w in cl.complete("bra"))
+    ev = cl.eval({"cmd": "search", "query": "pinky"})
+    assert [h["uri"] for h in ev["result"]] == ["http://b"]
+    try:
+        cl.eval({"cmd": "nonsense"})
+        raise AssertionError("expected HuntClientError")
+    except HuntClientError:
+        pass
+
+
+def test_position_rtree_alias_context(ray_session, tmp_path):
+    """position-rtree shares the position type's observable semantics."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.analyze.schema import ContextSchema
+    from hunt_ray.index.build import BuildConfig, build_index
+    from hunt_ray.query.engine import SearchEngine
+
+    d = tmp_path / "rtree"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "url": pa.array(["g://0", "g://1"], pa.string()),
+        "warc_ts": pa.array([0, 1], pa.timestamp("us")),
+        "html": pa.array([b"", b""], pa.binary()),
+        "text": pa.array(["at 10.5-20.5 x", "at 70.0-75.0 x"], pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+    }), str(d / "p.parquet"))
+    schema = {
+        "body": ContextSchema(type="text", default=True, source="text"),
+        "geo": ContextSchema(type="position-rtree", default=False,
+                             source="text"),
+    }
+    idx = str(tmp_path / "rtree_idx")
+    build_index(str(d), idx, BuildConfig(schema=schema, num_partitions=2,
+                                         batch_size=8, analyzer_concurrency=2))
+    eng = SearchEngine(idx)
+    hits = eng.search("geo:[10-20 TO 20-30]", limit=0)
+    assert [h.url for h in hits.result] == ["g://0"]
