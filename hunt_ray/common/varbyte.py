@@ -129,7 +129,9 @@ def segmented_delta_decode(deltas: np.ndarray, offsets: np.ndarray) -> np.ndarra
         return d
     out = np.cumsum(d, dtype=_U64)
     starts = np.asarray(offsets[:-1], dtype=np.int64)
-    starts = starts[(starts > 0) & (starts < d.size)]
+    # unique: empty segments duplicate a start index, and the correction
+    # below must count each distinct start's increment exactly once
+    starts = np.unique(starts[(starts > 0) & (starts < d.size)])
     if starts.size:
         # subtract, per segment, the running total accumulated before its
         # start: cumsum of per-start increments yields a step function that
