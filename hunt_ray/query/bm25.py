@@ -341,19 +341,24 @@ class BM25Engine:
         kk = min(k, len(seed_ids))
         theta = float(np.partition(seed_scores, len(seed_scores) - kk)[len(seed_scores) - kk]) \
             if len(seed_scores) > kk else float(seed_scores.min())
-        # longest low-ub suffix with Σ ub ≤ θ is non-essential
-        ubs_sorted = [terms[i].ub for i in order_ub]
-        suffix = 0.0
+        theta_binding = len(seed_ids) >= k
         n_essential = len(terms)
-        for j in range(len(terms) - 1, -1, -1):
-            if suffix + ubs_sorted[j] <= theta:
-                suffix += ubs_sorted[j]
-                n_essential = j
-            else:
-                break
+        if theta_binding:
+            # longest low-ub suffix with Σ ub ≤ θ is non-essential. Only
+            # valid when the seed supplied k full scores: with an unfilled
+            # top-k, docs scoring below θ still belong in the result, so
+            # dropping their only terms would lose them.
+            ubs_sorted = [terms[i].ub for i in order_ub]
+            suffix = 0.0
+            for j in range(len(terms) - 1, -1, -1):
+                if suffix + ubs_sorted[j] <= theta:
+                    suffix += ubs_sorted[j]
+                    n_essential = j
+                else:
+                    break
         essential = [terms[i] for i in order_ub[:max(1, n_essential)]]
         cand = np.union1d(np.concatenate([tp.doc_ids for tp in essential]), seed_ids)
-        return cand, theta, len(seed_ids) >= k
+        return cand, theta, theta_binding
 
     def search_block_max(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Vectorized block-max WAND — exact top-k, numpy throughout.

@@ -235,3 +235,66 @@ def test_render_parse_roundtrip_property(q):
     from hunt_ray.query.parser import parse_query, render_query
 
     assert parse_query(render_query(q)) == q
+
+
+# ---------------------------------------------------------------- bm25 scorers
+
+@given(
+    st.lists(  # per query term: dict of doc -> tf
+        st.dictionaries(st.integers(1, 30), st.integers(1, 9),
+                        min_size=0, max_size=20),
+        min_size=1, max_size=4),
+    st.integers(1, 12),
+)
+@settings(max_examples=120, deadline=None)
+def test_bm25_scorers_identical_on_random_postings(term_models, k):
+    """exhaustive == MaxScore == vectorized block-max == DAAT WAND on
+    arbitrary posting sets (incl. adversarial ties and empty terms)."""
+    import math
+
+    from hunt_ray.query.bm25 import BLOCK, BM25Engine, _TermPostings
+
+    all_docs = sorted({d for m in term_models for d in m})
+    if not all_docs:
+        return
+    n_docs = max(all_docs) + 1
+    doc_ids_sorted = np.arange(n_docs, dtype=np.uint64)
+    rng = np.random.default_rng(7)
+    doclen = rng.integers(5, 60, size=n_docs).astype(np.float64)
+
+    eng = BM25Engine.__new__(BM25Engine)
+    eng.k1, eng.b = 1.2, 0.75
+    eng.N = n_docs
+    eng.avgdl = float(doclen.mean())
+    eng._doc_id_sorted = doc_ids_sorted
+    eng._doclen = doclen
+    eng._docs = None
+    eng._term_cache = {}
+
+    terms = []
+    for ti, model in enumerate(term_models):
+        if not model:
+            continue
+        dids = np.asarray(sorted(model), dtype=np.uint64)
+        tfs = np.asarray([model[int(d)] for d in dids], dtype=np.float64)
+        df = len(dids)
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        max_tf = float(tfs.max())
+        ub = idf * (max_tf * 2.2) / (max_tf + 1.2 * 0.25)
+        starts = np.arange(0, df, BLOCK)
+        block_last = dids[np.minimum(starts + BLOCK - 1, df - 1)]
+        bmax = np.maximum.reduceat(tfs, starts)
+        block_ub = idf * (bmax * 2.2) / (bmax + 1.2 * 0.25)
+        terms.append(_TermPostings(f"t{ti}", idf, ub, dids, tfs,
+                                   block_last, block_ub))
+    if not terms:
+        return
+    for tp in terms:
+        eng._term_cache[tp.term] = tp
+    eng._query_terms = lambda q: [tp.term for tp in terms]
+
+    ex = eng.search_exhaustive("q", k)
+    assert eng.search_maxscore("q", k) == ex
+    assert eng.search_block_max("q", k) == ex
+    assert eng.search_wand_daat("q", k, block_max=True) == ex
+    assert eng.search_wand_daat("q", k, block_max=False) == ex
