@@ -164,6 +164,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_index_bm25": flagship.flagship_bm25,
         # per-partition build lineage + metrics (north_rule visibility)
         "q_index_metrics": flagship.index_metrics,
+        # self-checking recall probe: probabilistic dedups vs their exact
+        # siblings (minhash vs shingle-jaccard, LSH vs brute cosine), one
+        # row per method with measured recall + floor + boolean verdict
+        "q_dedup_recall": dedup.dedup_recall,
+        # MAX_BUCKET truncation audit: dropped candidate pairs per method
+        "q_dedup_stats": dedup.dedup_cap_stats,
         # self-checking rank-identity probe: engine vs independent oracle,
         # one row per reference query with a boolean verdict
         "q_rank_identity": flagship.rank_identity,

@@ -29,7 +29,10 @@ from .textstats import _flat_tokens
 
 def md5_batch(batch: pa.Table) -> pa.Table:
     """Content hash per doc — md5 hex to stay byte-compatible with the
-    DuckDB oracle's md5()."""
+    DuckDB oracle's md5(). Deliberately the one per-row scalar stage in
+    this file: md5 has no vectorized Python kernel, and oracle byte-compat
+    requires it. Production dedup should use ``hash="fast"`` (vectorized
+    xxhash-style hash64 over the Arrow buffer, no per-row Python)."""
     texts = batch.column("text").to_pylist()
     hashes = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
     return pa.table({
@@ -38,15 +41,39 @@ def md5_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def exact_dedup_groups(sf_dir: str):
+def fast_hash_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized content hash per doc (hash64 over the Arrow string
+    buffer, no per-row Python) — the production-mode sibling of
+    ``md5_batch`` for when oracle byte-compat is not needed. Emits the
+    hash as a uint64 key column (``text_hash``) so the whole stage stays
+    in Arrow/numpy."""
+    import pyarrow.compute as pc
+
+    col = pc.fill_null(batch.column("text"), "")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "text_hash": pa.array(hash64(col), pa.uint64()),
+    })
+
+
+def exact_dedup_groups(sf_dir: str, *, hash: str = "md5"):
     """One row per distinct content hash: group size + kept (min) doc_id —
-    hash-partition + per-group first (north_rule's exact-dedup shape)."""
+    hash-partition + per-group first (north_rule's exact-dedup shape).
+
+    ``hash="md5"`` (default) matches the DuckDB oracle byte-for-byte (see
+    ``md5_batch`` — the deliberate per-row scalar stage); ``hash="fast"``
+    groups on the vectorized 64-bit hash — the recommended production mode
+    (no per-row Python anywhere in the pipeline).
+    """
     import ray.data as rd
     from ray.data.aggregate import Count, Min
 
+    fn, key = (md5_batch, "text_md5") if hash == "md5" else (fast_hash_batch, "text_hash")
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    hashed = ds.map_batches(md5_batch, batch_format="pyarrow")
-    return (hashed.groupby("text_md5")
+    hashed = ds.map_batches(fn, batch_format="pyarrow")
+    return (hashed.groupby(key)
             .aggregate(Count(alias_name="n_copies"),
                        Min("doc_id", alias_name="keep_doc_id")))
 
@@ -160,21 +187,43 @@ class MinHashStage:
 
 # a degenerate bucket (near-empty docs, boilerplate bands) would otherwise
 # generate O(bucket²) pairs; buckets above the cap keep only the first
-# MAX_BUCKET sorted ids and report the truncation in a counter column
+# MAX_BUCKET sorted ids. Truncation is logged to worker stdout AND
+# observable from the driver via the *_bucket_stats functions below
+# (one row per capped bucket with its dropped-pair count) — surfaced in
+# the q_dedup_stats driver query.
 MAX_BUCKET = 1024
 
+# 256-entry popcount table: vectorized Hamming distance on numpy < 2.0
+# (no np.bitwise_count) via the uint8 view of the xor'd signatures
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
-def _capped_pairs(ids: list[int]) -> tuple[list[int], list[int], int]:
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array → int32 counts."""
+    if x.size == 0:
+        return np.zeros(0, np.int32)
+    by = np.ascontiguousarray(x).view(np.uint8).reshape(-1, 8)
+    return _POPCNT8[by].sum(axis=1).astype(np.int32)
+
+
+def _capped_pairs(ids) -> tuple[np.ndarray, np.ndarray, int]:
+    """All unordered pairs of (the first MAX_BUCKET of) ids — vectorized
+    via triu_indices; returns (a, b, n_ids_dropped)."""
+    ids = np.asarray(ids, dtype=np.int64)
     dropped = 0
     if len(ids) > MAX_BUCKET:
         dropped = len(ids) - MAX_BUCKET
         ids = ids[:MAX_BUCKET]
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return a, b, dropped
+    ii, jj = np.triu_indices(len(ids), k=1)
+    return ids[ii], ids[jj], dropped
+
+
+def _dropped_pair_count(sizes: np.ndarray) -> np.ndarray:
+    """Candidate pairs lost to the MAX_BUCKET cap per bucket of given
+    size: C(n,2) − C(min(n,cap),2)."""
+    n = sizes.astype(np.int64)
+    kept = np.minimum(n, MAX_BUCKET)
+    return n * (n - 1) // 2 - kept * (kept - 1) // 2
 
 
 def minhash_candidates(sf_dir: str, *, seed: int = 7, k: int = 3):
@@ -337,8 +386,43 @@ def _char_ngram_hashes(text: str, n: int) -> np.ndarray:
     return np.unique(h)
 
 
+def _auto_num_buckets(sf_dir: str, gram_fn, *, target_rows_per_bucket: int = 1_000_000,
+                      sample_docs: int = 256) -> int:
+    """Derive the gram-hash partition count from sampled gram stats: read
+    one bounded sample batch off the parquet (never the whole table),
+    estimate total gram rows = n_docs × mean distinct grams/doc, and size
+    buckets to ≈``target_rows_per_bucket`` rows each. A 100× corpus gets
+    a proportionally larger partition count."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = pq.read_metadata(path).num_rows
+    pf = pq.ParquetFile(path)
+    batch = next(pf.iter_batches(batch_size=sample_docs, columns=["doc_id", "text"]))
+    _, grams = gram_fn(pa.Table.from_batches([batch]))
+    mean_g = float(np.mean([len(g) for g in grams])) if len(grams) else 0.0
+    est_rows = n_docs * max(mean_g, 1.0)
+    return int(np.clip(int(est_rows // target_rows_per_bucket) + 1, 2, 65536))
+
+
+def _char_gram_sets(n: int):
+    """Batch → (doc_ids, list of distinct char-n-gram hash arrays)."""
+    def fn(batch: pa.Table):
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return ids, [_char_ngram_hashes(t, n) for t in batch.column("text").to_pylist()]
+    return fn
+
+
+def _word_shingle_sets(k: int):
+    """Batch → (doc_ids, list of distinct word-k-shingle hash arrays) —
+    the same shingle universe MinHash signs, for exact-sibling recall."""
+    def fn(batch: pa.Table):
+        return shingle_hashes(batch, k)
+    return fn
+
+
 def ngram_jaccard_dedup(sf_dir: str, *, threshold: float = 0.75, n: int = 3,
-                        num_buckets: int = 32):
+                        num_buckets: int | None = None):
     """EXACT near-dup pairs by character-n-gram Jaccard ≥ threshold.
 
     Same result as the SQL oracle (pairs share ≥1 gram; |A∩B| counted via
@@ -349,18 +433,36 @@ def ngram_jaccard_dedup(sf_dir: str, *, threshold: float = 0.75, n: int = 3,
 
     ``num_buckets`` bounds per-group memory: each hash bucket's group
     (≈ total gram/pair rows ÷ num_buckets) is materialized in one
-    ``map_groups`` call, so size it to the corpus — the default fits the
-    test tables; a large corpus wants thousands.
+    ``map_groups`` call. ``None`` (default) auto-sizes it from sampled
+    gram stats (``_auto_num_buckets``) so a 100× corpus gets 100× the
+    partitions; the partition count never changes the (exact) result.
     """
-    import ray.data as rd
-    from ray.data.aggregate import Count
+    return _exact_jaccard_pairs(sf_dir, _char_gram_sets(n),
+                                threshold=threshold, num_buckets=num_buckets)
 
-    P = max(2, num_buckets)
+
+def shingle_jaccard_exact(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
+                          num_buckets: int | None = None):
+    """EXACT near-dup pairs by word-k-shingle Jaccard ≥ threshold — the
+    deterministic ground-truth sibling of ``minhash_dedup`` (identical
+    shingle universe via ``shingle_hashes``), used by ``dedup_recall`` to
+    measure LSH recall. Same Σ df(g)² caveat as ``ngram_jaccard_dedup``."""
+    return _exact_jaccard_pairs(sf_dir, _word_shingle_sets(k),
+                                threshold=threshold, num_buckets=num_buckets)
+
+
+def _exact_jaccard_pairs(sf_dir: str, gram_fn, *, threshold: float,
+                         num_buckets: int | None):
+    """Shared machinery: (doc, gram-set) → exact per-pair Jaccard via a
+    gram-keyed pair-count shuffle + doc-keyed size attach (see
+    ``ngram_jaccard_dedup`` for the full shape notes)."""
+    import ray.data as rd
+
+    P = max(2, num_buckets) if num_buckets is not None else \
+        _auto_num_buckets(sf_dir, gram_fn)
 
     def gram_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = batch.column("text").to_pylist()
-        hs = [_char_ngram_hashes(t, n) for t in texts]
+        ids, hs = gram_fn(batch)
         counts = np.asarray([len(x) for x in hs], dtype=np.int64)
         return pa.table({
             "gram": pa.array(np.concatenate(hs) if len(hs) else
@@ -369,10 +471,8 @@ def ngram_jaccard_dedup(sf_dir: str, *, threshold: float = 0.75, n: int = 3,
         })
 
     def size_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = batch.column("text").to_pylist()
-        sizes = np.asarray([len(_char_ngram_hashes(t, n)) for t in texts],
-                           dtype=np.float64)
+        ids, hs = gram_fn(batch)
+        sizes = np.asarray([len(x) for x in hs], dtype=np.float64)
         return pa.table({"key": pa.array(ids, pa.int64()),
                          "doc_a": pa.array(np.zeros(len(ids)), pa.int64()),
                          "doc_b": pa.array(np.zeros(len(ids)), pa.int64()),
@@ -605,21 +705,24 @@ def simhash_dedup(sf_dir: str, *, max_hamming: int = 3):
         })
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        d = group.column("doc_id").to_pylist()
-        s = group.column("simhash").to_pylist()
-        uniq = sorted(set(zip(d, s)))
-        if len(uniq) > MAX_BUCKET:  # hot-bucket cap (see _capped_pairs)
-            print(f"simhash: capped hot bucket ({len(uniq)} docs → {MAX_BUCKET})")
-            uniq = uniq[:MAX_BUCKET]
-        a, b, h = [], [], []
-        for i in range(len(uniq)):
-            for j in range(i + 1, len(uniq)):
-                ham = bin(uniq[i][1] ^ uniq[j][1]).count("1")
-                if ham <= max_hamming:
-                    a.append(uniq[i][0]); b.append(uniq[j][0]); h.append(ham)
-        return pa.table({"doc_a": pa.array(a, pa.int64()),
-                         "doc_b": pa.array(b, pa.int64()),
-                         "hamming": pa.array(h, pa.int32())})
+        """Vectorized in-bucket verify: unique (doc, sig) rows via one
+        lexsort, all pairs via triu_indices, Hamming via xor + table
+        popcount — no Python pair loop."""
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        s = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((s, d))
+        d, s = d[order], s[order]
+        keep = np.r_[True, (d[1:] != d[:-1]) | (s[1:] != s[:-1])]
+        d, s = d[keep], s[keep]
+        if len(d) > MAX_BUCKET:  # hot-bucket cap (see _capped_pairs)
+            print(f"simhash: capped hot bucket ({len(d)} docs → {MAX_BUCKET})")
+            d, s = d[:MAX_BUCKET], s[:MAX_BUCKET]
+        ii, jj = np.triu_indices(len(d), k=1)
+        ham = _popcount64(s[ii] ^ s[jj])
+        m = ham <= max_hamming
+        return pa.table({"doc_a": pa.array(d[ii][m], pa.int64()),
+                         "doc_b": pa.array(d[jj][m], pa.int64()),
+                         "hamming": pa.array(ham[m], pa.int32())})
 
     pairs = (sigs.map_batches(explode, batch_format="pyarrow")
              .groupby(["quarter", "qval"])
@@ -689,7 +792,10 @@ def embedding_dedup_lsh(sf_dir: str, *, threshold: float = 0.45,
     import ray.data as rd
 
     if n_planes is None:
-        p = 1.0 - math.acos(min(1.0, threshold)) / math.pi
+        # clamp: threshold=1.0 gives p=1 (log 0), ≤-1 a domain error —
+        # keep the derivation inside the open interval
+        t = min(0.9999, max(-0.9999, threshold))
+        p = 1.0 - math.acos(t) / math.pi
         n_planes = max(2, min(16, int(math.log(0.15) / math.log(p))))
 
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -751,3 +857,126 @@ def embedding_dedup_lsh(sf_dir: str, *, threshold: float = 0.45,
              .map_groups(bucket_pairs, batch_format="pyarrow"))
     # a pair can collide in several tables — keep one row per pair
     return pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
+# -------------------------------------------------------- cap stats / recall
+
+def _bucket_size_stats(sized, method: str):
+    """(… bucket key …, bucket_size) dataset → one summary row: bucket
+    count, capped-bucket count, and candidate pairs lost to MAX_BUCKET."""
+    def summarize(batch: pa.Table) -> pa.Table:
+        n = batch.column("bucket_size").to_numpy(zero_copy_only=False)
+        dropped = _dropped_pair_count(n)
+        return pa.table({"n_buckets": pa.array([len(n)], pa.int64()),
+                         "capped_buckets": pa.array([int((n > MAX_BUCKET).sum())],
+                                                    pa.int64()),
+                         "dropped_pairs": pa.array([int(dropped.sum())], pa.int64())})
+
+    parts = sized.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    tot = parts.sum()
+    return {"method": method, "n_buckets": int(tot["n_buckets"]),
+            "capped_buckets": int(tot["capped_buckets"]),
+            "dropped_pairs": int(tot["dropped_pairs"])}
+
+
+def dedup_cap_stats(sf_dir: str, *, seed: int = 7, k: int = 3,
+                    emb_threshold: float = 0.45) -> pa.Table:
+    """Driver-visible MAX_BUCKET truncation audit: one row per LSH-blocked
+    dedup method with its bucket count, capped buckets, and candidate
+    pairs dropped by the cap (the counter the in-flight group functions
+    can only print). 0 dropped_pairs ⇒ the probabilistic dedups saw every
+    in-bucket candidate."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def signed_key(batch: pa.Table) -> pa.Table:
+        # Ray's sort-aggregate rebuilds key columns through Python ints and
+        # overflows on uint64 ≥ 2^63 — group on the bit-identical int64
+        # view instead (same partition structure)
+        bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        return pa.table({"band": batch.column("band"),
+                         "band_hash": pa.array(bh.view(np.int64), pa.int64())})
+
+    mh_sizes = (ds.map_batches(MinHashStage, fn_constructor_args=(seed, k),
+                               batch_format="pyarrow", concurrency=(1, 4))
+                .map_batches(signed_key, batch_format="pyarrow")
+                .groupby(["band", "band_hash"])
+                .aggregate(Count(alias_name="bucket_size")))
+    rows = [_bucket_size_stats(mh_sizes, "minhash_lsh")]
+
+    n_blocks = 4  # simhash_dedup(max_hamming=3) banding
+    block_bits = 64 // n_blocks
+
+    def sh_explode(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        s = batch.column("simhash").to_numpy(zero_copy_only=False)
+        mask = np.uint64((1 << block_bits) - 1)
+        shifts = (np.uint64(block_bits) * np.arange(n_blocks, dtype=np.uint64))
+        qv = ((s[None, :] >> shifts[:, None]) & mask).astype(np.int64)
+        return pa.table({
+            "quarter": pa.array(np.repeat(np.arange(n_blocks, dtype=np.int32),
+                                          len(d)), pa.int32()),
+            "qval": pa.array(qv.ravel(), pa.int64()),
+        })
+
+    sh_sizes = (simhash(sf_dir).map_batches(sh_explode, batch_format="pyarrow")
+                .groupby(["quarter", "qval"])
+                .aggregate(Count(alias_name="bucket_size")))
+    rows.append(_bucket_size_stats(sh_sizes, "simhash_band"))
+
+    return pa.table({
+        "method": pa.array([r["method"] for r in rows], pa.string()),
+        "n_buckets": pa.array([r["n_buckets"] for r in rows], pa.int64()),
+        "capped_buckets": pa.array([r["capped_buckets"] for r in rows], pa.int64()),
+        "dropped_pairs": pa.array([r["dropped_pairs"] for r in rows], pa.int64()),
+    })
+
+
+def dedup_recall(sf_dir: str, *, minhash_threshold: float = 0.5,
+                 emb_threshold: float = 0.45, k: int = 3,
+                 minhash_floor: float = 0.6, emb_floor: float = 0.6) -> pa.Table:
+    """Self-checking recall probe (mirrors q_rank_identity): measure each
+    probabilistic dedup against its EXACT sibling over the same measure —
+    MinHash-LSH vs exact word-shingle Jaccard (``shingle_jaccard_exact``,
+    identical shingle universe), embedding-LSH vs brute-force cosine.
+    One row per method with measured recall, the stated floor, and an
+    ``ok`` verdict; false positives are impossible by construction (both
+    probe pipelines verify exactly inside buckets), asserted via
+    ``precision_exact``."""
+    def pair_set(tbl, ca, cb):
+        df = tbl.to_pandas() if hasattr(tbl, "to_pandas") else tbl
+        return set(zip(df[ca].tolist(), df[cb].tolist()))
+
+    exact_mh = pair_set(shingle_jaccard_exact(sf_dir, threshold=minhash_threshold, k=k),
+                        "doc_a", "doc_b")
+    probe_mh = pair_set(minhash_dedup(sf_dir, threshold=minhash_threshold, k=k),
+                        "doc_a", "doc_b")
+    exact_emb = pair_set(embedding_dedup(sf_dir, threshold=emb_threshold),
+                         "vec_a", "vec_b")
+    probe_emb = pair_set(embedding_dedup_lsh(sf_dir, threshold=emb_threshold),
+                         "vec_a", "vec_b")
+
+    rows = []
+    for method, exact, probe, floor in (
+            ("minhash_lsh_vs_shingle_jaccard", exact_mh, probe_mh, minhash_floor),
+            ("embedding_lsh_vs_brute_cosine", exact_emb, probe_emb, emb_floor)):
+        common = len(exact & probe)
+        recall = round(common / len(exact), 6) if exact else 1.0
+        rows.append({
+            "method": method, "n_exact": len(exact), "n_probe": len(probe),
+            "n_common": common, "recall": recall, "floor": floor,
+            "precision_exact": probe <= exact,
+            "ok": recall >= floor and probe <= exact,
+        })
+    return pa.table({
+        "method": pa.array([r["method"] for r in rows], pa.string()),
+        "n_exact": pa.array([r["n_exact"] for r in rows], pa.int64()),
+        "n_probe": pa.array([r["n_probe"] for r in rows], pa.int64()),
+        "n_common": pa.array([r["n_common"] for r in rows], pa.int64()),
+        "recall": pa.array([r["recall"] for r in rows], pa.float64()),
+        "floor": pa.array([r["floor"] for r in rows], pa.float64()),
+        "precision_exact": pa.array([r["precision_exact"] for r in rows], pa.bool_()),
+        "ok": pa.array([r["ok"] for r in rows], pa.bool_()),
+    })

@@ -16,11 +16,18 @@ import pyarrow.parquet as pq
 
 
 def _load_queries(sf_dir: str, query_ids: tuple[int, ...]) -> tuple[np.ndarray, np.ndarray]:
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
-    sel = np.isin(ids, np.asarray(query_ids))
-    q = np.stack(tbl.filter(pa.array(sel)).column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
-    qids = ids[sel]
+    """Fetch just the query vectors via Parquet predicate pushdown.
+
+    ``filters=`` prunes row groups by vec_id statistics, so the driver reads
+    only the row groups containing the ≤|query_ids| query rows — never the
+    full embeddings table (which at 100 TB would be corpus-sized)."""
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(query_ids))],
+    )
+    qids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    q = np.stack(tbl.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     return qids, qn
 
@@ -100,8 +107,6 @@ def knn_ivf(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 
     Returns the same schema as knn_brute (+ per-query recall measurable in
     tests by comparison)."""
     import ray
-    import ray.data as rd
-
     import ray.data as rd
 
     qids, qn = _load_queries(sf_dir, query_ids)
