@@ -53,7 +53,7 @@ from ..analyze.html import context_text
 from ..analyze.schema import Schema, default_schema, schema_from_json, schema_to_json
 from ..analyze.tokenize import group_postings, tokenize_context
 from ..common.hashing import doc_ids_for_urls
-from .codec import DICT_SCHEMA, POSTINGS_SCHEMA
+from .codec import DICT_SCHEMA, DOC_SHARDS, POSTINGS_SCHEMA
 from .manifest import Manifest, params_hash
 
 
@@ -278,7 +278,13 @@ class AnalyzerStage:
         return self._write_runs(tbl, part, uid)
 
     def _write_docs(self, batch: pa.Table, doc_ids: np.ndarray, uid: str) -> None:
-        """fs shuffle: doc-table rows ride the same pass (no second read)."""
+        """fs shuffle: doc-table rows ride the same pass (no second read).
+
+        Rows are written id-sharded — a ``shard = doc_id % DOC_SHARDS``
+        column with one row group per shard value — so a serve-mode
+        DocShardActor reads only its own row groups (same row-group
+        pruning trick as the postings runs; no per-shard file explosion).
+        """
         url = batch.column("url")
         url = url.combine_chunks() if isinstance(url, pa.ChunkedArray) else url
         n = batch.num_rows
@@ -287,15 +293,32 @@ class AnalyzerStage:
             w[w == 0.0] = 1.0
         else:
             w = np.ones(n, dtype=np.float32)
+        shard = (doc_ids % np.uint64(DOC_SHARDS)).astype(np.int32)
         cols = {"doc_id": pa.array(doc_ids, pa.uint64()), "url": url,
-                "weight": pa.array(w, pa.float32())}
+                "weight": pa.array(w, pa.float32()),
+                "shard": pa.array(shard, pa.int32())}
         for extra in ("lang", "desc"):
             if extra in batch.column_names:
                 c = batch.column(extra)
                 cols[extra] = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
         docs_dir = os.path.join(os.path.dirname(self.run_dir.rstrip("/")), "..", "docs")
         docs_dir = os.path.normpath(docs_dir)
-        _atomic_write_parquet(pa.table(cols), os.path.join(docs_dir, f"docs-{uid}.parquet"))
+        tbl = pa.table(cols)
+        order = np.argsort(shard, kind="stable")
+        tbl = tbl.take(pa.array(order))
+        bounds = np.searchsorted(shard[order], np.arange(DOC_SHARDS + 1))
+        os.makedirs(docs_dir, exist_ok=True)
+        path = os.path.join(docs_dir, f"docs-{uid}.parquet")
+        tmp = path + ".tmp"
+        writer = pq.ParquetWriter(tmp, tbl.schema)
+        try:
+            for s in range(DOC_SHARDS):
+                lo, hi = int(bounds[s]), int(bounds[s + 1])
+                if lo < hi:
+                    writer.write_table(tbl.slice(lo, hi - lo))
+        finally:
+            writer.close()
+        os.replace(tmp, path)
 
     def _write_runs(self, tbl: pa.Table, part: np.ndarray, uid: str) -> pa.Table:
         """fs shuffle: ONE run file per batch, one row group per partition.
@@ -357,6 +380,8 @@ class DocsStage:
             "doc_id": pa.array(doc_ids, pa.uint64()),
             "url": url,
             "weight": pa.array(w, pa.float32()),
+            "shard": pa.array((doc_ids % np.uint64(DOC_SHARDS)).astype(np.int32),
+                              pa.int32()),
         }
         for extra in ("lang", "desc"):
             if extra in batch.column_names:
@@ -631,7 +656,7 @@ def build_index(pages_path: str | list[str], index_dir: str,
         docs_ds.write_parquet(docs_dir)
         import json
         with open(docs_meta, "w") as f:
-            json.dump({"params_hash": phash}, f)
+            json.dump({"params_hash": phash, "doc_shards": DOC_SHARDS}, f)
         phases["docs"] = round(time.time() - t, 3)
 
     # postings pass + shuffle + run write
@@ -679,7 +704,7 @@ def build_index(pages_path: str | list[str], index_dir: str,
             import json
             os.makedirs(docs_dir, exist_ok=True)
             with open(docs_meta, "w") as f:
-                json.dump({"params_hash": phash}, f)
+                json.dump({"params_hash": phash, "doc_shards": DOC_SHARDS}, f)
         else:
             run_stats = flat.groupby(["part", "salt"]).map_groups(
                 make_run_writer(index_dir, gen), batch_format="pyarrow"
@@ -725,6 +750,7 @@ def build_index(pages_path: str | list[str], index_dir: str,
 
     payload = {
         "params_hash": phash,
+        "doc_shards": DOC_SHARDS,
         "schema": schema_json,
         "boundaries": boundaries,
         "hot_terms": hot_terms,

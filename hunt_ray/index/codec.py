@@ -24,6 +24,13 @@ from ..common.varbyte import (
 
 CHUNK_DOCS = 4096
 
+# docs-table shard modulus: the build writes docs with a
+# shard = doc_id % DOC_SHARDS column, one row group per shard value, so a
+# serve-mode DocShardActor pool of any size dividing DOC_SHARDS reads only
+# its own row groups (Parquet row-group stats pruning) — never the full
+# table. Divisors 1/2/4/8/16 cover the practical pool sizes.
+DOC_SHARDS = 16
+
 POSTINGS_SCHEMA = pa.schema(
     [
         ("context", pa.string()),

@@ -35,8 +35,26 @@ from ..analyze.normalize import (
 )
 from ..analyze.schema import Schema, schema_from_json
 from ..common import scores as sc
-from .codec import decode_doc_ids, decode_positions, decode_tfs
+from .codec import DOC_SHARDS, decode_doc_ids, decode_positions, decode_tfs
 from .manifest import Manifest
+
+
+def _docs_shard_count(docs_dir: str, file_schema) -> int | None:
+    """Build-time shard modulus of a docs directory: None for pre-shard
+    formats (no ``shard`` column), else docs/_meta.json's ``doc_shards``
+    (falling back to the current DOC_SHARDS constant)."""
+    if file_schema is None or "shard" not in file_schema.names:
+        return None
+    import json
+
+    try:
+        with open(os.path.join(docs_dir, "_meta.json")) as f:
+            v = json.load(f).get("doc_shards")
+            if v:
+                return int(v)
+    except (OSError, ValueError):
+        pass
+    return DOC_SHARDS
 
 MAX_CHAR = "\U0010ffff"
 
@@ -55,21 +73,57 @@ class Postings:
         return len(self.doc_ids)
 
 
+class ArrowStrSeq:
+    """Bisect-compatible sequence view over an Arrow string array.
+
+    The dictionary stays resident in the Arrow buffer (~5-8× smaller than
+    a list of Python str objects — measured in test_reader_memory);
+    ``__getitem__`` decodes ONE scalar per probe, so a binary search costs
+    O(log n) tiny conversions instead of materializing the whole column."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        self.arr = arr
+
+    def __len__(self) -> int:
+        return len(self.arr)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            start, stop, step = i.indices(len(self.arr))
+            if step != 1:
+                raise ValueError("ArrowStrSeq slices must be contiguous")
+            return ArrowStrSeq(self.arr.slice(start, stop - start))
+        return self.arr[i].as_py()
+
+    def __iter__(self):
+        for v in self.arr:
+            yield v.as_py()
+
+    def take(self, indices) -> "ArrowStrSeq":
+        return ArrowStrSeq(self.arr.take(pa.array(np.asarray(indices))))
+
+
 class PartitionReader:
     def __init__(self, index_dir: str, part: int):
         self.part = part
         self.dict_tbl = pq.read_table(os.path.join(index_dir, "dict", f"part={part:05d}.parquet"))
         self.post_path = os.path.join(index_dir, "postings", f"part={part:05d}.parquet")
         self._post_tbl: pa.Table | None = None
-        self.terms: list[str] = self.dict_tbl.column("term").to_pylist()
-        self.contexts: list[str] = self.dict_tbl.column("context").to_pylist()
-        self.term_lc = np.asarray(self.dict_tbl.column("term_lc").to_pylist(), dtype=object)
+        # dictionaries stay Arrow-resident (no to_pylist copies): binary
+        # search probes decode single scalars; long-lived serve actors
+        # holding many partitions pay buffer bytes, not Python objects
+        self.terms = ArrowStrSeq(self.dict_tbl.column("term"))
+        self.term_lc = ArrowStrSeq(self.dict_tbl.column("term_lc"))
         # case-folded shadow dictionary (written at build time): lc_perm is a
         # per-context-span permutation into term_lc order, so nocase lookups
         # are a binary search like the case-sensitive path
         if "lc_perm" in self.dict_tbl.column_names:
             self.lc_perm = self.dict_tbl.column("lc_perm").to_numpy()
-            self.term_lc_sorted = self.term_lc[self.lc_perm]
+            self.term_lc_sorted = self.term_lc.take(self.lc_perm)
         else:  # pre-format-4 index: fall back to the linear scan
             self.lc_perm = None
             self.term_lc_sorted = None
@@ -80,13 +134,16 @@ class PartitionReader:
         # postings-row start offset per dict entry (rows ordered like dict)
         self.post_row_start = np.zeros(len(self.terms) + 1, dtype=np.int64)
         np.cumsum(self.n_chunks, out=self.post_row_start[1:])
-        # context → contiguous [lo, hi) span of dict entries
+        # context → contiguous [lo, hi) span of dict entries (vectorized
+        # boundary scan over a transient numpy view; only the spans persist)
         self.cx_span: dict[str, tuple[int, int]] = {}
-        lo = 0
-        for i in range(1, len(self.contexts) + 1):
-            if i == len(self.contexts) or self.contexts[i] != self.contexts[lo]:
-                self.cx_span[self.contexts[lo]] = (lo, i)
-                lo = i
+        ctx = self.dict_tbl.column("context").to_numpy(zero_copy_only=False)
+        if len(ctx):
+            starts = np.flatnonzero(np.r_[True, ctx[1:] != ctx[:-1]])
+            ends = np.r_[starts[1:], len(ctx)]
+            for lo, hi in zip(starts, ends):
+                self.cx_span[str(ctx[lo])] = (int(lo), int(hi))
+        self.contexts = ArrowStrSeq(self.dict_tbl.column("context"))
         # bounded decoded-postings cache: long-lived serve actors would
         # otherwise grow with every distinct term ever queried. FIFO
         # eviction (dict preserves insertion order) — head terms are
@@ -125,13 +182,14 @@ class PartitionReader:
                 j = bisect.bisect_left(self.term_lc_sorted, key_lc + MAX_CHAR, lo, hi)
             return sorted(int(e) for e in self.lc_perm[i:j])
         self.nocase_fallback_scans += 1
-        span_lc = self.term_lc[lo:hi]
+        import pyarrow.compute as pc
+
+        span_lc = self.term_lc.arr.slice(lo, hi - lo)
         if op == "nocase":
-            mask = span_lc == key_lc
+            mask = pc.equal(span_lc, key_lc)
         else:
-            mask = np.fromiter((t.startswith(key_lc) for t in span_lc), dtype=bool,
-                               count=hi - lo)
-        return (np.flatnonzero(mask) + lo).tolist()
+            mask = pc.starts_with(span_lc, pattern=key_lc)
+        return (np.flatnonzero(mask.to_numpy(zero_copy_only=False)) + lo).tolist()
 
     def lookup_range(self, context: str, lb: str, ub: str) -> list[int]:
         """Inclusive key-range scan (Index.hs:111-120)."""
@@ -335,16 +393,49 @@ class IndexReader:
 class DocTable:
     """doc_id-sorted in-memory doc table (url, weight, per-context lengths).
 
-    Locally this loads the whole docs parquet; in serve mode it would be
-    doc-id-partitioned across hydration actors (SURVEY.md §2.4: hydration is
-    a broadcast of the top-k ids, never a shuffle).
+    Locally this loads the whole docs parquet. With ``shard=(s, n)`` it
+    loads ONLY the rows with ``doc_id % n == s``: the build writes docs
+    with a ``shard = doc_id % DOC_SHARDS`` column and one row group per
+    shard value, so when ``n`` divides the build's shard count the read
+    prunes to the matching row groups (never materializing other shards'
+    rows — asserted by ``rows_scanned``); doclens partitions are doc-routed
+    by ``doc_id % num_partitions``, so when ``n`` divides
+    ``num_partitions`` only the compatible part files are opened.
     """
 
-    def __init__(self, docs_dir: str, schema: Schema):
+    def __init__(self, docs_dir: str, schema: Schema, *,
+                 shard: tuple[int, int] | None = None,
+                 num_partitions: int | None = None):
         import glob as g
 
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
         files = sorted(g.glob(os.path.join(docs_dir, "*.parquet")))
-        tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        file_schema = pq.read_schema(files[0]) if files else None
+        build_shards = _docs_shard_count(docs_dir, file_schema)
+        mask_filter = False
+        if shard is not None and files:
+            s, n = shard
+            if build_shards and n >= 1 and build_shards % n == 0:
+                # doc_id % n == (doc_id % B) % n when n | B — prune to the
+                # row groups of the compatible build shards
+                keep = [S for S in range(build_shards) if S % n == s]
+                tbl = pads.dataset(files).to_table(
+                    filter=pc.field("shard").isin(keep))
+            else:  # old format / incompatible n: full read + modulo mask
+                tbl = pa.concat_tables([pq.read_table(f) for f in files])
+                mask_filter = True
+        else:
+            tbl = pa.concat_tables([pq.read_table(f) for f in files]) if files \
+                else pa.table({"doc_id": pa.array([], pa.uint64()),
+                               "url": pa.array([], pa.string()),
+                               "weight": pa.array([], pa.float32())})
+        self.rows_scanned = tbl.num_rows  # diagnostics: shard loads ≪ corpus
+        if mask_filter:
+            s, n = shard
+            dids = tbl.column("doc_id").to_numpy()
+            tbl = tbl.filter(pa.array((dids % np.uint64(n)) == np.uint64(s)))
         order = np.argsort(tbl.column("doc_id").to_numpy(), kind="stable")
         self.doc_id = tbl.column("doc_id").to_numpy()[order]
         self.url = np.asarray(tbl.column("url").to_pylist(), dtype=object)[order]
@@ -361,8 +452,23 @@ class DocTable:
         }
         lens_files = sorted(g.glob(os.path.join(os.path.dirname(docs_dir.rstrip("/")),
                                                 "doclens", "*.parquet")))
+        if shard is not None and lens_files:
+            s, n = shard
+            P = num_partitions if num_partitions is not None else len(lens_files)
+            if n >= 1 and P % n == 0:
+                # doclens/part=K holds docs with doc_id % P == K — only
+                # parts with K % n == s can hold this shard's docs
+                def _part_no(f: str) -> int:
+                    base = os.path.basename(f)
+                    return int(base.split("=")[1].split(".")[0])
+
+                lens_files = [f for f in lens_files if _part_no(f) % n == s]
         for f in lens_files:
             lt = pq.read_table(f)
+            if shard is not None and lt.num_rows:
+                s, n = shard
+                dids_all = lt.column("doc_id").to_numpy()
+                lt = lt.filter(pa.array((dids_all % np.uint64(n)) == np.uint64(s)))
             cxs = np.asarray(lt.column("context").to_pylist(), dtype=object)
             dids = lt.column("doc_id").to_numpy()
             dls = lt.column("doclen").to_numpy()

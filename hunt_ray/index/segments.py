@@ -53,15 +53,20 @@ class SegmentedIndex:
 
     def insert_pages(self, pages_path: str, cfg: BuildConfig | None = None) -> dict:
         """Index new pages as a fresh immutable segment (Hunt's
-        execInsertList → newSegment path, IndexWriter.hs:78-140)."""
+        execInsertList → newSegment path, IndexWriter.hs:78-140).
+
+        Tombstones are scoped to the segments live when the delete was
+        committed, so the new segment is NOT affected by older deletes —
+        the documented ``update = delete + insert`` flow re-surfaces the
+        re-inserted doc (and only the new version: the old segment's copy
+        stays tombstoned)."""
         meta = self._meta()
         seg_name = f"seg_{len(meta['segments']):03d}"
         seg_dir = os.path.join(self.root, "segments", seg_name)
         info = build_index(pages_path, seg_dir, cfg)
-        reader = self.reader()  # current view, before commit
+        reader = self.reader()  # current view: live docs only
         new_reader = IndexReader(seg_dir)
-        dup = np.intersect1d(reader.docs.doc_id, new_reader.docs.doc_id)
-        live_dup = np.setdiff1d(dup, self._tombstones())
+        live_dup = np.intersect1d(reader.docs.doc_id, new_reader.docs.doc_id)
         if live_dup.size:
             raise ValueError(
                 f"duplicate URIs in insert ({live_dup.size} docs already live); "
@@ -70,26 +75,69 @@ class SegmentedIndex:
         self._commit(meta)
         return info
 
-    def _tombstones(self) -> np.ndarray:
-        meta = self._meta()
-        if not meta.get("tombstones"):
-            return np.empty(0, np.uint64)
-        t = pq.read_table(os.path.join(self.root, meta["tombstones"]))
+    # -- tombstones (per-segment scope, like the reference's per-segment
+    # deleted-doc sets, IndexWriter.hs:38-42) -------------------------
+
+    def _tombstone_entries(self, meta: dict | None = None) -> list[dict]:
+        meta = meta if meta is not None else self._meta()
+        t = meta.get("tombstones")
+        if not t:
+            return []
+        if isinstance(t, str):  # legacy format: one global file, all segments
+            return [{"file": t, "scope": None}]
+        return t
+
+    def _read_tomb_file(self, rel: str) -> np.ndarray:
+        t = pq.read_table(os.path.join(self.root, rel))
         return t.column("doc_id").to_numpy(zero_copy_only=False)
 
+    def _segment_rels(self, meta: dict | None = None) -> list[str]:
+        meta = meta if meta is not None else self._meta()
+        base = meta.get("base") or "."
+        return [base] + list(meta["segments"])
+
+    def _tombstones_for(self, seg_rel: str) -> np.ndarray:
+        """Union of the tombstone sets whose scope covers one segment."""
+        arrs = [self._read_tomb_file(e["file"]) for e in self._tombstone_entries()
+                if e.get("scope") is None or seg_rel in e["scope"]]
+        if not arrs:
+            return np.empty(0, np.uint64)
+        out = arrs[0]
+        for a in arrs[1:]:
+            out = np.union1d(out, a)
+        return out.astype(np.uint64)
+
+    def _tombstones(self) -> np.ndarray:
+        """Global union across scopes (segment-insensitive callers only)."""
+        arrs = [self._read_tomb_file(e["file"]) for e in self._tombstone_entries()]
+        if not arrs:
+            return np.empty(0, np.uint64)
+        out = arrs[0]
+        for a in arrs[1:]:
+            out = np.union1d(out, a)
+        return out.astype(np.uint64)
+
     def delete_doc_ids(self, doc_ids: np.ndarray) -> int:
-        """Tombstone docs (applied at query time); returns live-deleted count."""
+        """Tombstone docs in the segments live NOW (applied at query time);
+        a segment inserted later is outside this delete's scope. Returns
+        the newly-deleted count."""
         meta = self._meta()
-        old = self._tombstones()
-        merged = np.union1d(old, np.asarray(doc_ids, dtype=np.uint64))
+        scope = self._segment_rels(meta)
+        ids = np.unique(np.asarray(doc_ids, dtype=np.uint64))
         gen = meta["generation"] + 1
         rel = os.path.join("tombstones", f"gen_{gen}.parquet")
         path = os.path.join(self.root, rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        pq.write_table(pa.table({"doc_id": pa.array(merged, pa.uint64())}), path)
-        meta["tombstones"] = rel
+        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.uint64())}), path)
+        # newly-deleted = ids not yet tombstoned in EVERY in-scope segment
+        # (a re-inserted doc is live in its new segment until deleted again)
+        covered = np.ones(len(ids), dtype=bool)
+        for seg_rel in scope:
+            covered &= np.isin(ids, self._tombstones_for(seg_rel))
+        entries = self._tombstone_entries(meta) + [{"file": rel, "scope": scope}]
+        meta["tombstones"] = entries
         self._commit(meta)
-        return int(merged.size - old.size)
+        return int((~covered).sum())
 
     def delete_by_query(self, query) -> int:
         """Evaluate unscored (docLimit=0!) → tombstone the doc set
@@ -115,10 +163,10 @@ class SegmentedIndex:
 
     def reader(self) -> "IndexReader | MultiReader":
         segs = [IndexReader(d) for d in self._segment_dirs()]
-        tombs = self._tombstones()
-        if len(segs) == 1 and tombs.size == 0:
+        per_seg_tombs = [self._tombstones_for(rel) for rel in self._segment_rels()]
+        if len(segs) == 1 and per_seg_tombs[0].size == 0:
             return segs[0]
-        return MultiReader(segs, tombs)
+        return MultiReader(segs, per_seg_tombs)
 
     # -- compaction ---------------------------------------------------
 
@@ -139,7 +187,7 @@ class SegmentedIndex:
 
         meta = self._meta()
         seg_dirs = self._segment_dirs()
-        tombs = self._tombstones()
+        tombs_list = [self._tombstones_for(rel) for rel in self._segment_rels(meta)]
         base_info = IndexReader(seg_dirs[0]).info
         boundaries = base_info["boundaries"]
         P = base_info["num_partitions"]
@@ -151,7 +199,7 @@ class SegmentedIndex:
         out_dir = os.path.join(self.root, out_rel)
         phash = params_hash({
             "compact": [os.path.relpath(d, self.root) for d in seg_dirs],
-            "tombstones": int(tombs.size),
+            "tombstones": [int(t.size) for t in tombs_list],
             "boundaries": boundaries,
         })
         man = Manifest(out_dir)
@@ -160,33 +208,39 @@ class SegmentedIndex:
         # per-part merge+encode (skips parts already completed on resume)
         todo = [k for k in range(P) if not man.part_done(gen, k, phash)]
         if todo:
-            merge = _make_compactor(seg_dirs, tombs, out_dir, boundaries, P,
+            merge = _make_compactor(seg_dirs, tombs_list, out_dir, boundaries, P,
                                     chunk_docs, phash)
             conc = max(2, min(len(todo), 8))
             _ = (rd.from_items([{"part": k} for k in todo])
                  .map_batches(merge, batch_format="pyarrow", batch_size=1,
                               concurrency=conc).take_all())
 
-        # docs table minus tombstones (streamed; tombstones broadcast once)
+        # docs table minus each segment's scoped tombstones (streamed;
+        # tombstone sets broadcast once per segment)
         import glob as g
 
         import ray
 
-        docs_files = []
-        for d in seg_dirs:
-            docs_files += sorted(g.glob(os.path.join(d, "docs", "*.parquet")))
-        tomb_ref = ray.put(tombs)
+        def make_drop(tomb_ref):
+            def drop_tombstoned(batch: pa.Table) -> pa.Table:
+                t = ray.get(tomb_ref)
+                if t.size == 0:
+                    return batch
+                ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(~np.isin(ids, t)))
+            return drop_tombstoned
 
-        def drop_tombstoned(batch: pa.Table) -> pa.Table:
-            t = ray.get(tomb_ref)
-            if t.size == 0:
-                return batch
-            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            return batch.filter(pa.array(~np.isin(ids, t)))
-
-        rd.read_parquet(docs_files).map_batches(
-            drop_tombstoned, batch_format="pyarrow"
-        ).write_parquet(os.path.join(out_dir, "docs"))
+        seg_docs = []
+        for d, tombs in zip(seg_dirs, tombs_list):
+            fs = sorted(g.glob(os.path.join(d, "docs", "*.parquet")))
+            if not fs:
+                continue
+            seg_docs.append(rd.read_parquet(fs).map_batches(
+                make_drop(ray.put(tombs)), batch_format="pyarrow"))
+        docs_ds = seg_docs[0]
+        for extra in seg_docs[1:]:
+            docs_ds = docs_ds.union(extra)
+        docs_ds.write_parquet(os.path.join(out_dir, "docs"))
 
         lc_ranges = []
         for k in range(P):
@@ -211,10 +265,12 @@ class SegmentedIndex:
         return man.read_generation(gen)
 
 
-def _make_compactor(seg_dirs: list[str], tombs: np.ndarray, out_dir: str,
-                    boundaries: list[str], P: int, chunk_docs: int, phash: str):
+def _make_compactor(seg_dirs: list[str], tombs_list: list[np.ndarray],
+                    out_dir: str, boundaries: list[str], P: int,
+                    chunk_docs: int, phash: str):
     """map_batches fn over part items: decode every segment's postings for
-    the output part's term range, drop tombstones, merge and re-encode."""
+    the output part's term range, drop that segment's scoped tombstones,
+    merge and re-encode."""
     import bisect
     import time
 
@@ -235,7 +291,7 @@ def _make_compactor(seg_dirs: list[str], tombs: np.ndarray, out_dir: str,
             cxs, terms, dids, tfs = [], [], [], []
             pos_vals, pos_counts = [], []
             len_cx, len_did, len_dl = [], [], []
-            for seg in seg_dirs:
+            for seg, tombs in zip(seg_dirs, tombs_list):
                 from .reader import IndexReader as _IR
 
                 rdr = _IR(seg)
@@ -267,7 +323,7 @@ def _make_compactor(seg_dirs: list[str], tombs: np.ndarray, out_dir: str,
                                 pos_counts.append(np.zeros(len(kd), np.int64))
             # doclens: read each segment's doclens (files are doc-routed in
             # their own partitioning; re-route by doc % P)
-            for seg in seg_dirs:
+            for seg, tombs in zip(seg_dirs, tombs_list):
                 import glob as g
 
                 import pyarrow.parquet as _pq
@@ -326,17 +382,23 @@ def _make_compactor(seg_dirs: list[str], tombs: np.ndarray, out_dir: str,
 
 
 class MultiReader:
-    """Read view over N immutable segments minus a tombstone set.
+    """Read view over N immutable segments minus per-segment tombstones.
 
     Implements the reader surface the query processor and the BM25 engine
-    consume: ``search_sc`` / ``lookup_range_sc`` merge per-segment posting
-    lists per found word (doc ids are disjoint across live segments);
-    ``docs`` is the concatenated doc table; stats are summed.
+    consume: ``search_sc`` / ``lookup_range_sc`` filter each segment's
+    postings against THAT segment's tombstone scope (the reference's
+    per-segment deleted-doc sets, IndexWriter.hs:38-42) before merging per
+    found word — so an updated doc (delete + re-insert) serves only its
+    new segment's version; ``docs`` is the concatenated live doc table;
+    stats are summed.
     """
 
-    def __init__(self, segments: list[IndexReader], tombstones: np.ndarray):
+    def __init__(self, segments: list[IndexReader],
+                 tombstones: list[np.ndarray] | np.ndarray):
         self.segments = segments
-        self.tombstones = np.asarray(tombstones, dtype=np.uint64)
+        if isinstance(tombstones, np.ndarray):  # legacy call: global set
+            tombstones = [tombstones] * len(segments)
+        self.tombstones = [np.asarray(t, dtype=np.uint64) for t in tombstones]
         self.schema = segments[0].schema
         self.index_dir = segments[0].index_dir
         self.stats = self._merge_stats()
@@ -345,7 +407,15 @@ class MultiReader:
     def _merge_stats(self) -> dict:
         out: dict[str, float] = {}
         n_total = sum(s.stats.get("n_docs", 0) for s in self.segments)
-        n_live = n_total - int(self.tombstones.size)
+        # approximation: each tombstoned id kills one row somewhere (URIs
+        # are unique across live segments; deletes of unknown URIs
+        # over-count, as before). A re-inserted doc contributes a second
+        # row to n_total, so subtracting the union counts it live once.
+        union = np.empty(0, np.uint64)
+        for t in self.tombstones:
+            if t.size:
+                union = np.union1d(union, t)
+        n_live = max(0, n_total - int(union.size))
         out["n_docs"] = n_live
         for key in self.segments[0].stats:
             if key.startswith("avgdl_"):
@@ -355,10 +425,11 @@ class MultiReader:
                 out[key] = (tot / n_total) if n_total else 0.0
         return out
 
-    def _filter_postings(self, p: Postings) -> Postings:
-        if self.tombstones.size == 0:
+    @staticmethod
+    def _filter_postings(p: Postings, tombs: np.ndarray) -> Postings:
+        if tombs.size == 0:
             return p
-        mask = ~np.isin(p.doc_ids, self.tombstones, assume_unique=True)
+        mask = ~np.isin(p.doc_ids, tombs, assume_unique=True)
         if mask.all():
             return p
         if p.pos_flat is not None:
@@ -373,9 +444,11 @@ class MultiReader:
     def _merge_found(self, per_seg: list[list[tuple[str, np.float32, Postings]]],
                      order_key) -> list[tuple[str, np.float32, Postings]]:
         by_word: dict[str, list[tuple[np.float32, Postings]]] = {}
-        for seg_res in per_seg:
+        for seg_res, tombs in zip(per_seg, self.tombstones):
             for w, s, p in seg_res:
-                by_word.setdefault(w, []).append((s, p))
+                p = self._filter_postings(p, tombs)  # per-segment scope
+                if p.df:
+                    by_word.setdefault(w, []).append((s, p))
         out = []
         for w, items in by_word.items():
             score = items[0][0]
@@ -397,9 +470,7 @@ class MultiReader:
                                       offs)
                 else:
                     merged = Postings(ids[order], tfs[order], None, None)
-            p2 = self._filter_postings(merged)
-            if p2.df:
-                out.append((w, score, p2))
+            out.append((w, score, merged))
         out.sort(key=order_key)
         return out
 
@@ -424,29 +495,39 @@ class MultiReader:
     @property
     def docs(self) -> "MultiDocTable":
         if self._docs is None:
-            self._docs = MultiDocTable([s.docs for s in self.segments])
+            self._docs = MultiDocTable([s.docs for s in self.segments],
+                                       self.tombstones)
         return self._docs
 
 
 class MultiDocTable:
-    """Concatenated doc tables of all segments, doc_id-sorted."""
+    """Concatenated LIVE doc tables of all segments, doc_id-sorted (each
+    segment's rows minus its scoped tombstones — an updated doc appears
+    once, from its newest segment)."""
 
-    def __init__(self, tables: list[DocTable]):
-        ids = np.concatenate([t.doc_id for t in tables])
+    def __init__(self, tables: list[DocTable],
+                 tombstones: list[np.ndarray] | None = None):
+        if tombstones is None:
+            tombstones = [np.empty(0, np.uint64)] * len(tables)
+        keeps = [~np.isin(t.doc_id, tb) if tb.size else np.ones(t.n_docs, bool)
+                 for t, tb in zip(tables, tombstones)]
+        ids = np.concatenate([t.doc_id[k] for t, k in zip(tables, keeps)])
         order = np.argsort(ids, kind="stable")
         self.doc_id = ids[order]
-        self.url = np.concatenate([t.url for t in tables])[order]
-        self.weight = np.concatenate([t.weight for t in tables])[order]
+        self.url = np.concatenate([t.url[k] for t, k in zip(tables, keeps)])[order]
+        self.weight = np.concatenate([t.weight[k]
+                                      for t, k in zip(tables, keeps)])[order]
         if any(t.desc is not None for t in tables):
             self.desc = np.concatenate([
-                t.desc if t.desc is not None
-                else np.asarray([""] * t.n_docs, dtype=object)
-                for t in tables])[order]
+                (t.desc if t.desc is not None
+                 else np.asarray([""] * t.n_docs, dtype=object))[k]
+                for t, k in zip(tables, keeps)])[order]
         else:
             self.desc = None
         self.lens = {}
         for cx in tables[0].lens:
-            self.lens[cx] = np.concatenate([t.lens[cx] for t in tables])[order]
+            self.lens[cx] = np.concatenate([t.lens[cx][k]
+                                            for t, k in zip(tables, keeps)])[order]
         self.n_docs = len(self.doc_id)
 
     rows_of = DocTable.rows_of

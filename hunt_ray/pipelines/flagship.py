@@ -205,8 +205,10 @@ def flagship_bm25(sf_dir: str, k: int = 10) -> pa.Table:
     Ranking is (round(score, 6) desc, url asc) — deterministic and
     SQL-reproducible, so the index-served results carry an exact DuckDB
     oracle that recomputes BM25 from the corpus text. The engine fetches a
-    5k buffer before the rounded re-rank so rounded-score ties at the
-    boundary resolve identically."""
+    candidate buffer before the rounded re-rank and grows it until the kth
+    rounded score clears the buffer tail, so boundary ties resolve
+    identically to the oracle no matter how many docs fall within rounding
+    epsilon of the cutoff."""
     from ..index.reader import IndexReader
     from ..query.bm25 import BM25Engine
 
@@ -214,8 +216,21 @@ def flagship_bm25(sf_dir: str, k: int = 10) -> pa.Table:
     eng = BM25Engine(IndexReader(index_dir))
     rows = {"query": [], "rank": [], "url": [], "score": []}
     for q in FLAGSHIP_BM25_QUERIES:
-        hits = eng.search(q, k=5 * k, mode="wand")
-        hits.sort(key=lambda h: (-round(h["score"], 6), h["url"]))
+        # grow the buffer until the kth ROUNDED score sits strictly above
+        # the buffer's tail: a doc outside the buffer scores ≤ the buffer
+        # minimum, so (rounding being monotone) it can then never tie the
+        # kth and win the url tiebreak (ADVICE r2)
+        buf = 5 * k
+        while True:
+            hits = eng.search(q, k=buf, mode="wand")
+            complete = len(hits) < buf  # buffer holds every matching doc
+            hits.sort(key=lambda h: (-round(h["score"], 6), h["url"]))
+            if complete or len(hits) < k:
+                break
+            tail_r = round(min(h["score"] for h in hits), 6)
+            if round(hits[k - 1]["score"], 6) > tail_r:
+                break
+            buf *= 4
         for rank, hit in enumerate(hits[:k]):
             rows["query"].append(q)
             rows["rank"].append(rank)

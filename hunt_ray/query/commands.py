@@ -22,6 +22,7 @@ building with a schema), matching our immutable-generation design.
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -43,6 +44,16 @@ class CommandInterpreter:
     schema: Schema = field(default_factory=default_schema)
     build_cfg: BuildConfig | None = None
     _tmp_seq: int = 0
+    # serializes index mutations (insert/delete/compact/sequence) like the
+    # reference's MVar around the ContextIndex (Interpreter.hs HuntEnv):
+    # concurrent HTTP POST /eval would otherwise race on _tmp_seq staging
+    # dirs, segment naming, and the segments.json read-modify-write.
+    # Reads stay lock-free (immutable generations). RLock: a sequence
+    # command re-enters execute() for its members.
+    _mu: threading.RLock = field(default_factory=threading.RLock, repr=False)
+
+    _MUTATING = frozenset({"insert", "delete", "delete-by-query",
+                           "compact", "sequence"})
 
     def __post_init__(self):
         self.segmented = SegmentedIndex(self.root)
@@ -52,6 +63,12 @@ class CommandInterpreter:
                                         ProcessConfig(word_limit=0, doc_limit=0))
 
     def execute(self, cmd: dict) -> dict:
+        if cmd.get("cmd") in self._MUTATING:
+            with self._mu:
+                return self._execute(cmd)
+        return self._execute(cmd)
+
+    def _execute(self, cmd: dict) -> dict:
         kind = cmd.get("cmd")
         if kind == "sequence":
             # toBasicCommand: group adjacent inserts into one batch

@@ -62,20 +62,18 @@ class PartitionActor:
 class DocShardActor:
     """Owns the doc-table rows with ``doc_id % n_shards == shard``.
 
-    The Ray analog of sharding Hunt's ``HashedDocTable`` by id: each actor
-    loads only its modulo-slice of the docs parquet (plus the matching
-    doclens rows), so driver memory stays O(routing metadata) no matter the
-    corpus size. Hydration fans requested ids out by shard and reassembles
-    in request order. At real scale the docs parquet would additionally be
-    written id-partitioned so each shard reads only its own files; here
-    every shard filter-reads the shared files once at startup.
+    The Ray analog of sharding Hunt's ``HashedDocTable`` by id: the build
+    writes docs id-sharded (``shard = doc_id % DOC_SHARDS`` column, one
+    row group per shard value), so each actor's ``DocTable(shard=(s, n))``
+    reads ONLY its own row groups — never the full table (asserted in
+    test_serve via ``rows_scanned``) — plus only the doclens partitions
+    whose doc-routed modulo can contain its docs. Driver memory stays
+    O(routing metadata) no matter the corpus size; hydration fans
+    requested ids out by shard and reassembles in request order.
     """
 
     def __init__(self, index_dir: str, shard: int, n_shards: int):
-        import glob as g
         import os
-
-        import pyarrow.parquet as pq
 
         from ..analyze.schema import schema_from_json
         from ..index.manifest import Manifest
@@ -84,17 +82,24 @@ class DocShardActor:
         man = Manifest(index_dir)
         info = man.latest()
         schema = schema_from_json(info["schema"])
-        full = DocTable(os.path.join(index_dir, "docs"), schema)
-        keep = (full.doc_id % np.uint64(n_shards)) == np.uint64(shard)
-        self.doc_id = full.doc_id[keep]
-        self.url = full.url[keep]
-        self.weight = full.weight[keep]
-        self.desc = full.desc[keep] if full.desc is not None else None
-        self.lens = {cx: arr[keep] for cx, arr in full.lens.items()}
-        self.n_rows = int(keep.sum())
+        tab = DocTable(os.path.join(index_dir, "docs"), schema,
+                       shard=(shard, n_shards),
+                       num_partitions=info.get("num_partitions"))
+        self.doc_id = tab.doc_id
+        self.url = tab.url
+        self.weight = tab.weight
+        self.desc = tab.desc
+        self.lens = tab.lens
+        self.n_rows = tab.n_docs
+        self.rows_scanned = tab.rows_scanned
 
     def count(self) -> int:
         return self.n_rows
+
+    def scan_stats(self) -> tuple[int, int]:
+        """(rows materialized from parquet, rows owned) — equal when the
+        sharded read pruned correctly."""
+        return self.rows_scanned, self.n_rows
 
     def _rows(self, doc_ids: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self.doc_id, doc_ids)

@@ -69,3 +69,65 @@ def test_delete_by_query_command(ray_session, tmp_path_factory):
     assert res["ok"] and res["deleted"] == 1
     left = it.execute({"cmd": "search", "query": "Brain", "max": 10})
     assert [h["uri"] for h in left["result"]] == ["test://0"]
+
+
+def test_update_delete_then_reinsert(ray_session, tmp_path_factory):
+    """The documented update flow (delete + insert of the same URI) must
+    re-surface the NEW version only: old terms gone, new terms found, and
+    compact() keeps the updated doc (ADVICE r2: tombstones are scoped to
+    the segments live at delete time, not applied globally)."""
+    root = str(tmp_path_factory.mktemp("updroot"))
+    it = CommandInterpreter(root, schema={"default": ContextSchema(
+        type="text", weight=1.0, default=True)})
+    v1 = {"uri": "upd://1", "index": {"default": "ancient obsolete words"},
+          "description": {"v": "1"}}
+    v2 = {"uri": "upd://1", "index": {"default": "fresh shiny replacement"},
+          "description": {"v": "2"}}
+    it.execute({"cmd": "insert", "document": v1})
+    it.execute({"cmd": "delete", "uri": "upd://1"})
+    it.execute({"cmd": "insert", "document": v2})
+
+    def hits(q):
+        r = it.execute({"cmd": "search", "query": q, "max": 10})
+        return [(h["uri"], h["description"]) for h in r["result"]]
+
+    assert hits("fresh") == [("upd://1", {"v": "2"})]   # new version visible
+    assert hits("obsolete") == []                        # old version gone
+    assert it.execute({"cmd": "status"})["doc_count"] == 1
+    # compaction keeps the updated doc, drops the old version permanently
+    it.execute({"cmd": "compact"})
+    assert hits("fresh") == [("upd://1", {"v": "2"})]
+    assert hits("obsolete") == []
+    assert it.execute({"cmd": "status"})["doc_count"] == 1
+
+
+def test_concurrent_mutations_are_serialized(ray_session, tmp_path_factory):
+    """Concurrent insert commands (the HTTP POST /eval race, ADVICE r2)
+    must not lose commits: the interpreter serializes mutations."""
+    import threading
+
+    root = str(tmp_path_factory.mktemp("concroot"))
+    it = CommandInterpreter(root, schema={"default": ContextSchema(
+        type="text", weight=1.0, default=True)})
+    it.execute({"cmd": "insert", "document": {
+        "uri": "c://seed", "index": {"default": "seed words"}, "description": {}}})
+    errs = []
+
+    def ins(i):
+        try:
+            it.execute({"cmd": "insert", "document": {
+                "uri": f"c://{i}", "index": {"default": f"payload number{i}"},
+                "description": {}}})
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=ins, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert it.execute({"cmd": "status"})["doc_count"] == 5
+    for i in range(4):
+        r = it.execute({"cmd": "search", "query": f"number{i}", "max": 5})
+        assert r["count"] == 1 and r["result"][0]["uri"] == f"c://{i}"

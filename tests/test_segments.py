@@ -61,8 +61,11 @@ def test_insert_new_segment(seg_index, tmp_path_factory):
     urls_found = {h.url for h in res.result}
     assert any(u.startswith("seg1://") for u in urls_found)
     assert any(u.startswith("test://") for u in urls_found)
-    # doc table merged
-    assert eng.reader.docs.n_docs == 160
+    # doc table merged: LIVE docs only (the earlier delete_by_query's
+    # tombstones are excluded; all of them exist in segment 0)
+    tombs = si._tombstones()
+    assert eng.reader.docs.n_docs == 160 - tombs.size
+    assert eng.reader.stats["n_docs"] == 160 - tombs.size
 
 
 def test_duplicate_insert_rejected(seg_index, tmp_path_factory):
