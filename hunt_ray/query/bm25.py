@@ -90,6 +90,19 @@ class BM25Engine:
 
     # -- postings load ----------------------------------------------
 
+    def _query_terms_prefetched(self, query: str) -> list[str]:
+        """Tokenize AND, for remote readers, batch-resolve every uncached
+        term's nocase lookup in one fan-out per actor before ``_load_term``
+        walks them (one RPC per query instead of one per term)."""
+        terms = self._query_terms(query)
+        prefetch = getattr(self.reader, "prefetch", None)
+        if prefetch is not None:
+            miss = [t for t in terms if t not in self._term_cache]
+            if miss:
+                prefetch([("nocase", self.context, t) for t in miss],
+                         with_positions=False)
+        return terms
+
     def _load_term(self, term_lc: str) -> _TermPostings | None:
         if term_lc in self._term_cache:
             return self._term_cache[term_lc]
@@ -165,7 +178,7 @@ class BM25Engine:
 
     def search_exhaustive(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Vectorized term-at-a-time full scoring (the correctness baseline)."""
-        terms = [tp for t in self._query_terms(query) if (tp := self._load_term(t))]
+        terms = [tp for t in self._query_terms_prefetched(query) if (tp := self._load_term(t))]
         if not terms:
             return []
         uniq = np.unique(np.concatenate([tp.doc_ids for tp in terms]))
@@ -211,7 +224,7 @@ class BM25Engine:
         Returns exactly the exhaustive top-k: full scores are summed in the
         same fixed term order, ties broken by doc_id ascending.
         """
-        terms = [tp for t in self._query_terms(query) if (tp := self._load_term(t))]
+        terms = [tp for t in self._query_terms_prefetched(query) if (tp := self._load_term(t))]
         if not terms:
             return []
         nt = len(terms)
@@ -313,7 +326,7 @@ class BM25Engine:
         top-k is exact. The scale path for head-term-heavy queries where
         the per-doc Python loop of classic WAND would dominate latency.
         """
-        terms = [tp for t in self._query_terms(query) if (tp := self._load_term(t))]
+        terms = [tp for t in self._query_terms_prefetched(query) if (tp := self._load_term(t))]
         pruned = self._maxscore_candidates(terms, k)
         if pruned is None:
             return []
@@ -372,7 +385,7 @@ class BM25Engine:
         upper bound on the true score and θ is only treated as binding
         when ≥k docs provably score ≥ θ. Results are bit-identical to the
         exhaustive scorer (same _score_docs, same tie-break)."""
-        terms = [tp for t in self._query_terms(query) if (tp := self._load_term(t))]
+        terms = [tp for t in self._query_terms_prefetched(query) if (tp := self._load_term(t))]
         pruned = self._maxscore_candidates(terms, k)
         if pruned is None:
             return []

@@ -59,7 +59,16 @@ class SearchEngine:
 
     def evaluate(self, query: "str | A.Query") -> ScoredDocs:
         q = parse_query(query) if isinstance(query, str) else query
+        self._prefetch(q)
         return self.processor.eval_scored_docs(q)
+
+    def _prefetch(self, q) -> None:
+        """Serve mode: resolve all of the query's dictionary lookups in one
+        batched fan-out before evaluation (no-op for local readers)."""
+        prefetch = getattr(self.reader, "prefetch", None)
+        if prefetch is not None:
+            searches, ranges = self.processor.collect_lookups(q)
+            prefetch(searches, ranges)
 
     def search(self, query: "str | A.Query", offset: int = 0, limit: int = 20,
                *, with_desc: bool = False,
@@ -115,6 +124,7 @@ class SearchEngine:
         word asc (RankedWord, Intermediate.hs:409-423).
         """
         q = parse_query(query) if isinstance(query, str) else query
+        self._prefetch(q)
         scored = self._eval_scored_words(q, self.processor.default_contexts)
         ranked = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))
         return [(w, float(s)) for w, s in ranked[:limit]]

@@ -240,6 +240,50 @@ class Processor:
                 break
         return out
 
+    # -- lookup prefetch (serve mode) --------------------------------
+
+    def collect_lookups(self, q, contexts: list[str] | None = None,
+                        _searches: "set | None" = None,
+                        _ranges: "set | None" = None):
+        """Walk the query AST and collect every primary dictionary lookup
+        the evaluators can issue: ``(op, context, normalized_key)`` triples
+        plus ``(context, lb, ub)`` ranges.
+
+        Used by remote readers to batch all of a query's term lookups into
+        ONE fan-out per actor before evaluation (each Ray round trip costs
+        ~10 ms on this sandbox; a phrase query issues one lookup per word).
+        QContext uses replace semantics here, which yields a superset of
+        ``eval_raw``'s intersect semantics — prefetching a superset is
+        harmless.
+        """
+        searches = set() if _searches is None else _searches
+        ranges = set() if _ranges is None else _ranges
+        cxs = self.default_contexts if contexts is None else contexts
+        if isinstance(q, (A.QWord, A.QFullWord)):
+            prefix = isinstance(q, A.QWord)
+            for cx in cxs:
+                key = self._norm_query_key(cx, q.word)
+                if key is not None:
+                    searches.add((self._OPMAP[(prefix, q.op)], cx, key))
+        elif isinstance(q, A.QRange):
+            for cx in cxs:
+                nlb = self._norm_query_key(cx, q.lower)
+                nub = self._norm_query_key(cx, q.upper)
+                if nlb is not None and nub is not None:
+                    ranges.add((cx, nlb, nub))
+        elif isinstance(q, A.QSeq):
+            for a in q.args:
+                self.collect_lookups(a, cxs, searches, ranges)
+        elif isinstance(q, A.QContext):
+            self._check_contexts(q.contexts)
+            self.collect_lookups(q.query, list(dict.fromkeys(q.contexts)),
+                                 searches, ranges)
+        elif isinstance(q, A.QBoost):
+            self.collect_lookups(q.query, cxs, searches, ranges)
+        elif isinstance(q, A.QPhrase):
+            self.collect_lookups(self._norm_phrase(q), cxs, searches, ranges)
+        return searches, ranges
+
     def _eval_primary(self, q, contexts: list[str]) -> RawCx:
         """forallCx(evalPrimary q) — one dictionary search per context."""
         if isinstance(q, A.QWord):

@@ -57,6 +57,27 @@ class PartitionActor:
                             (p.doc_ids, p.tfs, p.pos_flat, p.pos_offsets)))
         return out
 
+    def batch(self, requests: list[tuple], with_positions: bool
+              ) -> list[tuple[int, list[tuple[str, tuple]]]]:
+        """Serve many lookups in ONE round trip. Each request is
+        ``(rid, "s", op, context, key, parts)`` or
+        ``(rid, "r", context, lb, ub, parts)``; returns ``(rid, found)``
+        pairs the driver merges per rid across actors. One RPC per actor
+        per query instead of one per term (each round trip costs ~10 ms on
+        the sandbox VM; real clusters pay serialization + a network hop)."""
+        out = []
+        for req in requests:
+            rid, kind = req[0], req[1]
+            if kind == "s":
+                _, _, op, context, key, parts = req
+                out.append((rid, self.search(op, context, key, parts,
+                                             with_positions)))
+            else:
+                _, _, context, lb, ub, parts = req
+                out.append((rid, self.lookup_range(context, lb, ub, parts,
+                                                   with_positions)))
+        return out
+
 
 @ray.remote
 class DocShardActor:
@@ -124,33 +145,59 @@ class ShardedDocTable:
     actor handles; lookups batch by ``doc_id % n_shards`` and return in the
     caller's order."""
 
+    # driver-side (url, weight) cache cap: rows are ~100 B, so the driver
+    # holds at most ~50 MB of hot-doc metadata regardless of corpus size
+    DOC_CACHE_MAX = 500_000
+
     def __init__(self, index_dir: str, n_shards: int = 2):
         self.n_shards = max(1, n_shards)
         self.actors = [DocShardActor.remote(index_dir, s, self.n_shards)
                        for s in range(self.n_shards)]
         self.n_docs = sum(ray.get([a.count.remote() for a in self.actors]))
+        # doc_id -> (url, weight); sound because a reader serves one
+        # immutable generation. Saves the second hydration round trip per
+        # query (urls_of(page) ⊆ urls_of(candidates)) and all round trips
+        # for repeat docs.
+        self._doc_cache: dict[int, tuple] = {}
 
     def _fanout(self, doc_ids: np.ndarray, with_desc: bool = False):
         doc_ids = np.asarray(doc_ids, dtype=np.uint64)
-        shard = (doc_ids % np.uint64(self.n_shards)).astype(np.int64)
         urls = np.empty(len(doc_ids), dtype=object)
         weights = np.empty(len(doc_ids), dtype=np.float32)
         descs: list = [None] * len(doc_ids)
-        futs = []
-        idxs = []
-        for s in range(self.n_shards):
-            sel = np.flatnonzero(shard == s)
-            if sel.size == 0:
-                continue
-            futs.append(self.actors[s].hydrate.remote(doc_ids[sel],
-                                                      with_desc=with_desc))
-            idxs.append(sel)
-        for sel, (u, w, d) in zip(idxs, ray.get(futs)):
-            urls[sel] = u
-            weights[sel] = w
-            if d is not None:
-                for i, di in zip(sel, d):
-                    descs[i] = di
+        cache = self._doc_cache
+        if with_desc or not cache:
+            need = np.arange(len(doc_ids))
+        else:
+            need_l = []
+            for i, d in enumerate(doc_ids.tolist()):
+                hit = cache.get(d)
+                if hit is None:
+                    need_l.append(i)
+                else:
+                    urls[i], weights[i] = hit
+            need = np.asarray(need_l, dtype=np.int64)
+        if need.size:
+            miss_ids = doc_ids[need]
+            shard = (miss_ids % np.uint64(self.n_shards)).astype(np.int64)
+            futs = []
+            idxs = []
+            for s in range(self.n_shards):
+                sel = np.flatnonzero(shard == s)
+                if sel.size == 0:
+                    continue
+                futs.append(self.actors[s].hydrate.remote(miss_ids[sel],
+                                                          with_desc=with_desc))
+                idxs.append(need[sel])
+            for sel, (u, w, d) in zip(idxs, ray.get(futs)):
+                urls[sel] = u
+                weights[sel] = w
+                if d is not None:
+                    for i, di in zip(sel, d):
+                        descs[i] = di
+            if len(cache) < self.DOC_CACHE_MAX:
+                for i in need.tolist():
+                    cache[int(doc_ids[i])] = (urls[i], weights[i])
         return urls, weights, descs
 
     def urls_of(self, doc_ids: np.ndarray) -> np.ndarray:
@@ -191,6 +238,10 @@ class RemoteIndexReader(IndexReader):
     routing metadata only).
     """
 
+    # bounded raw-lookup cache: keys are (kind, op, context, key, wp) and
+    # values the actors' raw found lists (numpy postings). FIFO-evicted.
+    LOOKUP_CACHE_MAX = 4096
+
     def __init__(self, index_dir: str, n_actors: int = 4,
                  generation: int | None = None, *, doc_shards: int = 2):
         super().__init__(index_dir, generation)
@@ -206,6 +257,7 @@ class RemoteIndexReader(IndexReader):
             self.actors.append(actor)
             for k in parts:
                 self.part_to_actor[k] = actor
+        self._lookup_cache: dict[tuple, list] = {}
         ray.get([a.ping.remote() for a in self.actors])  # warm
 
     def _fanout(self, method: str, parts: list[int], args: tuple,
@@ -222,10 +274,57 @@ class RemoteIndexReader(IndexReader):
             found.extend(res)
         return found
 
+    def _cache_put(self, ck: tuple, found: list) -> None:
+        cache = self._lookup_cache
+        if len(cache) >= self.LOOKUP_CACHE_MAX:
+            cache.pop(next(iter(cache)))
+        cache[ck] = found
+
+    def prefetch(self, searches, ranges=(), *, with_positions: bool = True
+                 ) -> None:
+        """Resolve many lookups in ONE batched RPC per actor, filling the
+        lookup cache so the evaluator's subsequent ``search_sc`` /
+        ``lookup_range_sc`` calls are driver-local. Collapses a query's
+        round trips from one-per-term to one-per-actor."""
+        todo: list[tuple[tuple, str, tuple, list[int]]] = []
+        for op, cx, key in searches:
+            ck = ("s", op, cx, key, with_positions)
+            if ck not in self._lookup_cache:
+                todo.append((ck, "s", (op, cx, key), self.parts_for(op, key)))
+        for cx, lb, ub in ranges:
+            ck = ("r", cx, lb, ub, with_positions)
+            if ck not in self._lookup_cache:
+                todo.append((ck, "r", (cx, lb, ub), self.parts_for("range", lb, ub)))
+        if not todo:
+            return
+        by_actor: dict = {}
+        for rid, (ck, kind, args, parts) in enumerate(todo):
+            for k in parts:
+                if k >= self.num_partitions:
+                    continue
+                a = self.part_to_actor[k]
+                by_actor.setdefault(a, {}).setdefault(rid, []).append(k)
+        futs = []
+        for a, rid_parts in by_actor.items():
+            reqs = [(rid, todo[rid][1], *todo[rid][2], ks)
+                    for rid, ks in rid_parts.items()]
+            futs.append(a.batch.remote(reqs, with_positions))
+        merged: dict[int, list] = {rid: [] for rid in range(len(todo))}
+        for res in ray.get(futs):
+            for rid, found in res:
+                merged[rid].extend(found)
+        for rid, (ck, _, _, _) in enumerate(todo):
+            self._cache_put(ck, merged[rid])
+
     def search_sc(self, op: str, context: str, key: str, *,
                   with_positions: bool = True):
-        parts = self.parts_for(op, key)
-        found = self._fanout("search", parts, (op, context, key), with_positions)
+        ck = ("s", op, context, key, with_positions)
+        found = self._lookup_cache.get(ck)
+        if found is None:
+            parts = self.parts_for(op, key)
+            found = self._fanout("search", parts, (op, context, key),
+                                 with_positions)
+            self._cache_put(ck, found)
         results = [(w, self.score_found(context, key, w),
                     Postings(doc_ids=t[0], tfs=t[1], pos_flat=t[2], pos_offsets=t[3]))
                    for w, t in found]
@@ -236,8 +335,13 @@ class RemoteIndexReader(IndexReader):
                         with_positions: bool = True):
         from ..analyze.normalize import position_in_range
 
-        parts = self.parts_for("range", lb, ub)
-        found = self._fanout("lookup_range", parts, (context, lb, ub), with_positions)
+        ck = ("r", context, lb, ub, with_positions)
+        found = self._lookup_cache.get(ck)
+        if found is None:
+            parts = self.parts_for("range", lb, ub)
+            found = self._fanout("lookup_range", parts, (context, lb, ub),
+                                 with_positions)
+            self._cache_put(ck, found)
         if self.schema[context].ctype.range_filter == "position2d":
             found = [(w, t) for w, t in found if position_in_range(w, lb, ub)]
         results = [(w, _range_score(self, context, lb, ub, w),

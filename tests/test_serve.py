@@ -181,3 +181,60 @@ def test_partition_dictionaries_arrow_resident(serve_index):
     n = len(pr.terms)
     assert n > 0 and isinstance(pr.terms[0], str)
     assert list(pr.terms[0:2]) == [pr.terms[0], pr.terms[1]]
+
+
+def test_prefetch_batches_round_trips(serve_index, monkeypatch):
+    """A query's term lookups resolve in ONE batched fan-out (prefetch) and
+    a repeated query touches no actor at all — the latency contract the
+    serve-mode bench relies on."""
+    import hunt_ray.query.serve as sv
+
+    rr = RemoteIndexReader(serve_index, n_actors=2, doc_shards=2)
+    eng = SearchEngine.from_reader(rr)
+    rr.docs  # spin up the doc-shard pool before counting query RPCs
+    calls = {"get": 0, "fanout": 0}
+    orig_get = sv.ray.get
+    orig_fanout = rr._fanout
+
+    def counting_get(*a, **k):
+        calls["get"] += 1
+        return orig_get(*a, **k)
+
+    def counting_fanout(*a, **k):
+        calls["fanout"] += 1
+        return orig_fanout(*a, **k)
+
+    monkeypatch.setattr(sv.ray, "get", counting_get)
+    monkeypatch.setattr(rr, "_fanout", counting_fanout)
+    try:
+        res = eng.search('"take over the world" OR brain', limit=10)
+        assert res.count > 0
+        # 5 primary lookups collapse into one batched prefetch ray.get plus
+        # one doc-hydration ray.get; zero per-term fan-outs
+        assert calls["fanout"] == 0
+        assert calls["get"] <= 2
+        # repeat: lookups + doc hydration are cache-resident on the driver
+        before = dict(calls)
+        eng.search('"take over the world" OR brain', limit=10)
+        assert calls == before  # no RPC at all on the warm path
+    finally:
+        monkeypatch.setattr(sv.ray, "get", orig_get)
+        rr.shutdown()
+
+
+def test_collect_lookups_covers_ast(serve_index):
+    from hunt_ray.query.parser import parse_query
+
+    local = SearchEngine(serve_index)
+    p = local.processor
+    searches, ranges = p.collect_lookups(
+        parse_query('title:brain AND ("take over" OR wor*)'))
+    ops = {(op, cx, key) for op, cx, key in searches}
+    # the QContext-scoped word is collected under the title context only
+    assert any(cx == "title" and key == "brain" for _, cx, key in ops)
+    # bare QWords are Hunt prefix searches; QFullWords (phrase parts) exact
+    assert any(op.startswith("prefix") for op, _, _ in ops)
+    assert any(op in ("case", "nocase") and key == "take" for op, _, key in ops)
+    sr, rr_ = p.collect_lookups(
+        parse_query("datecontext:[2013-01-01 TO 2013-06-30]"))
+    assert any(cx == "datecontext" for cx, _, _ in rr_)
