@@ -105,6 +105,50 @@ CONTEXT_TYPES: dict[str, ContextType] = {
 }
 
 
+@dataclass(frozen=True)
+class ValueKind:
+    """A pluggable index VALUE kind — the analog of Hunt's existential
+    ``IndexImpl`` (``Hunt/Index/IndexImpl.hs:36-51``), which lets a new
+    index value type plug into the engine without touching the segment
+    codec. Payloads ride the postings ``positions`` column (one ``uint32``
+    per occurrence, non-decreasing within a doc — the delta+varbyte framing
+    of ``index/codec.py`` requires it), so ``codec.py`` needs no edits.
+
+    - ``build_payload(pdf)``: build-time hook. Receives the per-batch
+      posting frame (polars: term, doc_id, tf?, positions list[u32]) with
+      raw token positions and returns the payload list column to store.
+      ``None`` keeps the built-in behavior for the named kind.
+    - ``to_occ(post)``: query-time hook. Receives decoded ``Postings``
+      (doc_ids, tfs, payload flat+offsets) and returns the ``OccSet`` the
+      combinator algebra aggregates (``score = similarity × tf`` per doc,
+      positional ops over whatever "positions" it exposes). ``None`` keeps
+      built-in behavior ("positions" passthrough / "docset" singleton
+      upcast, SearchResult.hs:66-69).
+
+    Registries are per-process: ship a ``register_value_kind`` call in
+    ``BuildConfig.worker_setup`` so analyzer workers see custom kinds.
+    """
+
+    name: str
+    positional: bool                  # participates in phrase/follow/near
+    build_payload: "object | None" = None  # Callable[[pl.DataFrame], pl.Series]
+    to_occ: "object | None" = None         # Callable[[Postings], OccSet]
+
+
+VALUE_KINDS: dict[str, ValueKind] = {
+    "positions": ValueKind(name="positions", positional=True),
+    "docset": ValueKind(name="docset", positional=False),
+}
+
+
+def register_value_kind(vk: ValueKind) -> ValueKind:
+    """Register a custom index value kind; any ``ContextType`` whose
+    ``value_kind`` names it will store ``build_payload``'s output and score
+    through ``to_occ`` — no codec edits needed."""
+    VALUE_KINDS[vk.name] = vk
+    return vk
+
+
 def register_context_type(ctype: ContextType, *, normalizer=None,
                           validator=None) -> ContextType:
     """User-extension hook (Hunt's ``initHuntEnv`` ContextTypes/CNormalizer
@@ -121,6 +165,9 @@ def register_context_type(ctype: ContextType, *, normalizer=None,
         VALIDATORS[ctype.validator] = validator
     if ctype.validator not in VALIDATORS:
         raise ValueError(f"validator {ctype.validator!r} is not registered")
+    if ctype.value_kind not in VALUE_KINDS:
+        raise ValueError(f"value kind {ctype.value_kind!r} is not registered "
+                         "(register_value_kind first)")
     if ctype.key_normalizer and ctype.key_normalizer not in NORMALIZERS:
         raise ValueError(f"normalizer {ctype.key_normalizer!r} is not registered")
     CONTEXT_TYPES[ctype.name] = ctype

@@ -50,7 +50,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..analyze.html import context_text
-from ..analyze.schema import Schema, default_schema, schema_from_json, schema_to_json
+from ..analyze.schema import (VALUE_KINDS, Schema, default_schema,
+                              schema_from_json, schema_to_json)
 from ..analyze.tokenize import group_postings, tokenize_context
 from ..common.hashing import doc_ids_for_urls
 from .codec import DICT_SCHEMA, DOC_SHARDS, POSTINGS_SCHEMA
@@ -219,7 +220,13 @@ class AnalyzerStage:
             texts = context_text(batch, cs.source)
             stream = tokenize_context(texts, cs)
             pdf = group_postings(stream, doc_ids)
-            if cs.ctype.value_kind != "positions":
+            vk = VALUE_KINDS[cs.ctype.value_kind]
+            if vk.build_payload is not None:
+                # custom value kind (IndexImpl analog): payload column from
+                # the registered hook, framed like positions (len == tf per
+                # doc, non-decreasing) so the codec stays untouched
+                pdf = pdf.with_columns(positions=vk.build_payload(pdf))
+            elif cs.ctype.value_kind != "positions":
                 # doc-set index kinds carry no positions (Schema.hs:139-145)
                 pdf = pdf.with_columns(positions=pl.lit([], dtype=pl.List(pl.UInt32)))
             frames.append(pdf.with_columns(context=pl.lit(cx)))

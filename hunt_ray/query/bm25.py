@@ -95,7 +95,7 @@ class BM25Engine:
         term's nocase lookup in one fan-out per actor before ``_load_term``
         walks them (one RPC per query instead of one per term)."""
         terms = self._query_terms(query)
-        prefetch = getattr(self.reader, "prefetch", None)
+        prefetch = getattr(getattr(self, "reader", None), "prefetch", None)
         if prefetch is not None:
             miss = [t for t in terms if t not in self._term_cache]
             if miss:

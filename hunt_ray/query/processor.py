@@ -185,7 +185,15 @@ class Processor:
 
     def _entry_from_postings(self, context: str, word: str, score: np.float32,
                              post: Postings) -> Entry:
-        docset = self.schema[context].ctype.value_kind != "positions"
+        from ..analyze.schema import VALUE_KINDS
+
+        kind = self.schema[context].ctype.value_kind
+        vk = VALUE_KINDS.get(kind)
+        if vk is not None and vk.to_occ is not None:
+            # custom value kind (IndexImpl analog): the registered hook
+            # interprets the stored payload and builds the OccSet itself
+            return Entry((word,), score, vk.to_occ(post))
+        docset = kind != "positions"
         if docset:
             # doc-set index kinds upcast to singleton positions {1} per doc
             # (docIdsToOccurrences', SearchResult.hs:66-69) so tf=1 and the

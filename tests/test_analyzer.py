@@ -287,3 +287,85 @@ def test_register_custom_context_type(ray_session, tmp_path):
 
         NORMALIZERS.pop("RealIntTest", None)
         VALIDATORS.pop("realint-test", None)
+
+
+def test_custom_value_kind_end_to_end(ray_session, tmp_path):
+    """IndexImpl analog (Index/IndexImpl.hs:36-51): register a toy scored
+    value kind — payload = clip(position, 7) per occurrence, query-time
+    effective tf = (#occurrences before token 7) + 1 — and drive it through
+    build + query with NO codec edits."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.analyze.schema import (CONTEXT_TYPES, VALUE_KINDS,
+                                         ContextSchema, ContextType,
+                                         ValueKind, register_context_type,
+                                         register_value_kind)
+    from hunt_ray.index.build import BuildConfig, build_index
+    from hunt_ray.query.engine import SearchEngine
+    from hunt_ray.query.processor import OccSet
+
+    def build_payload(pdf):
+        # non-decreasing within each doc (positions ascending + clip)
+        return pdf["positions"].list.eval(pl.element().clip(upper_bound=7))
+
+    def to_occ(post):
+        flags = np.concatenate([[0], np.cumsum(post.pos_flat < 7)])
+        eff = (flags[post.pos_offsets[1:]] - flags[post.pos_offsets[:-1]] + 1
+               ).astype(np.int64)
+        n = len(post.doc_ids)
+        return OccSet(post.doc_ids, eff, np.ones(n, dtype=np.uint64),
+                      np.arange(n + 1, dtype=np.int64))
+
+    ct = ContextType(name="earlytf-test", token_pattern=r"\w+",
+                     validator="text", value_kind="earlytf-test",
+                     key_normalizer=None, search_score="default",
+                     range_score="default")
+
+    def setup():
+        register_value_kind(ValueKind(name="earlytf-test", positional=False,
+                                      build_payload=build_payload,
+                                      to_occ=to_occ))
+        register_context_type(ct)
+
+    try:
+        setup()
+        texts = [
+            "zebra alpha zebra beta zebra",                     # 3 early hits
+            "alpha beta gamma delta epsilon eta theta zebra",   # 1 late hit
+            "no match here",
+        ]
+        d = tmp_path / "earlytf"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "url": pa.array([f"e://{i}" for i in range(3)], pa.string()),
+            "warc_ts": pa.array(np.arange(3, dtype=np.int64), pa.timestamp("us")),
+            "html": pa.array([b""] * 3, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+        }), str(d / "p.parquet"))
+        schema = {"body": ContextSchema(type="earlytf-test", default=True,
+                                        source="text")}
+        idx = str(tmp_path / "earlytf_idx")
+        build_index(str(d), idx, BuildConfig(schema=schema, num_partitions=2,
+                                             batch_size=8,
+                                             analyzer_concurrency=2,
+                                             worker_setup=(setup,)))
+        eng = SearchEngine(idx)
+        hits = eng.search("!zebra", limit=0)
+        got = {h.url: h.score for h in hits.result}
+        # doc 0: positions 1,3,5 (<7) -> eff tf 4; doc 1: position 8 -> 1
+        assert got == {"e://0": 4.0, "e://1": 1.0}
+        # an unregistered kind is rejected up front
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="value kind"):
+            register_context_type(ContextType(
+                name="bogus-kind", token_pattern=r"\w+", validator="text",
+                value_kind="never-registered", key_normalizer=None,
+                search_score="default", range_score="default"))
+    finally:
+        CONTEXT_TYPES.pop("earlytf-test", None)
+        VALUE_KINDS.pop("earlytf-test", None)
