@@ -732,8 +732,11 @@ def build_index(pages_path: str | list[str], index_dir: str,
         # the per-node core count) — the cap is an environment workaround,
         # not a design limit.
         cap = int(os.environ.get("HUNT_MERGE_CONC", "8"))
+        # below the cap, merge parallelism tracks the session CPU count 1:1
+        # (a CPU//2 rule would cap 2-cpu→8-cpu scaling of this phase at 2×
+        # structurally); the env cap handles the VM pathology above ~8
         merge_conc = max(2, min(len(todo), cap,
-                                int(_ray.cluster_resources().get("CPU", 8)) // 2))
+                                int(_ray.cluster_resources().get("CPU", 8))))
         parts_per_task = max(1, len(todo) // max(1, merge_conc))
         merge_stats = rd.from_items([{"part": k} for k in todo]).map_batches(
             make_part_merger(index_dir, gen, phash, cfg.chunk_docs, files),
