@@ -91,3 +91,31 @@ def test_bm25_nocase_lookup_uses_shadow(shadow_index):
     assert hits
     for pr in rd._parts.values():
         assert pr.nocase_fallback_scans == 0
+
+
+def test_reader_memory_arrow_resident_dictionaries():
+    """ArrowStrSeq keeps the term dictionary in Arrow buffers: the resident
+    footprint is the string bytes + offsets, several times smaller than the
+    equivalent list of Python str objects (VERDICT r2 finding #5)."""
+    import sys
+
+    import numpy as np
+    import pyarrow as pa
+
+    from hunt_ray.index.reader import ArrowStrSeq
+
+    words = [f"term{i:06d}suffix" for i in range(20000)]
+    arr = pa.array(words, pa.large_string())
+    seq = ArrowStrSeq(arr)
+    arrow_bytes = sum(b.size for b in arr.buffers() if b is not None)
+    pylist_bytes = sys.getsizeof(words) + sum(sys.getsizeof(w) for w in words)
+    assert arrow_bytes * 3 < pylist_bytes  # >3x smaller in practice
+    # bisect-compatible: same lookups as the list
+    import bisect
+
+    for probe in ["term000000suffix", "term019999suffix", "term010000suffix",
+                  "zzz", ""]:
+        assert bisect.bisect_left(seq, probe) == bisect.bisect_left(words, probe)
+    assert seq[5] == words[5]
+    assert list(seq[10:13]) == words[10:13]
+    assert list(seq.take(np.array([3, 7]))) == [words[3], words[7]]
