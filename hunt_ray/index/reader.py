@@ -77,7 +77,8 @@ class ArrowStrSeq:
     """Bisect-compatible sequence view over an Arrow string array.
 
     The dictionary stays resident in the Arrow buffer (~5-8× smaller than
-    a list of Python str objects — measured in test_reader_memory);
+    a list of Python str objects — measured in
+    test_reader_memory_arrow_resident_dictionaries);
     ``__getitem__`` decodes ONE scalar per probe, so a binary search costs
     O(log n) tiny conversions instead of materializing the whole column."""
 
