@@ -154,29 +154,31 @@ class ShardedDocTable:
         self.actors = [DocShardActor.remote(index_dir, s, self.n_shards)
                        for s in range(self.n_shards)]
         self.n_docs = sum(ray.get([a.count.remote() for a in self.actors]))
-        # doc_id -> (url, weight); sound because a reader serves one
-        # immutable generation. Saves the second hydration round trip per
-        # query (urls_of(page) ⊆ urls_of(candidates)) and all round trips
-        # for repeat docs.
-        self._doc_cache: dict[int, tuple] = {}
+        # sorted-array (url, weight) cache — sound because a reader serves
+        # one immutable generation. Saves the second hydration round trip
+        # per query (urls_of(page) ⊆ urls_of(candidates)) and all round
+        # trips for repeat docs; lookups are one vectorized searchsorted,
+        # never a per-doc Python loop (queries can match 10k+ docs).
+        self._c_ids = np.empty(0, dtype=np.uint64)
+        self._c_urls = np.empty(0, dtype=object)
+        self._c_w = np.empty(0, dtype=np.float32)
 
     def _fanout(self, doc_ids: np.ndarray, with_desc: bool = False):
         doc_ids = np.asarray(doc_ids, dtype=np.uint64)
-        urls = np.empty(len(doc_ids), dtype=object)
-        weights = np.empty(len(doc_ids), dtype=np.float32)
-        descs: list = [None] * len(doc_ids)
-        cache = self._doc_cache
-        if with_desc or not cache:
-            need = np.arange(len(doc_ids))
+        n = len(doc_ids)
+        urls = np.empty(n, dtype=object)
+        weights = np.empty(n, dtype=np.float32)
+        descs: list = [None] * n
+        if with_desc or self._c_ids.size == 0:
+            need = np.arange(n)
         else:
-            need_l = []
-            for i, d in enumerate(doc_ids.tolist()):
-                hit = cache.get(d)
-                if hit is None:
-                    need_l.append(i)
-                else:
-                    urls[i], weights[i] = hit
-            need = np.asarray(need_l, dtype=np.int64)
+            pos = np.searchsorted(self._c_ids, doc_ids)
+            pos_c = np.minimum(pos, self._c_ids.size - 1)
+            hit = self._c_ids[pos_c] == doc_ids
+            hi = np.flatnonzero(hit)
+            urls[hi] = self._c_urls[pos_c[hi]]
+            weights[hi] = self._c_w[pos_c[hi]]
+            need = np.flatnonzero(~hit)
         if need.size:
             miss_ids = doc_ids[need]
             shard = (miss_ids % np.uint64(self.n_shards)).astype(np.int64)
@@ -195,9 +197,17 @@ class ShardedDocTable:
                 if d is not None:
                     for i, di in zip(sel, d):
                         descs[i] = di
-            if len(cache) < self.DOC_CACHE_MAX:
-                for i in need.tolist():
-                    cache[int(doc_ids[i])] = (urls[i], weights[i])
+            if not with_desc and self._c_ids.size < self.DOC_CACHE_MAX:
+                # (desc fetches bypass the hit check above, so appending
+                # here would duplicate already-cached ids)
+                new_ids, first = np.unique(doc_ids[need], return_index=True)
+                all_ids = np.concatenate([self._c_ids, new_ids])
+                all_urls = np.concatenate([self._c_urls, urls[need][first]])
+                all_w = np.concatenate([self._c_w, weights[need][first]])
+                order = np.argsort(all_ids, kind="stable")
+                self._c_ids = all_ids[order]
+                self._c_urls = all_urls[order]
+                self._c_w = all_w[order]
         return urls, weights, descs
 
     def urls_of(self, doc_ids: np.ndarray) -> np.ndarray:

@@ -55,9 +55,11 @@ def test_sharded_doc_table_matches_local(serve_index):
         assert sharded.lens_of("body", ids).tolist() == \
             local.lens_of("body", ids).tolist()
         assert sharded.descs_of(ids[:5]) == local.descs_of(ids[:5])
-        # driver holds only actor handles + counters, never per-doc arrays
-        assert not any(isinstance(v, __import__("numpy").ndarray)
-                       for v in vars(sharded).values())
+        # driver holds actor handles + a BOUNDED hot-doc cache: only docs
+        # actually hydrated land in it (never the corpus), capped at
+        # DOC_CACHE_MAX
+        assert sharded._c_ids.size <= len(ids)
+        assert sharded._c_ids.size <= sharded.DOC_CACHE_MAX
         # each shard holds only its modulo slice
         counts = _ray.get([a.count.remote() for a in sharded.actors])
         assert sum(counts) == local.n_docs
