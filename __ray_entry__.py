@@ -156,6 +156,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             flagship.ensure_pages(sf)),
         "q_multimodal_frames": lambda sf: multimodal.sample_frames(
             flagship.ensure_pages(sf)),
+        # oracle-compatible decode siblings: every derived value is
+        # md5+substr so DuckDB recomputes it exactly (full pass(C) rows
+        # for the multimodal plumbing, not just rows-only)
+        "q_multimodal_meta": multimodal.decode_meta_md5,
+        "q_multimodal_feature_windows": multimodal.feature_windows_md5,
         # --- generic relational ops (events range scan, TPC-H-ish agg)
         "q_events_range": q_events_range,
         "q_lineitem_q1": q_lineitem_q1,
@@ -423,10 +428,36 @@ FROM documents d LEFT JOIN fp f USING (doc_id)
         # body = "doc <id> heading" + ws-normalized text), so the oracle
         # recomputes BM25 from text and must match the inverted-index path
         "q_index_bm25": _index_bm25_oracle_sql(),
+        # multimodal decode metadata, oracle-compatible sibling of the
+        # blake2b stub (Md5MetaDecoder docstring has the exact mirror)
+        "q_multimodal_meta": """
+WITH t AS (SELECT doc_id, coalesce(text, '') AS t,
+                  md5(substr(coalesce(text, ''), 1, 64)) AS h
+           FROM documents)
+SELECT doc_id::BIGINT AS doc_id,
+       strlen(t)::BIGINT AS n_bytes,
+       (16 + ('0x' || substr(h, 1, 4))::UBIGINT % 2048)::BIGINT AS width,
+       (16 + ('0x' || substr(h, 5, 4))::UBIGINT % 2048)::BIGINT AS height,
+       (['rgb', 'rgba', 'gray'])[
+           (1 + ('0x' || substr(h, 9, 2))::UBIGINT % 3)::BIGINT] AS format
+FROM t
+""",
+        # fixed-window pooled "features" as (doc, window, value) rows —
+        # long format keeps every oracle column scalar-typed
+        "q_multimodal_feature_windows": """
+WITH t AS (SELECT doc_id, coalesce(text, '') AS t,
+                  greatest(1, length(coalesce(text, '')) // 16) AS win
+           FROM documents)
+SELECT doc_id::BIGINT AS doc_id, i::BIGINT AS win,
+       (('0x' || substr(md5(i::VARCHAR || '|' ||
+                            substr(t, (i * win + 1)::BIGINT, win)), 1, 15)
+        )::UBIGINT % 10000)::BIGINT AS fval
+FROM t, unnest(range(0, 16)) AS u(i)
+""",
         # q_minhash_dedup / q_knn_ivf / q_embedding_dedup_lsh /
-        # q_multimodal_* / q_index_search / q_rank_identity:
-        # non-SQL-expressible (seeded hash permutations, probabilistic
-        # recall, index-state probes) → rows-only checks by design.
+        # q_multimodal_features|resize|frames / q_index_search /
+        # q_rank_identity: non-SQL-expressible (seeded hash permutations,
+        # probabilistic recall, index-state probes) → rows-only by design.
     }
 
 

@@ -197,3 +197,98 @@ def sample_frames(pages_dir: str, *, every: int = 4, frame_bytes: int = 4096,
             .map_batches(FrameSampler, fn_constructor_args=(every, frame_bytes),
                          batch_format="pyarrow", batch_size=batch_size,
                          concurrency=concurrency))
+
+
+class Md5MetaDecoder:
+    """Oracle-compatible sibling of ``FakeDecoder``: every derived value
+    uses only md5 + character slicing so a DuckDB oracle can recompute it
+    exactly (``__ray_entry__.oracle_sql: q_multimodal_meta /
+    q_multimodal_feature_windows``). Same actor-pool plumbing as the
+    blake2b stub; the "decode" here stands in for reading an image header
+    (width/height/format) and pooling fixed windows into features.
+
+    Exact mirror of the SQL:
+      t        = coalesce(text, '')                 (unicode code points)
+      h        = md5(t[:64])                        (utf-8 bytes)
+      n_bytes  = strlen(t)                          (utf-8 byte length)
+      width    = 16 + int(h[0:4], 16)  % 2048
+      height   = 16 + int(h[4:8], 16)  % 2048
+      format   = ('rgb','rgba','gray')[int(h[8:10], 16) % 3]
+      win      = max(1, len(t) // FEATURE_DIM)      (code points)
+      f[i]     = int(md5(f"{i}|" + t[i*win:(i+1)*win])[:15], 16) % 10000
+    """
+
+    FORMATS = ("rgb", "rgba", "gray")
+
+    def __init__(self, feature_dim: int = FEATURE_DIM):
+        self.feature_dim = feature_dim
+
+    def meta_rows(self, doc_ids, texts):
+        n_bytes, widths, heights, fmts = [], [], [], []
+        for t in texts:
+            t = t or ""
+            h = hashlib.md5(t[:64].encode("utf-8")).hexdigest()
+            n_bytes.append(len(t.encode("utf-8")))
+            widths.append(16 + int(h[0:4], 16) % 2048)
+            heights.append(16 + int(h[4:8], 16) % 2048)
+            fmts.append(self.FORMATS[int(h[8:10], 16) % 3])
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "width": pa.array(widths, pa.int64()),
+            "height": pa.array(heights, pa.int64()),
+            "format": pa.array(fmts, pa.string()),
+        })
+
+    def window_rows(self, doc_ids, texts):
+        ids_out, wins, fvals = [], [], []
+        for did, t in zip(doc_ids, texts):
+            t = t or ""
+            win = max(1, len(t) // self.feature_dim)
+            for i in range(self.feature_dim):
+                w = t[i * win:(i + 1) * win]
+                d = hashlib.md5(f"{i}|{w}".encode("utf-8")).hexdigest()
+                ids_out.append(did)
+                wins.append(i)
+                fvals.append(int(d[:15], 16) % 10000)
+        return pa.table({
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "win": pa.array(wins, pa.int64()),
+            "fval": pa.array(fvals, pa.int64()),
+        })
+
+
+class _Md5MetaStage(Md5MetaDecoder):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.meta_rows(batch.column("doc_id").to_pylist(),
+                              batch.column("text").to_pylist())
+
+
+class _Md5WindowStage(Md5MetaDecoder):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.window_rows(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist())
+
+
+def _documents_ds(sf_dir: str):
+    import os
+
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+
+def decode_meta_md5(sf_dir: str, *, batch_size: int = 128,
+                    concurrency: tuple[int, int] | int = (1, 4)):
+    """Oracled decode-metadata pipeline over the documents table (lazy)."""
+    return _documents_ds(sf_dir).map_batches(
+        _Md5MetaStage, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency)
+
+
+def feature_windows_md5(sf_dir: str, *, batch_size: int = 128,
+                        concurrency: tuple[int, int] | int = (1, 4)):
+    """Oracled window-feature pipeline: one row per (doc, window), lazy."""
+    return _documents_ds(sf_dir).map_batches(
+        _Md5WindowStage, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency)

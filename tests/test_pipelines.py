@@ -384,3 +384,26 @@ def test_dedup_cap_stats_counts_hot_bucket():
     got = _dropped_pair_count(np.asarray([n, 3, MAX_BUCKET]))
     want = n * (n - 1) // 2 - MAX_BUCKET * (MAX_BUCKET - 1) // 2
     assert got.tolist() == [want, 0, 0]
+
+
+def test_multimodal_md5_meta_matches_duckdb():
+    """Driver-shaped parity: the md5 decode siblings vs their oracle SQL."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{SF}/documents.parquet')")
+    sqls = entry.oracle_sql()
+    qs = entry.queries()
+    for key in ("q_multimodal_meta", "q_multimodal_feature_windows"):
+        mine = qs[key](SF).to_pandas()
+        want = con.sql(sqls[key]).df()
+        cols = sorted(mine.columns)
+        assert cols == sorted(want.columns), key
+        a = mine[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(a) == len(b), key
+        for c in cols:
+            assert a[c].astype(str).tolist() == b[c].astype(str).tolist(), (key, c)
