@@ -505,25 +505,49 @@ def _exact_jaccard_pairs(sf_dir: str, gram_fn, *, threshold: float,
     def pairs_of_part(group: pa.Table) -> pa.Table:
         """One gram-hash bucket → per-pair PARTIAL co-gram counts (the
         map-side combine: a pair sharing many grams in this bucket is one
-        row out, not many)."""
+        row out, not many).
+
+        Two kernels, auto-selected per bucket: when the bucket is DENSE
+        (few distinct docs but heavy Σ df(g)² — e.g. a tiny char-trigram
+        alphabet where every gram hits most docs), co-gram counts come
+        from one doc×gram 0/1 incidence matmul (U×S @ S×U) instead of
+        exploding Σ k(k-1)/2 pair rows and lexsort-collapsing them —
+        identical output (both count shared grams per doc pair; the
+        DuckDB oracle pins it), ~100× less work at sf0.01. The sparse
+        triu path remains the web-scale shape (U per bucket unbounded)."""
         g = group.column("gram").to_numpy(zero_copy_only=False)
         d = group.column("doc_id").to_numpy(zero_copy_only=False)
         order = np.lexsort((d, g))
         g, d = g[order], d[order]
         starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
         ends = np.r_[starts[1:], len(g)]
-        outs_a, outs_b = [], []
-        for lo, hi in zip(starts, ends):  # per-gram segment, numpy inside
-            k = int(hi - lo)
-            if k < 2:
-                continue
-            ii, jj = np.triu_indices(k, k=1)
-            outs_a.append(d[lo:hi][ii])
-            outs_b.append(d[lo:hi][jj])
-        if not outs_a:
+        seg_sizes = (ends - starts).astype(np.int64)
+        est_pairs = int((seg_sizes * (seg_sizes - 1) // 2).sum())
+        uniq, dinv = np.unique(d, return_inverse=True)
+        U, S = len(uniq), len(starts)
+        if est_pairs == 0:
             return _PAIRS_SCHEMA.empty_table()
-        pa_, pb, pi = _pair_partials(np.concatenate(outs_a),
-                                     np.concatenate(outs_b), None)
+        if est_pairs > 4 * U * U and U * S <= 20_000_000:
+            # (gram, doc) rows are distinct per doc → 0/1 incidence;
+            # float32 counts stay exact (S < 2^24 under the cell cap)
+            seg_of = np.searchsorted(starts, np.arange(len(g)),
+                                     side="right") - 1
+            A = np.zeros((U, S), np.float32)
+            A[dinv, seg_of] = 1.0
+            C = np.triu(A @ A.T, k=1)
+            ia, ja = np.nonzero(C)
+            pa_, pb, pi = uniq[ia], uniq[ja], C[ia, ja].astype(np.float64)
+        else:
+            outs_a, outs_b = [], []
+            for lo, hi in zip(starts, ends):  # per-gram segment, numpy inside
+                k = int(hi - lo)
+                if k < 2:
+                    continue
+                ii, jj = np.triu_indices(k, k=1)
+                outs_a.append(d[lo:hi][ii])
+                outs_b.append(d[lo:hi][jj])
+            pa_, pb, pi = _pair_partials(np.concatenate(outs_a),
+                                         np.concatenate(outs_b), None)
         with np.errstate(over="ignore"):
             ph = ((pa_.astype(np.uint64) * _GMIX[0]) ^
                   (pb.astype(np.uint64) * _GMIX[1])) % np.uint64(P)
