@@ -463,24 +463,44 @@ def make_part_merger(index_dir: str, gen: int, phash: str, cfg_chunk_docs: int,
                 out_parts.append(p); out_rows.append(-1); out_terms.append(-1)
         run_root = os.path.join(index_dir, "runs", f"gen_{gen}")
         flat_runs = sorted(globmod.glob(os.path.join(run_root, "run-*.parquet")))
-        prefetched: dict[int, pa.Table] = {}
+        # fs mode: each run file holds ONE row group per partition, sorted by
+        # part (see AnalyzerStage._write_runs), so row-group `part` statistics
+        # (min == max) map each group to exactly one partition. Parse every
+        # footer ONCE per merge task (the amortization the old whole-batch
+        # read bought), then stream ONE partition at a time via
+        # read_row_groups — peak heap is a single partition's rows instead of
+        # every assigned partition at once. On a 256-node run this is the
+        # difference between a merge worker holding ~parts_per_task× a
+        # partition working set and holding 1×.
+        rg_map: dict[int, list[tuple[object, list[int]]]] = {}
         if flat_runs and todo_parts:
-            # fs mode: one filtered read for the whole part batch (footer
-            # parsing is per-dataset-open, so batching parts amortizes it),
-            # then split locally
-            import pyarrow.compute as _pc
-            import pyarrow.dataset as pads
-
-            big = pads.dataset(flat_runs).to_table(
-                filter=_pc.field("part").isin(todo_parts))
-            pcol = big.column("part")
-            for p in todo_parts:
-                prefetched[p] = big.filter(_pc.equal(pcol, p)).drop_columns(["part"])
-            del big
+            want = set(todo_parts)
+            for f in flat_runs:
+                pf = pq.ParquetFile(f)
+                md = pf.metadata
+                part_ci = next(i for i in range(md.num_columns)
+                               if md.row_group(0).column(i).path_in_schema == "part")
+                per_file: dict[int, list[int]] = {}
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(part_ci).statistics
+                    if st is None or st.min != st.max:
+                        # stats unavailable/mixed (foreign writer): scan the
+                        # group's part column instead of trusting layout
+                        pv = pf.read_row_group(rg, columns=["part"]).column("part")
+                        for p in pa.compute.unique(pv).to_pylist():
+                            per_file.setdefault(p, []).append(rg)
+                        continue
+                    per_file.setdefault(st.min, []).append(rg)
+                for p, rgs in per_file.items():
+                    if p in want:
+                        rg_map.setdefault(p, []).append((pf, rgs))
         for part in todo_parts:
             t_start = time.time()
             if flat_runs:
-                merged = prefetched.pop(part, None)
+                pieces = [pf.read_row_groups(rgs).drop_columns(["part"])
+                          for pf, rgs in rg_map.pop(part, [])]
+                merged = pa.concat_tables(pieces) if pieces else None
+                del pieces
                 run_files = flat_runs
             else:
                 # ray-groupby mode: per-(part, salt) run files
