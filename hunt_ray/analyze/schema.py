@@ -33,6 +33,11 @@ class ContextType:
     search_score: str           # "similar" | "similar_int" | "default"
     range_score: str            # "default" | "similar_range_int"
     range_filter: str = "none"  # "none" | "position2d" (Dim2Search semantics)
+    # rectangle-range backing structure: "sorted" scans the dictionary's
+    # Z-order key range (+ per-dimension filter); "rtree" descends an
+    # STR-packed R-tree (index/rtree.py) — same results, pruned by both
+    # dimensions like the reference's SimpleRTreeIndex
+    range_structure: str = "sorted"
 
 
 CONTEXT_TYPES: dict[str, ContextType] = {
@@ -74,9 +79,11 @@ CONTEXT_TYPES: dict[str, ContextType] = {
         range_score="default",
     ),
     # position-rtree shares the position type's observable semantics
-    # (Schema.hs:173-179: same regex/validator, rectangle lookupRange) —
-    # the reference's R-tree vs prefix-tree split is an index-implementation
-    # choice that the sorted Z-order dictionary subsumes here
+    # (Schema.hs:173-179: same regex/validator, rectangle lookupRange) but,
+    # like the reference's SimpleRTreeIndex (RTreeIndex.hs:120-180), backs
+    # rectangle queries with a real R-tree: an STR-packed tree per
+    # (partition, context), built lazily from the dictionary keys
+    # (index/rtree.py) instead of scanning the Z-order key range
     "position-rtree": ContextType(
         name="position-rtree",
         token_pattern=(r"-?(?:90(?:\.0*)?|[1-8]?[0-9](?:\.[0-9]*)?)-"
@@ -88,6 +95,7 @@ CONTEXT_TYPES: dict[str, ContextType] = {
         search_score="default",
         range_score="default",
         range_filter="position2d",
+        range_structure="rtree",
     ),
     "position": ContextType(
         name="position",

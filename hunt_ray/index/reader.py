@@ -152,6 +152,8 @@ class PartitionReader:
         self._postings_cache: dict[int, Postings] = {}
         self._postings_cache_cap = int(os.environ.get(
             "HUNT_POSTINGS_CACHE", "4096"))
+        # lazy STR R-trees per geo context (see rtree())
+        self._rtrees: dict[str, object] = {}
 
     # -- dictionary lookups -----------------------------------------
 
@@ -200,6 +202,27 @@ class PartitionReader:
         i = bisect.bisect_left(self.terms, lb, lo, hi)
         j = bisect.bisect_right(self.terms, ub, lo, hi)
         return list(range(i, j))
+
+    def rtree(self, context: str):
+        """Lazy STR-packed R-tree over a geo context's dictionary keys
+        (built once per (partition, context), cached for the reader's
+        lifetime — serve actors amortize it across queries)."""
+        t = self._rtrees.get(context)
+        if t is None:
+            from .rtree import STRTree, decode_dims
+
+            lo, hi = self._span(context)
+            lat, lon = decode_dims(self.terms.arr.slice(lo, hi - lo).to_pylist())
+            t = STRTree(lat, lon)
+            self._rtrees[context] = t
+        return t
+
+    def lookup_range_2d(self, context: str, lb: str, ub: str) -> list[int]:
+        """Rectangle range via the R-tree — exact (no Z-order superset, no
+        per-key filter needed), ascending dict-entry indices. The
+        ``lookupRange k1 k2`` semantics of RTreeIndex.hs:88-89."""
+        lo, _ = self._span(context)
+        return (self.rtree(context).query_keys(lb, ub) + lo).tolist()
 
     # -- postings ---------------------------------------------------
 
@@ -355,10 +378,13 @@ class IndexReader:
             if k >= self.num_partitions:
                 continue
             pr = self.part(k)
-            for entry in pr.lookup_range(context, lb, ub):
+            use_rtree = cs.ctype.range_structure == "rtree"
+            entries = (pr.lookup_range_2d(context, lb, ub) if use_rtree
+                       else pr.lookup_range(context, lb, ub))
+            for entry in entries:
                 word = pr.terms[entry]
-                if cs.ctype.range_filter == "position2d" and \
-                        not _pos_in_range(word, lb, ub):
+                if not use_rtree and cs.ctype.range_filter == "position2d" \
+                        and not _pos_in_range(word, lb, ub):
                     continue  # Z-order scan superset → per-dimension filter
                 if cs.ctype.range_score == "similar_range_int":
                     s = _similar_range_int(unzerofill_int(lb), unzerofill_int(ub),

@@ -44,14 +44,18 @@ class PartitionActor:
                             (p.doc_ids, p.tfs, p.pos_flat, p.pos_offsets)))
         return out
 
-    def lookup_range(self, context: str, lb: str, ub: str, parts: list[int],
-                     with_positions: bool) -> list[tuple[str, tuple]]:
+    def lookup_range(self, context: str, lb: str, ub: str, structure: str,
+                     parts: list[int], with_positions: bool
+                     ) -> list[tuple[str, tuple]]:
         out = []
         for k in parts:
             pr = self.readers.get(k)
             if pr is None:
                 continue
-            for entry in pr.lookup_range(context, lb, ub):
+            entries = (pr.lookup_range_2d(context, lb, ub)
+                       if structure == "rtree"
+                       else pr.lookup_range(context, lb, ub))
+            for entry in entries:
                 p = pr.postings(entry, with_positions=with_positions)
                 out.append((pr.terms[entry],
                             (p.doc_ids, p.tfs, p.pos_flat, p.pos_offsets)))
@@ -73,9 +77,9 @@ class PartitionActor:
                 out.append((rid, self.search(op, context, key, parts,
                                              with_positions)))
             else:
-                _, _, context, lb, ub, parts = req
-                out.append((rid, self.lookup_range(context, lb, ub, parts,
-                                                   with_positions)))
+                _, _, context, lb, ub, structure, parts = req
+                out.append((rid, self.lookup_range(context, lb, ub, structure,
+                                                   parts, with_positions)))
         return out
 
 
@@ -304,7 +308,9 @@ class RemoteIndexReader(IndexReader):
         for cx, lb, ub in ranges:
             ck = ("r", cx, lb, ub, with_positions)
             if ck not in self._lookup_cache:
-                todo.append((ck, "r", (cx, lb, ub), self.parts_for("range", lb, ub)))
+                todo.append((ck, "r",
+                             (cx, lb, ub, self.schema[cx].ctype.range_structure),
+                             self.parts_for("range", lb, ub)))
         if not todo:
             return
         by_actor: dict = {}
@@ -345,14 +351,16 @@ class RemoteIndexReader(IndexReader):
                         with_positions: bool = True):
         from ..analyze.normalize import position_in_range
 
+        structure = self.schema[context].ctype.range_structure
         ck = ("r", context, lb, ub, with_positions)
         found = self._lookup_cache.get(ck)
         if found is None:
             parts = self.parts_for("range", lb, ub)
-            found = self._fanout("lookup_range", parts, (context, lb, ub),
-                                 with_positions)
+            found = self._fanout("lookup_range", parts,
+                                 (context, lb, ub, structure), with_positions)
             self._cache_put(ck, found)
-        if self.schema[context].ctype.range_filter == "position2d":
+        if structure != "rtree" \
+                and self.schema[context].ctype.range_filter == "position2d":
             found = [(w, t) for w, t in found if position_in_range(w, lb, ub)]
         results = [(w, _range_score(self, context, lb, ub, w),
                     Postings(doc_ids=t[0], tfs=t[1], pos_flat=t[2], pos_offsets=t[3]))

@@ -1,0 +1,141 @@
+"""STR-packed R-tree (the SimpleRTreeIndex analog, RTreeIndex.hs:120-180):
+structure unit tests against brute force, and engine/serve parity between
+the ``position-rtree`` (R-tree-backed) and ``position`` (Z-order-scan)
+context types over the same corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hunt_ray.analyze.normalize import normalize_position
+from hunt_ray.index.rtree import STRTree, decode_dims, decode_key
+
+
+def _brute(lat, lon, r):
+    la0, la1, lo0, lo1 = r
+    return np.flatnonzero((lat >= la0) & (lat <= la1)
+                          & (lon >= lo0) & (lon <= lo1))
+
+
+def test_strtree_vs_bruteforce():
+    rng = np.random.default_rng(41)
+    for n in (0, 1, 3, 63, 64, 65, 1000, 5000):
+        lat = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+        lon = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+        t = STRTree(lat, lon)
+        for _ in range(30):
+            c = rng.integers(0, 2**32, size=4, dtype=np.uint64)
+            r = (int(min(c[0], c[1])), int(max(c[0], c[1])),
+                 int(min(c[2], c[3])), int(max(c[2], c[3])))
+            got = t.query(*r)
+            want = _brute(lat, lon, r)
+            assert np.array_equal(got, want), (n, r)
+        # full-space rect returns everything; empty rect nothing
+        assert len(t.query(0, 2**32 - 1, 0, 2**32 - 1)) == n
+        assert len(t.query(5, 4, 0, 2**32 - 1)) == 0
+
+
+def test_strtree_duplicate_points():
+    lat = np.full(500, 7, np.uint32)
+    lon = np.full(500, 9, np.uint32)
+    t = STRTree(lat, lon)
+    assert len(t.query(7, 7, 9, 9)) == 500
+    assert len(t.query(8, 10, 9, 9)) == 0
+
+
+def test_decode_dims_matches_decode_key():
+    rng = np.random.default_rng(43)
+    keys = []
+    for _ in range(50):
+        la = float(rng.uniform(-89, 89))
+        lo = float(rng.uniform(-179, 179))
+        keys.append(normalize_position(f"{la:.7f}-{lo:.7f}"))
+    lat, lon = decode_dims(keys)
+    for i, k in enumerate(keys):
+        la_i, lo_i = decode_key(k)
+        assert (int(lat[i]), int(lon[i])) == (la_i, lo_i)
+
+
+def _in_rect(nw, se, p) -> bool:
+    return nw[0] <= p[0] <= se[0] and nw[1] <= p[1] <= se[1]
+
+
+@pytest.fixture(scope="module")
+def rtree_engine(ray_session, tmp_path_factory):
+    """Same corpus indexed under BOTH geo context types."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.analyze.schema import ContextSchema
+    from hunt_ray.index.build import BuildConfig, build_index
+    from hunt_ray.query.engine import SearchEngine
+
+    rng = np.random.default_rng(47)
+    n = 150
+    coords = [(round(float(rng.uniform(0, 80)), 4), round(float(rng.uniform(0, 80)), 4))
+              for _ in range(n)]
+    d = tmp_path_factory.mktemp("rtpages")
+    tbl = pa.table({
+        "url": pa.array([f"geo://{i}" for i in range(n)], pa.string()),
+        "warc_ts": pa.array(np.arange(n, dtype=np.int64), pa.timestamp("us")),
+        "html": pa.array([b"<html></html>"] * n, pa.binary()),
+        "text": pa.array([f"point at {la}-{lo} end" for la, lo in coords], pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+    })
+    pq.write_table(tbl, str(d / "pages-00000.parquet"))
+    schema = {
+        "body": ContextSchema(type="text", default=True, source="text"),
+        "geoz": ContextSchema(type="position", default=False, source="text"),
+        "geort": ContextSchema(type="position-rtree", default=False, source="text"),
+    }
+    idx = str(tmp_path_factory.mktemp("rtidx"))
+    build_index(str(d), idx, BuildConfig(schema=schema, num_partitions=3,
+                                         batch_size=64, analyzer_concurrency=2))
+    return SearchEngine(idx), coords, idx
+
+
+def test_rtree_engine_parity(rtree_engine):
+    """Rectangle queries through the R-tree context return exactly the
+    Z-order context's results AND the brute-force rectangle membership."""
+    engine, coords, _ = rtree_engine
+    rng = np.random.default_rng(53)
+    for _ in range(25):
+        xs = sorted(rng.uniform(0, 80, size=2))
+        ys = sorted(rng.uniform(0, 80, size=2))
+        nw, se = (xs[0], ys[0]), (xs[1], ys[1])
+        rect = f"[{nw[0]:.4f}-{nw[1]:.4f} TO {se[0]:.4f}-{se[1]:.4f}]"
+        got_rt = {h.url for h in engine.search(f"geort:{rect}", limit=0).result}
+        got_z = {h.url for h in engine.search(f"geoz:{rect}", limit=0).result}
+        want = {f"geo://{i}" for i, p in enumerate(coords) if _in_rect(nw, se, p)}
+        assert got_rt == want, rect
+        assert got_z == want, rect
+    # the R-tree structure was actually consulted (lazy caches populated)
+    built = [pr for pr in engine.reader._parts.values()
+             if getattr(pr, "_rtrees", None) and "geort" in pr._rtrees]
+    assert built, "no partition built an R-tree for the geort context"
+    assert all("geoz" not in pr._rtrees for pr in engine.reader._parts.values())
+
+
+def test_rtree_serve_parity(rtree_engine):
+    """Serve-mode fan-out (incl. the batched prefetch path) returns the
+    local reader's results for the R-tree context."""
+    from hunt_ray.query.serve import RemoteIndexReader
+
+    engine, coords, idx = rtree_engine
+    rr = RemoteIndexReader(idx, n_actors=2)
+    try:
+        rng = np.random.default_rng(59)
+        for _ in range(5):
+            xs = sorted(rng.uniform(0, 80, size=2))
+            ys = sorted(rng.uniform(0, 80, size=2))
+            lb = normalize_position(f"{xs[0]:.7f}-{ys[0]:.7f}")
+            ub = normalize_position(f"{xs[1]:.7f}-{ys[1]:.7f}")
+            rr.prefetch([], ranges=[("geort", lb, ub)])
+            remote = rr.lookup_range_sc("geort", lb, ub)
+            local = engine.reader.lookup_range_sc("geort", lb, ub)
+            assert [w for w, _, _ in remote] == [w for w, _, _ in local]
+            for (_, _, pr_), (_, _, pl) in zip(remote, local):
+                assert np.array_equal(pr_.doc_ids, pl.doc_ids)
+    finally:
+        rr.shutdown()
