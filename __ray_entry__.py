@@ -167,6 +167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship index build + query
         "q_index_search": flagship.flagship_search,
         "q_index_bm25": flagship.flagship_bm25,
+        # rectangle range queries through the STR R-tree (position-rtree
+        # context) over deterministic per-doc coordinates — exact oracle
+        "q_geo_range": flagship.geo_range,
         # per-partition build lineage + metrics (north_rule visibility)
         "q_index_metrics": flagship.index_metrics,
         # self-checking recall probe: probabilistic dedups vs their exact
@@ -428,6 +431,25 @@ FROM documents d LEFT JOIN fp f USING (doc_id)
         # body = "doc <id> heading" + ws-normalized text), so the oracle
         # recomputes BM25 from text and must match the inverted-index path
         "q_index_bm25": _index_bm25_oracle_sql(),
+        # R-tree rectangle range: coordinates derive from doc_id by integer
+        # arithmetic (3 decimals), bounds sit on a 4th decimal the grid
+        # never touches, and the index stores 1e-7 fixed point — so engine
+        # containment and SQL BETWEEN are exactly equivalent
+        "q_geo_range": """
+WITH coords AS (
+  SELECT doc_id,
+         ((doc_id * 2654435761) % 4294967296) % 80000 / 1000.0 AS lat,
+         ((doc_id * 1597334677) % 4294967296) % 80000 / 1000.0 AS lon
+  FROM documents),
+rects(rect, lat0, lon0, lat1, lon1) AS (VALUES
+  (0, 5.0005, 5.0005, 25.0005, 30.0005),
+  (1, 40.0005, 10.0005, 75.0005, 50.0005),
+  (2, 0.0005, 60.0005, 79.0005, 64.0005))
+SELECT r.rect::INT AS rect, c.doc_id::BIGINT AS doc_id, c.lat, c.lon
+FROM coords c JOIN rects r
+  ON c.lat BETWEEN r.lat0 AND r.lat1 AND c.lon BETWEEN r.lon0 AND r.lon1
+ORDER BY r.rect, c.doc_id
+""",
         # multimodal decode metadata, oracle-compatible sibling of the
         # blake2b stub (Md5MetaDecoder docstring has the exact mirror)
         "q_multimodal_meta": """

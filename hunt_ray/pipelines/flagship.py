@@ -242,3 +242,90 @@ def flagship_bm25(sf_dir: str, k: int = 10) -> pa.Table:
         "url": pa.array(rows["url"], pa.string()),
         "score": pa.array(rows["score"], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------- geo range
+
+# closed rectangles (lat0, lon0, lat1, lon1); bounds sit at a 4th decimal
+# the 3-decimal point grid never touches, so engine fixed-point containment
+# and the oracle's double comparison agree exactly. R2 is a thin lon band
+# across the full lat extent — the Z-order-scan pathological case the
+# R-tree exists for.
+GEO_RECTS = [
+    (5.0005, 5.0005, 25.0005, 30.0005),
+    (40.0005, 10.0005, 75.0005, 50.0005),
+    (0.0005, 60.0005, 79.0005, 64.0005),
+]
+_GEO_A, _GEO_B = 2654435761, 1597334677  # Knuth/Wang multiplicative mixes
+
+
+def _ensure_geo_index(sf_dir: str) -> str:
+    """Derive a geo-pages corpus (deterministic per-doc coordinates from
+    doc_id — integer arithmetic DuckDB reproduces bit-for-bit) and build an
+    index with a ``position-rtree`` context over it. Cached like
+    :func:`ensure_index`."""
+    import numpy as np
+    import ray
+
+    from ..analyze.schema import ContextSchema
+
+    key = _cache_key(sf_dir)
+    pages_dir = os.path.join(CACHE_ROOT, f"geo-pages-{key}")
+    marker = os.path.join(pages_dir, "_done")
+    if not os.path.exists(marker):
+        def mk_pages(batch: pa.Table) -> pa.Table:
+            did = batch.column("doc_id").to_numpy().astype(np.int64)
+            la = (did * _GEO_A) % 2**32 % 80000
+            lo = (did * _GEO_B) % 2**32 % 80000
+            text = [f"poi {a // 1000}.{a % 1000:03d}-{b // 1000}.{b % 1000:03d}"
+                    for a, b in zip(la.tolist(), lo.tolist())]
+            return pa.table({
+                "url": pa.array([f"geo://{d}" for d in did.tolist()], pa.string()),
+                "warc_ts": pa.array(did, pa.timestamp("us")),
+                "html": pa.array([b"<html></html>"] * len(did), pa.binary()),
+                "text": pa.array(text, pa.string()),
+                "lang": pa.array(["en"] * len(did), pa.string()),
+            })
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                   columns=["doc_id"])
+        ds.map_batches(mk_pages, batch_format="pyarrow").write_parquet(pages_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    index_dir = os.path.join(CACHE_ROOT, f"geo-index-{key}")
+    schema = {
+        "body": ContextSchema(type="text", default=True, source="text"),
+        "geo": ContextSchema(type="position-rtree", default=False, source="text"),
+    }
+    build_index(pages_dir, index_dir,
+                BuildConfig(schema=schema, num_partitions=4, batch_size=512,
+                            analyzer_concurrency=(1, 4)))  # resumes if built
+    return index_dir
+
+
+def geo_range(sf_dir: str) -> pa.Table:
+    """Rectangle range queries through the STR R-tree (``position-rtree``
+    context, index/rtree.py): one row per (rect, matching doc), with the
+    doc's derived coordinates recomputed for the oracle hash. The analog of
+    the reference's SimpleRTreeIndex rectangle lookupRange
+    (RTreeIndex.hs:88-89) made driver-visible with an exact DuckDB oracle
+    (1e-7 fixed-point makes 3-decimal coordinates exact, so engine
+    containment == SQL BETWEEN)."""
+    index_dir = _ensure_geo_index(sf_dir)
+    engine = SearchEngine(index_dir)
+    rows = {"rect": [], "doc_id": [], "lat": [], "lon": []}
+    for ri, (la0, lo0, la1, lo1) in enumerate(GEO_RECTS):
+        q = f"geo:[{la0:.4f}-{lo0:.4f} TO {la1:.4f}-{lo1:.4f}]"
+        hits = sorted(int(h.url.split("://")[1])
+                      for h in engine.search(q, limit=0).result)
+        for did in hits:
+            rows["rect"].append(ri)
+            rows["doc_id"].append(did)
+            rows["lat"].append((did * _GEO_A) % 2**32 % 80000 / 1000.0)
+            rows["lon"].append((did * _GEO_B) % 2**32 % 80000 / 1000.0)
+    return pa.table({
+        "rect": pa.array(rows["rect"], pa.int32()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "lat": pa.array(rows["lat"], pa.float64()),
+        "lon": pa.array(rows["lon"], pa.float64()),
+    })

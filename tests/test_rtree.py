@@ -139,3 +139,27 @@ def test_rtree_serve_parity(rtree_engine):
                 assert np.array_equal(pr_.doc_ids, pl.doc_ids)
     finally:
         rr.shutdown()
+
+
+def test_geo_range_matches_duckdb_oracle(ray_session):
+    """Driver-visible q_geo_range == its DuckDB oracle at sf0.001 (the
+    same comparison the correctness gate runs at sf0.01)."""
+    import importlib.util
+
+    import duckdb
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "ray_entry_geo", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    sf = "/root/testdata/sf0.001"
+    got = m.queries()["q_geo_range"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(m.oracle_sql()["q_geo_range"]).df()
+    assert len(got) == len(want) > 0
+    got = got.sort_values(["rect", "doc_id"]).reset_index(drop=True)
+    want = want.sort_values(["rect", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
