@@ -259,10 +259,29 @@ def is_position(token: str) -> bool:
     return parse_position(token) is not None
 
 
+def _position_fields(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized parse of "lat-lon" tokens: (ok mask, lat, lon fixed-point
+    int32 values; 0 where invalid). ``^``-anchored extract_regex mirrors
+    ``_POS_RE.match``'s prefix semantics; bounds exclusive like
+    :func:`parse_position`."""
+    ext = pc.extract_regex(
+        pc.cast(arr, pa.large_string()),
+        r"^(?P<la>[+-]?[0-9]+(?:\.[0-9]+)?)-(?P<lo>[+-]?[0-9]+(?:\.[0-9]+)?)")
+    lat = pc.cast(pc.struct_field(ext, "la"), pa.float64()).to_numpy(
+        zero_copy_only=False)
+    lon = pc.cast(pc.struct_field(ext, "lo"), pa.float64()).to_numpy(
+        zero_copy_only=False)
+    with np.errstate(invalid="ignore"):
+        ok = ((lat > -90.0) & (lat < 90.0)
+              & (lon > -180.0) & (lon < 180.0))  # NaN (no match) → False
+    # same double product + half-even rounding as round(f * 10000000)
+    ila = np.rint(np.where(ok, lat, 0.0) * 1e7).astype(np.int64)
+    ilo = np.rint(np.where(ok, lon, 0.0) * 1e7).astype(np.int64)
+    return ok, ila, ilo
+
+
 def validate_position(tokens) -> np.ndarray:
-    arr = _as_arrow(tokens)
-    return np.fromiter((is_position(t) for t in arr.to_pylist()),
-                       dtype=bool, count=len(arr))
+    return _position_fields(_as_arrow(tokens))[0]
 
 
 def _dec2bin(i: int) -> str:
@@ -314,9 +333,28 @@ def position_in_range(key: str, lb: str, ub: str) -> bool:
 
 
 def norm_position(tokens) -> pa.Array:
+    """Vectorized Position.normalize: fixed-point sign-magnitude uint32 per
+    dimension, bit-interleaved via one unpackbits round trip (the exact
+    inverse of ``index.rtree.decode_dims``); invalid tokens pass through."""
     arr = _as_arrow(tokens)
-    return pa.array([normalize_position(t) for t in arr.to_pylist()],
-                    pa.large_string())
+    n = len(arr)
+    if n == 0:
+        return pa.array([], pa.large_string())
+    ok, ila, ilo = _position_fields(arr)
+    # dec2bin's 32-char string read as binary == (sign<<31) | magnitude,
+    # sign bit 1 for non-negative (Position.hs:107-116)
+    la32 = np.where(ila >= 0, ila + 2**31, -ila).astype(np.uint32)
+    lo32 = np.where(ilo >= 0, ilo + 2**31, -ilo).astype(np.uint32)
+    la_bits = np.unpackbits(la32[:, None].astype(">u4").view(np.uint8), axis=1)
+    lo_bits = np.unpackbits(lo32[:, None].astype(">u4").view(np.uint8), axis=1)
+    chars = np.empty((n, 64), np.uint8)
+    chars[:, 0::2] = la_bits + ord("0")
+    chars[:, 1::2] = lo_bits + ord("0")
+    offsets = np.arange(0, (n + 1) * 64, 64, dtype=np.int64)
+    normed = pa.Array.from_buffers(
+        pa.large_string(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(chars.tobytes())])
+    return pc.if_else(pa.array(ok), normed, pc.cast(arr, pa.large_string()))
 
 
 # ---------------------------------------------------------------- registry

@@ -116,3 +116,27 @@ def test_prop_position_range_engine(geo_engine):
         got = {h.url for h in engine.search(q, limit=0).result}
         want = {f"geo://{i}" for i, p in enumerate(coords) if _in_rect(nw, se, p)}
         assert got == want, q
+
+
+def test_norm_position_vectorized_matches_scalar():
+    """The Arrow/numpy kernel (extract_regex + unpackbits interleave) is
+    token-for-token identical to the scalar reference implementation,
+    including invalid/out-of-bounds passthrough and prefix-match quirks."""
+    import numpy as np
+
+    from hunt_ray.analyze.normalize import (is_position, norm_position,
+                                            normalize_position,
+                                            validate_position)
+
+    rng = np.random.default_rng(11)
+    toks = [f"{rng.uniform(-95, 95):.{int(rng.integers(0, 9))}f}"
+            f"-{rng.uniform(-185, 185):.{int(rng.integers(0, 9))}f}"
+            for _ in range(400)]
+    toks += ["1-1", "0-0", "-0.5-0.5", "89.9999999--179.9999999", "90-0",
+             "-90-0", "0-180", "abc", "", "1-2-3", "1.2.3-4", "+5.5-+6.25",
+             "12-", "-12", "1-2xyz", "  1-2", "0.0000001--0.0000001",
+             "89.99999994-179.99999994"]
+    assert norm_position(toks).to_pylist() == \
+        [normalize_position(t) for t in toks]
+    assert [bool(v) for v in validate_position(toks)] == \
+        [is_position(t) for t in toks]
