@@ -18,7 +18,11 @@ the Z-order scan walks every key in ``[interleave(rect_min),
 interleave(rect_max)]`` — a superset that degrades badly for wide, flat
 rectangles (a thin band across the map Z-covers nearly the whole
 keyspace). The packed tree prunes by BOTH dimensions at every level, so
-visited nodes track the rectangle's true selectivity.
+visited nodes track the rectangle's true selectivity. Measured on 200k
+uniform points: a thin lat band with 390 hits makes the Z-scan visit
+166,574 dictionary entries (83% of the keyspace, 427× the hit count,
+each needing the per-key 2-dim filter) where the tree answers in 0.4 ms;
+an aligned small box is the Z-scan's best case and the two tie.
 
 Scale shape: the tree lives inside one partition's reader (bounded by the
 partition's vocabulary), is built lazily on first rectangle query and
