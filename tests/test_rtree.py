@@ -163,3 +163,64 @@ def test_geo_range_matches_duckdb_oracle(ray_session):
     got = got.sort_values(["rect", "doc_id"]).reset_index(drop=True)
     want = want.sort_values(["rect", "doc_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_rtree_across_segments_with_tombstones(ray_session, tmp_path):
+    """Rectangle queries through MultiReader: each segment descends its own
+    R-tree, tombstoned docs drop out, re-inserted docs resurface."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.analyze.schema import ContextSchema
+    from hunt_ray.index.build import BuildConfig, build_index
+    from hunt_ray.index.segments import SegmentedIndex
+    from hunt_ray.query.engine import SearchEngine
+
+    def write(points: dict[str, tuple[float, float]], d: str) -> str:
+        import os
+
+        os.makedirs(d, exist_ok=True)
+        urls = sorted(points)
+        tbl = pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(list(range(len(urls))), pa.timestamp("us")),
+            "html": pa.array([b"<html></html>"] * len(urls), pa.binary()),
+            "text": pa.array([f"at {points[u][0]:.3f}-{points[u][1]:.3f}"
+                              for u in urls], pa.string()),
+            "lang": pa.array(["en"] * len(urls), pa.string()),
+        })
+        pq.write_table(tbl, f"{d}/pages.parquet")
+        return d
+
+    schema = {
+        "body": ContextSchema(type="text", default=True, source="text"),
+        "geo": ContextSchema(type="position-rtree", default=False, source="text"),
+    }
+    cfg = BuildConfig(schema=schema, num_partitions=2, batch_size=64,
+                      analyzer_concurrency=2)
+    root = str(tmp_path / "root")
+    build_index(write({"p://a": (10.0, 10.0), "p://b": (20.0, 20.0)},
+                      str(tmp_path / "pg0")), root, cfg)
+    si = SegmentedIndex(root)
+    si.insert_pages(write({"p://c": (12.0, 12.0)}, str(tmp_path / "pg1")), cfg)
+
+    rect = "geo:[5.0005-5.0005 TO 25.0005-25.0005]"
+
+    def hits():
+        eng = SearchEngine.from_reader(SegmentedIndex(root).reader())
+        return {h.url for h in eng.search(rect, limit=0).result}
+
+    import numpy as np
+
+    from hunt_ray.common.hashing import hash64
+
+    def delete(uri: str):
+        si.delete_doc_ids(np.asarray(hash64([uri]), dtype=np.uint64))
+
+    assert hits() == {"p://a", "p://b", "p://c"}
+    delete("p://b")
+    assert hits() == {"p://a", "p://c"}
+    # update = delete + re-insert at a new position inside the rect
+    delete("p://a")
+    si.insert_pages(write({"p://a": (11.0, 11.0)}, str(tmp_path / "pg2")), cfg)
+    assert hits() == {"p://a", "p://c"}
