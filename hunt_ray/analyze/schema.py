@@ -222,6 +222,18 @@ def default_schema() -> Schema:
     }
 
 
+def fixture_schema() -> Schema:
+    """default_schema + a ``geortree`` context (STR R-tree structure) over
+    the same text — used by the rank-identity suite so every geo rectangle
+    is answered through BOTH structures and compared against the oracle.
+    Kept out of :func:`default_schema` so the bench/build job definition
+    (6 contexts, BASELINE.md) stays comparable across rounds."""
+    s = default_schema()
+    s["geortree"] = ContextSchema(type="position-rtree", default=False,
+                                  source="text")
+    return s
+
+
 def schema_to_json(schema: Schema) -> str:
     return json.dumps(
         {

@@ -35,6 +35,13 @@ REFERENCE_QUERIES: list[tuple[str, str, str]] = [
     # 543-560 prop_position_range shape)
     ("geo_range", "range", "geocontext:[1-1 TO 60-20]"),
     ("geo_range_tight", "range", "geocontext:[53.5-9.9 TO 53.7-10.1]"),
+    # same rectangles through the STR R-tree structure (position-rtree
+    # context, index/rtree.py) plus its Z-scan-pathological thin band —
+    # the oracle computes membership per key, so identity across both
+    # structures is asserted end-to-end
+    ("geo_rtree_range", "range", "geortree:[1-1 TO 60-20]"),
+    ("geo_rtree_tight", "range", "geortree:[53.5-9.9 TO 53.7-10.1]"),
+    ("geo_rtree_band", "range", "geortree:[0.5-9.9 TO 89.5-10.1]"),
     ("fuzzy", "fuzzy", "~brain"),
     ("headlines_lower", "context", "headlines:PINKY"),
     ("or_of_ands", "or", "(take AND world) OR (brain AND mission)"),

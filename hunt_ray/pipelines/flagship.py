@@ -87,7 +87,7 @@ def rank_identity(sf_dir: str) -> pa.Table:
     import numpy as np
     import pyarrow.parquet as pq
 
-    from ..analyze.schema import default_schema
+    from ..analyze.schema import fixture_schema
     from ..fixtures.pages import write_pages
     from ..fixtures.queries import REFERENCE_QUERIES
     from ..index.build import BuildConfig, build_index
@@ -100,7 +100,7 @@ def rank_identity(sf_dir: str) -> pa.Table:
     # the reference query set targets the fixture vocabulary, so the probe
     # runs over the generated canon corpus (not the derived driver pages);
     # cache key includes fixture version + schema so corpus changes rebuild
-    skey = hashlib.sha256(schema_to_json(default_schema()).encode()).hexdigest()[:8]
+    skey = hashlib.sha256(schema_to_json(fixture_schema()).encode()).hexdigest()[:8]
     tag = f"500-v{FIXTURE_VERSION}-{skey}"
     pages_dir = os.path.join(CACHE_ROOT, f"rankid-pages-{tag}")
     if not os.path.exists(os.path.join(pages_dir, "_done")):
@@ -109,12 +109,13 @@ def rank_identity(sf_dir: str) -> pa.Table:
             f.write("ok")
     index_dir = os.path.join(CACHE_ROOT, f"rankid-index-{tag}")
     build_index(pages_dir, index_dir,
-                BuildConfig(num_partitions=4, salt_buckets=2, batch_size=128,
+                BuildConfig(schema=fixture_schema(), num_partitions=4,
+                            salt_buckets=2, batch_size=128,
                             analyzer_concurrency=2))  # resumes when cached
     engine = SearchEngine(index_dir)
     tbl = pa.concat_tables([pq.read_table(f)
                             for f in sorted(g.glob(f"{pages_dir}/*.parquet"))])
-    oracle = OracleProcessor(OracleIndex(tbl, default_schema()))
+    oracle = OracleProcessor(OracleIndex(tbl, fixture_schema()))
 
     rows = {"name": [], "query": [], "identical": [], "n_results": []}
     for name, _kind, qs in REFERENCE_QUERIES:

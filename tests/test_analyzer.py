@@ -140,6 +140,11 @@ def test_default_schema_shape():
     assert not s["datecontext"].default
     assert not s["geocontext"].default
     assert s["geocontext"].ctype.range_filter == "position2d"
+    from hunt_ray.analyze.schema import fixture_schema
+
+    fs = fixture_schema()
+    assert set(fs) == set(s) | {"geortree"}
+    assert fs["geortree"].ctype.range_structure == "rtree"
 
 
 def test_date_extended_shapes():

@@ -10,7 +10,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from hunt_ray.analyze.schema import default_schema
+from hunt_ray.analyze.schema import fixture_schema
 from hunt_ray.fixtures.pages import generate_pages
 from hunt_ray.fixtures.queries import REFERENCE_QUERIES
 from hunt_ray.index.build import BuildConfig, build_index
@@ -24,8 +24,8 @@ N_DOCS = 300
 @pytest.fixture(scope="module")
 def engine(ray_session, pages_small, tmp_path_factory):
     idx_dir = str(tmp_path_factory.mktemp("qindex"))
-    cfg = BuildConfig(num_partitions=4, salt_buckets=2, batch_size=64,
-                      analyzer_concurrency=2)
+    cfg = BuildConfig(schema=fixture_schema(), num_partitions=4,
+                      salt_buckets=2, batch_size=64, analyzer_concurrency=2)
     build_index(pages_small, idx_dir, cfg)
     return SearchEngine(idx_dir)
 
@@ -33,7 +33,7 @@ def engine(ray_session, pages_small, tmp_path_factory):
 @pytest.fixture(scope="module")
 def oracle():
     pages = generate_pages(seed=42, n_rows=N_DOCS)
-    return OracleProcessor(OracleIndex(pages, default_schema()))
+    return OracleProcessor(OracleIndex(pages, fixture_schema()))
 
 
 def _engine_results(engine: SearchEngine, qs: str) -> list[tuple[str, float]]:
