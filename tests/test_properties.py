@@ -298,3 +298,25 @@ def test_bm25_scorers_identical_on_random_postings(term_models, k):
     assert eng.search_block_max("q", k) == ex
     assert eng.search_wand_daat("q", k, block_max=True) == ex
     assert eng.search_wand_daat("q", k, block_max=False) == ex
+
+
+u32 = st.integers(min_value=0, max_value=2**32 - 1)
+
+
+@given(st.lists(st.tuples(u32, u32), max_size=300),
+       u32, u32, u32, u32)
+@settings(max_examples=60, deadline=None)
+def test_strtree_query_matches_bruteforce(points, a, b, c, d):
+    """STR R-tree rectangle query == brute-force membership, any points
+    (incl. duplicates/empty), any rectangle (incl. inverted/empty)."""
+    import numpy as np
+
+    from hunt_ray.index.rtree import STRTree
+
+    lat = np.asarray([p[0] for p in points], dtype=np.uint32)
+    lon = np.asarray([p[1] for p in points], dtype=np.uint32)
+    la0, la1, lo0, lo1 = min(a, b), max(a, b), min(c, d), max(c, d)
+    got = STRTree(lat, lon).query(la0, la1, lo0, lo1)
+    want = np.flatnonzero((lat >= la0) & (lat <= la1)
+                          & (lon >= lo0) & (lon <= lo1))
+    assert np.array_equal(got, want)
