@@ -212,7 +212,7 @@ class PartitionReader:
             from .rtree import STRTree, decode_dims
 
             lo, hi = self._span(context)
-            lat, lon = decode_dims(self.terms.arr.slice(lo, hi - lo).to_pylist())
+            lat, lon = decode_dims(self.terms.arr.slice(lo, hi - lo))
             t = STRTree(lat, lon)
             self._rtrees[context] = t
         return t

@@ -38,16 +38,36 @@ import numpy as np
 _POW31 = None  # lazily built weights, kept module-level
 
 
-def decode_dims(keys: list[str]) -> tuple[np.ndarray, np.ndarray]:
+def decode_dims(keys) -> tuple[np.ndarray, np.ndarray]:
     """De-interleave N 64-char position keys into (lat, lon) uint32 arrays.
 
-    Vectorized: one ASCII buffer reshape + packbits per dimension (the
-    transient Python join is one-time per (partition, context) cache
-    build)."""
+    Accepts a list of str or an Arrow (large_)string array; for Arrow the
+    decode reads the values buffer zero-copy (all keys are exactly 64
+    ASCII chars, so the buffer slice is a dense (n, 64) byte matrix — no
+    Python string materialization)."""
     n = len(keys)
     if n == 0:
         return np.empty(0, np.uint32), np.empty(0, np.uint32)
-    buf = np.frombuffer("".join(keys).encode("ascii"), np.uint8).reshape(n, 64)
+    try:
+        import pyarrow as pa
+
+        is_arrow = isinstance(keys, (pa.Array, pa.ChunkedArray))
+    except ImportError:  # pragma: no cover
+        is_arrow = False
+    if is_arrow:
+        import pyarrow as pa
+
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        odt = np.int64 if pa.types.is_large_string(keys.type) else np.int32
+        off = np.frombuffer(keys.buffers()[1], odt)[
+            keys.offset:keys.offset + n + 1]
+        if not bool((np.diff(off) == 64).all()):
+            raise ValueError("position dictionary has a non-64-char key")
+        values = np.frombuffer(keys.buffers()[2], np.uint8)
+        buf = values[int(off[0]):int(off[-1])].reshape(n, 64)
+    else:
+        buf = np.frombuffer("".join(keys).encode("ascii"), np.uint8).reshape(n, 64)
     bits = (buf - ord("0")).astype(bool)
     lat = np.packbits(bits[:, 0::2], axis=1).view(">u4").ravel().astype(np.uint32)
     lon = np.packbits(bits[:, 1::2], axis=1).view(">u4").ravel().astype(np.uint32)

@@ -224,3 +224,25 @@ def test_rtree_across_segments_with_tombstones(ray_session, tmp_path):
     delete("p://a")
     si.insert_pages(write({"p://a": (11.0, 11.0)}, str(tmp_path / "pg2")), cfg)
     assert hits() == {"p://a", "p://c"}
+
+
+def test_decode_dims_arrow_zero_copy_path():
+    """Arrow input (string + large_string, sliced and chunked) decodes
+    identically to the list-of-str path."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(61)
+    keys = sorted(normalize_position(
+        f"{rng.uniform(-89, 89):.7f}-{rng.uniform(-179, 179):.7f}")
+        for _ in range(300))
+    want = decode_dims(keys)
+    for typ in (pa.string(), pa.large_string()):
+        arr = pa.array(keys, typ)
+        for sl, ref in ((arr, want),
+                        (arr.slice(50, 100),
+                         (want[0][50:150], want[1][50:150])),
+                        (pa.chunked_array([arr.slice(0, 150), arr.slice(150)]),
+                         want)):
+            got = decode_dims(sl)
+            assert np.array_equal(got[0], ref[0])
+            assert np.array_equal(got[1], ref[1])
