@@ -234,6 +234,18 @@ def run_bench() -> dict:
     timings["huntq_p50_ms"] = round(statistics.median(hlat), 3)
     timings["huntq_p99_ms"] = round(hlat[int(0.99 * (len(hlat) - 1))], 3)
 
+    # completion (suggest) latency — prefix scans over the term dictionary
+    comp_qs = ["doc", "hea", "cu", "ta", "s"]
+    for q in comp_qs:
+        hunt.complete(q, limit=20)
+    clat = []
+    for _ in range(3):
+        for q in comp_qs:
+            t = time.time()
+            hunt.complete(q, limit=20)
+            clat.append((time.time() - t) * 1000)
+    timings["completion_p50_ms"] = round(statistics.median(clat), 3)
+
     # serve-mode latency: the same hunt queries through the partition-actor
     # pool + sharded doc table (identity-tested in test_serve; timed here)
     from hunt_ray.query.serve import RemoteIndexReader

@@ -153,3 +153,41 @@ def test_position_rtree_alias_context(ray_session, tmp_path):
     eng = SearchEngine(idx)
     hits = eng.search("geo:[10-20 TO 20-30]", limit=0)
     assert [h.url for h in hits.result] == ["g://0"]
+
+
+def test_concurrent_inserts_do_not_race(ray_session, tmp_path):
+    """8 threads POST /eval inserts simultaneously; the mutation lock
+    (CommandInterpreter._mut_lock) must serialize them — every doc lands,
+    no lost segment commits, searches see all of them."""
+    import threading
+
+    root = str(tmp_path / "cidx")
+    interp = CommandInterpreter(root)
+    interp.execute({"cmd": "insert", "document": DOCS[0]})
+    srv = HuntServer(interp).start()
+    try:
+        errs: list[str] = []
+
+        def insert(i: int) -> None:
+            try:
+                r = _post(srv, "/eval", {
+                    "cmd": "insert",
+                    "document": {"uri": f"http://t{i}",
+                                 "index": {"body": f"threaded doc {i} word"}}})
+                if r["code"] != 0:
+                    errs.append(str(r))
+            except Exception as e:  # noqa: BLE001
+                errs.append(repr(e))
+
+        threads = [threading.Thread(target=insert, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errs, errs
+        res = _get(srv, "/search/word/0/50")
+        assert res["code"] == 0
+        uris = {h["uri"] for h in res["msg"]["result"]}
+        assert uris == {f"http://t{i}" for i in range(8)}
+    finally:
+        srv.shutdown()
