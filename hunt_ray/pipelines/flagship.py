@@ -183,9 +183,12 @@ def serve_identity(sf_dir: str) -> pa.Table:
     local = SearchEngine(index_dir)
     rr = RemoteIndexReader(index_dir, n_actors=2, doc_shards=2)
     remote = SearchEngine.from_reader(rr)
+    # flagship set + range shapes (int range; geo rectangles exercise the
+    # serve-side structure switch via test_rtree's serve parity)
+    probe_queries = FLAGSHIP_QUERIES + ["intcontext:[0 TO 99999]"]
     rows = {"query": [], "identical": [], "n_results": []}
     try:
-        for q in FLAGSHIP_QUERIES:
+        for q in probe_queries:
             a = [(h.url, h.score) for h in local.search(q, limit=0).result]
             b = [(h.url, h.score) for h in remote.search(q, limit=0).result]
             rows["query"].append(q)
