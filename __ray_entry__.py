@@ -136,6 +136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_exact_dedup": dedup.exact_dedup_groups,
         "q_minhash_dedup": lambda sf: dedup.minhash_dedup(sf, threshold=0.5),
         "q_ngram_jaccard": lambda sf: dedup.ngram_jaccard_dedup(sf, threshold=0.75),
+        # cluster assignment over the exact near-dup graph (distributed
+        # min-label propagation; cluster_id = component-min doc_id)
+        "q_dedup_components": lambda sf: dedup.dedup_components(sf, threshold=0.75),
         "q_simhash": dedup.simhash,
         "q_simhash_dedup": lambda sf: dedup.simhash_dedup(sf, max_hamming=3),
         # threshold 0.45: the synthetic embeddings top out at ~0.51 cosine,
@@ -299,6 +302,36 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = inter.doc_a
 JOIN sizes sb ON sb.doc_id = inter.doc_b
 WHERE i / (sa.n + sb.n - i) >= 0.75
+""",
+        # connected components of the same pair graph: recursive transitive
+        # closure over symmetric edges, cluster = min reachable doc_id
+        "q_dedup_components": """
+WITH RECURSIVE grams AS (
+  SELECT DISTINCT d.doc_id, substring(lower(d.text), t.i::INT, 3) AS g
+  FROM documents d,
+       unnest(generate_series(1, greatest(length(d.text) - 2, 0))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.doc_a
+  JOIN sizes sb ON sb.doc_id = inter.doc_b
+  WHERE i / (sa.n + sb.n - i) >= 0.75
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+          UNION SELECT doc_b, doc_a FROM prs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u::BIGINT AS doc_id, least(u, min(v))::BIGINT AS cluster_id
+FROM reach GROUP BY u ORDER BY doc_id
 """,
         "q_embedding_dedup": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

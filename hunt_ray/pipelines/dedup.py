@@ -1004,3 +1004,123 @@ def dedup_recall(sf_dir: str, *, minhash_threshold: float = 0.5,
         "precision_exact": pa.array([r["precision_exact"] for r in rows], pa.bool_()),
         "ok": pa.array([r["ok"] for r in rows], pa.bool_()),
     })
+
+
+# ------------------------------------------------------------------ components
+
+_CC_SCHEMA = pa.schema([("key", pa.int64()), ("nbr", pa.int64()),
+                        ("label", pa.int64()), ("role", pa.int32())])
+
+
+def connected_components(pairs, *, max_rounds: int = 32):
+    """Connected components over a near-dup pair graph: one ``(doc_id,
+    cluster_id)`` row per doc that appears in any pair, ``cluster_id`` =
+    smallest doc_id in the component — the canonical representative a
+    dedup pass keeps (everything else in the cluster is droppable).
+
+    Distributed min-label propagation: each round spreads every node's
+    current label one hop through two doc-keyed shuffles (the same
+    groupby-attach pattern as :func:`minhash_dedup`'s verifier — union the
+    label rows with the symmetrized edge rows, group by node to attach,
+    group by neighbor to take the min). Converges in graph-diameter
+    rounds (near-dup clusters are dense, so the diameter is tiny in
+    practice); the label table — one short row per endpoint doc, NOT
+    corpus-sized — is materialized per round to cut lineage. Per-group
+    memory is one node's degree. Fixpoint = every node's label equals the
+    min over its closed neighborhood, which on each component is exactly
+    the component minimum.
+    """
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_a" not in batch.column_names:
+            return _CC_SCHEMA.empty_table()
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "key": pa.array(np.concatenate([da, db]), pa.int64()),
+            "nbr": pa.array(np.concatenate([db, da]), pa.int64()),
+            "label": pa.array(np.full(2 * len(da), -1), pa.int64()),
+            "role": pa.array(np.zeros(2 * len(da), np.int32), pa.int32()),
+        })
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        # label(node) = node; duplicates collapse in the first min pass
+        k = batch.column("key")
+        return pa.table({
+            "key": k, "nbr": pa.array(np.full(len(k), -1), pa.int64()),
+            "label": k.cast(pa.int64()),
+            "role": pa.array(np.ones(len(k), np.int32), pa.int32()),
+        })
+
+    def attach(group: pa.Table) -> pa.Table:
+        """One node's group: its label row(s) + its outgoing edges →
+        candidate (nbr, label) rows."""
+        roles = group.column("role").to_numpy(zero_copy_only=False)
+        own = np.flatnonzero(roles == 1)
+        out = np.flatnonzero(roles == 0)
+        if own.size == 0 or out.size == 0:
+            return _CC_SCHEMA.empty_table()
+        lbl = int(group.column("label").take(pa.array(own)).to_numpy().min())
+        nbrs = group.column("nbr").take(pa.array(out))
+        n = len(nbrs)
+        return pa.table({
+            "key": nbrs, "nbr": pa.array(np.full(n, -1), pa.int64()),
+            "label": pa.array(np.full(n, lbl), pa.int64()),
+            "role": pa.array(np.zeros(n, np.int32), pa.int32()),
+        })
+
+    def minimize(group: pa.Table) -> pa.Table:
+        """One node's group: old label row(s) + neighbor candidates → new
+        label = min, plus a changed flag for convergence detection."""
+        labels = group.column("label").to_numpy(zero_copy_only=False)
+        roles = group.column("role").to_numpy(zero_copy_only=False)
+        own = labels[roles == 1]
+        if own.size == 0:  # node with no label row cannot occur; guard
+            return pa.schema([("key", pa.int64()), ("label", pa.int64()),
+                              ("changed", pa.int64())]).empty_table()
+        old, new = int(own.min()), int(labels.min())
+        return pa.table({
+            "key": group.column("key").slice(0, 1),
+            "label": pa.array([new], pa.int64()),
+            "changed": pa.array([int(new < old)], pa.int64()),
+        })
+
+    def as_label_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch.column("key"),
+            "nbr": pa.array(np.full(n, -1), pa.int64()),
+            "label": batch.column("label"),
+            "role": pa.array(np.ones(n, np.int32), pa.int32()),
+        })
+
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    labels = edges.map_batches(init_labels, batch_format="pyarrow")
+    for _round in range(max_rounds):
+        cand = (edges.union(labels)
+                .groupby("key").map_groups(attach, batch_format="pyarrow"))
+        new_labels = (cand.union(labels)
+                      .groupby("key").map_groups(minimize, batch_format="pyarrow")
+                      .materialize())
+        n_changed = new_labels.sum("changed") or 0
+        labels = new_labels.map_batches(as_label_rows, batch_format="pyarrow")
+        if n_changed == 0:
+            break
+    else:  # pragma: no cover — diameter > max_rounds
+        print(f"connected_components: no fixpoint after {max_rounds} rounds")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("key"),
+                         "cluster_id": batch.column("label")})
+
+    return labels.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def dedup_components(sf_dir: str, *, threshold: float = 0.75, n: int = 3):
+    """Cluster assignment over the EXACT n-gram-Jaccard near-dup graph
+    (``ngram_jaccard_dedup`` pairs → :func:`connected_components`) — the
+    step after pair finding that a training-data dedup actually ships:
+    keep ``doc_id == cluster_id``, drop the rest. Exactly reproducible in
+    SQL (recursive transitive closure), so driver-oracled end to end."""
+    return connected_components(
+        ngram_jaccard_dedup(sf_dir, threshold=threshold, n=n))

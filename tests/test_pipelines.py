@@ -407,3 +407,59 @@ def test_multimodal_md5_meta_matches_duckdb():
         assert len(a) == len(b), key
         for c in cols:
             assert a[c].astype(str).tolist() == b[c].astype(str).tolist(), (key, c)
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Distributed min-label propagation == union-find on a graph with a
+    diameter-4 chain, a triangle, and singleton-free components."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hunt_ray.pipelines.dedup import connected_components
+
+    pairs = [(2, 1), (2, 3), (3, 9), (5, 6), (10, 11), (11, 12), (10, 12),
+             (20, 21), (21, 22), (22, 23), (23, 24)]
+    ds = rd.from_arrow(pa.table({"doc_a": [a for a, _ in pairs],
+                                 "doc_b": [b for _, b in pairs],
+                                 "jaccard": [1.0] * len(pairs)}))
+    out = connected_components(ds).to_pandas()
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert dict(zip(out.doc_id, out.cluster_id)) == want
+
+
+def test_dedup_components_matches_sql_closure(ray_session):
+    """q_dedup_components == the recursive-CTE transitive closure at
+    sf0.001 (same comparison the driver gate runs at sf0.01)."""
+    import importlib.util
+
+    import duckdb
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "ray_entry_cc", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    sf = "/root/testdata/sf0.001"
+    got = m.queries()["q_dedup_components"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(m.oracle_sql()["q_dedup_components"]).df()
+    assert len(got) == len(want) > 0
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
