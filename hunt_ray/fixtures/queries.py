@@ -52,3 +52,17 @@ REFERENCE_QUERIES: list[tuple[str, str, str]] = [
     ("boosted_range", "boost", "datecontext:[2013-01-01 TO 2014-12-31]^2"),
     ("range_or_word", "or", "intcontext:[40 TO 1024] OR brain"),
 ]
+
+# completion (scored-words) shapes for the identity suite — evaluated via
+# engine.complete vs the oracle's eval_scored_words (Processor.hs:311-383)
+REFERENCE_COMPLETIONS: list[tuple[str, str]] = [
+    ("complete_prefix", "bra"),
+    ("complete_case", "!bra"),
+    ("complete_and_filter", "take AND wor"),
+    ("complete_or_last", "take OR wor"),
+    ("complete_phrase", '"take over th"'),
+    ("complete_boost", "bra^2.5"),
+    ("complete_context", "title,body:bra"),
+    ("complete_range", "intcontext:[40 TO 1024]"),
+    ("complete_broad", "p"),
+]

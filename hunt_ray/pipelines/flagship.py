@@ -89,7 +89,8 @@ def rank_identity(sf_dir: str) -> pa.Table:
 
     from ..analyze.schema import fixture_schema
     from ..fixtures.pages import write_pages
-    from ..fixtures.queries import REFERENCE_QUERIES
+    from ..fixtures.queries import (REFERENCE_COMPLETIONS,
+                                    REFERENCE_QUERIES)
     from ..index.build import BuildConfig, build_index
     from ..query.oracle import OracleIndex, OracleProcessor
     from ..query.parser import parse_query
@@ -126,6 +127,13 @@ def rank_identity(sf_dir: str) -> pa.Table:
         rows["query"].append(qs)
         rows["identical"].append(got == want)
         rows["n_results"].append(len(got))
+    for name, qs in REFERENCE_COMPLETIONS:
+        cg = engine.complete(qs, limit=10**6)
+        cw = oracle.complete(qs, limit=10**6)
+        rows["name"].append(name)
+        rows["query"].append(qs)
+        rows["identical"].append(cg == cw)
+        rows["n_results"].append(len(cg))
     return pa.table({
         "name": pa.array(rows["name"], pa.string()),
         "query": pa.array(rows["query"], pa.string()),

@@ -347,3 +347,86 @@ class OracleProcessor:
         else:
             ranked = ranked[offset:]
         return [(u, float(s)) for u, s in ranked]
+
+    # -- completion (scored words) ----------------------------------
+
+    def _aggregate_words(self, raw: RawCx) -> dict[str, np.float32]:
+        """Intermediate.hs:475-483 over the dict model: per entry, word =
+        last of the word tuple, entry score = Score-monoid max (seeded
+        1.0) over per-doc sim×tf, summed per word; contexts weight-boosted
+        then merged per word with max (same float32 ops as the engine's
+        `_aggregate_words`, different structures)."""
+        per_cx: dict[str, dict[str, np.float32]] = {}
+        for cx, es in raw.items():
+            wordmap: dict[str, np.float32] = {}
+            for words, score, occ in es:
+                per_doc = [F32(score * F32(len(ps))) for ps in occ.values()]
+                s = max([F32(1.0)] + per_doc)
+                w = words[-1]
+                wordmap[w] = F32(wordmap.get(w, F32(0.0)) + s)
+            per_cx[cx] = wordmap
+        out: dict[str, np.float32] = {}
+        for cx in sorted(per_cx):
+            cw = F32(self.schema[cx].weight)
+            for w, s in per_cx[cx].items():
+                boosted = F32(s * cw) if cw != F32(1.0) else s
+                prev = out.get(w)
+                out[w] = max(prev, boosted) if prev is not None else boosted
+        return out
+
+    def _filter_by_docset(self, docset: set[int], raw: RawCx) -> RawCx:
+        """filterByDocSet (Intermediate.hs:214-224) on the dict model."""
+        out: RawCx = {}
+        for cx, es in raw.items():
+            kept = [(ws, s, occ2) for ws, s, occ in es
+                    if (occ2 := {d: ps for d, ps in occ.items() if d in docset})]
+            if kept:
+                out[cx] = kept
+        return out
+
+    def eval_scored_words(self, q, cxs=None) -> dict[str, np.float32]:
+        """evalScoredWords (Processor.hs:320-364) on the dict model —
+        mirrors SearchEngine._eval_scored_words shape for shape."""
+        cxs = self.default_contexts if cxs is None else cxs
+        if isinstance(q, (A.QWord, A.QFullWord)):
+            return self._aggregate_words(self._primary(q, cxs))
+        if isinstance(q, A.QRange):
+            return self._aggregate_words(self._range(q, cxs))
+        if isinstance(q, A.QSeq):
+            if q.op in (A.OR, A.AND_NOT):
+                return self.eval_scored_words(q.args[-1], cxs)
+            if q.op == A.AND:
+                init = q.args[0] if len(q.args) == 2 else A.QSeq(A.AND, q.args[:-1])
+                docset = set(self.eval_scored(init, cxs))
+                raw = self.eval_raw(q.args[-1], cxs)
+                return self._aggregate_words(self._filter_by_docset(docset, raw))
+            if A.is_local_cx_op(q.op):
+                merged: RawCx = {}
+                for cx in cxs:
+                    part = self._raw_seq(q.op, [self.eval_raw(a, [cx])
+                                                for a in q.args])
+                    for c2, es in part.items():
+                        merged.setdefault(c2, []).extend(es)
+                return self._aggregate_words(merged)
+        if isinstance(q, A.QContext):
+            return self.eval_scored_words(q.query, list(dict.fromkeys(q.contexts)))
+        if isinstance(q, A.QBoost):
+            out = self.eval_scored_words(q.query, cxs)
+            b = F32(q.weight)
+            return {w: F32(s * b) for w, s in out.items()}
+        if isinstance(q, A.QPhrase):
+            ws = q.phrase.split()
+            if len(ws) == 1:
+                return self.eval_scored_words(A.QWord(q.op, ws[0]), cxs)
+            args = tuple([A.QFullWord(q.op, w) for w in ws[:-1]]
+                         + [A.QWord(q.op, ws[-1])])
+            return self.eval_scored_words(A.QSeq(A.PHRASE, args), cxs)
+        raise ValueError(f"oracle complete: {q}")
+
+    def complete(self, query, limit: int = 20) -> list[tuple[str, float]]:
+        from .parser import parse_query
+
+        q = parse_query(query) if isinstance(query, str) else query
+        scored = self.eval_scored_words(q)
+        ranked = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [(w, float(s)) for w, s in ranked[:limit]]

@@ -90,3 +90,27 @@ def test_doclimit_changes_results(engine):
     full = engine.search("bra", limit=0)
     lim = limited.search("bra", limit=0)
     assert lim.count <= full.count
+
+
+COMPLETION_QUERIES = [
+    "bra",                      # plain prefix (nocase)
+    "!bra",                     # case-sensitive prefix
+    "take AND wor",             # AND-filter completion (docset-restricted)
+    "take OR wor",              # OR completes its last arg
+    "the AND NOT wor",          # ANDNOT completes its last arg
+    '"take over th"',           # phrase: last word becomes the prefix
+    "bra^2.5",                  # boost scales word scores
+    "title,body:bra",           # explicit contexts
+    "intcontext:[40 TO 1024]",  # range completion (all range words)
+    "p",                        # broad prefix, many expansions
+]
+
+
+def test_completion_identity_vs_oracle(engine, oracle):
+    """engine.complete == the independent oracle's scored-words evaluator,
+    word-for-word and float32-score-equal, across primitive, boolean,
+    phrase, boost, context, and range completion shapes."""
+    for qs in COMPLETION_QUERIES:
+        got = engine.complete(qs, limit=0 or 10**6)
+        want = oracle.complete(qs, limit=10**6)
+        assert got == want, (qs, got[:5], want[:5])
