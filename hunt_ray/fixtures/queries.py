@@ -64,5 +64,6 @@ REFERENCE_COMPLETIONS: list[tuple[str, str]] = [
     ("complete_boost", "bra^2.5"),
     ("complete_context", "title,body:bra"),
     ("complete_range", "intcontext:[40 TO 1024]"),
+    ("complete_fuzzy", "~bra"),      # QFuzzy completes as nocase
     ("complete_broad", "p"),
 ]

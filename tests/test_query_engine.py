@@ -102,6 +102,7 @@ COMPLETION_QUERIES = [
     "bra^2.5",                  # boost scales word scores
     "title,body:bra",           # explicit contexts
     "intcontext:[40 TO 1024]",  # range completion (all range words)
+    "~bra",                     # fuzzy completes as nocase
     "p",                        # broad prefix, many expansions
 ]
 
