@@ -285,6 +285,11 @@ def _ensure_geo_index(sf_dir: str) -> str:
     pages_dir = os.path.join(CACHE_ROOT, f"geo-pages-{key}")
     marker = os.path.join(pages_dir, "_done")
     if not os.path.exists(marker):
+        import shutil
+
+        # a crashed partial write leaves files with no marker; Ray appends
+        # unique names, so clear before rewriting to avoid duplicate rows
+        shutil.rmtree(pages_dir, ignore_errors=True)
         def mk_pages(batch: pa.Table) -> pa.Table:
             did = batch.column("doc_id").to_numpy().astype(np.int64)
             la = (did * _GEO_A) % 2**32 % 80000
