@@ -152,6 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis (driver mandate)
         "q_lang_id": textstats.lang_id,
         "q_fingerprint": textstats.fingerprint,
+        # one-pass corpus cleaning: quality + lang filters pruned in-map,
+        # prefix-fingerprint dedup keep-rule in a single keyed shuffle
+        "q_corpus_clean": textstats.corpus_clean,
         # --- multimodal plumbing (driver mandate; decode stubbed)
         "q_multimodal_features": lambda sf: multimodal.decode_features(
             flagship.ensure_pages(sf)),
@@ -425,6 +428,25 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         # fingerprint: md5-hashed tokens + the unrolled rolling polynomial
         # FP_OFFSET·Bⁿ + Σ h_i·Bⁿ⁻ⁱ (mod 2^64) — UHUGEINT modular
         # arithmetic with a recursive-CTE power table
+        # one-pass clean: same token regex, same filter constants, window
+        # functions reproduce the keep-min-per-prefix rule
+        "q_corpus_clean": f"""
+WITH agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum(CASE WHEN term IN ('the','a','of','and','to')
+             THEN 1 ELSE 0 END)::DOUBLE AS n_stop
+  FROM ({_TOKENS}) GROUP BY doc_id),
+q AS (
+  SELECT d.doc_id, d.lang, substr(d.text, 1, 64) AS k, agg.n_tokens,
+         round(agg.n_stop / agg.n_tokens, 6) AS stopword_ratio
+  FROM documents d JOIN agg USING (doc_id)
+  WHERE agg.n_tokens >= 20 AND agg.n_stop / agg.n_tokens <= 0.15
+    AND d.lang IN ('en', 'es', 'fr', 'de'))
+SELECT doc_id, lang, n_tokens, stopword_ratio, n_copies FROM (
+  SELECT *, count(*) OVER (PARTITION BY k)::BIGINT AS n_copies,
+         min(doc_id) OVER (PARTITION BY k) AS keep FROM q)
+WHERE doc_id = keep ORDER BY doc_id
+""",
         "q_fingerprint": """
 WITH RECURSIVE
 toks AS (

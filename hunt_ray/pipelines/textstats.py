@@ -341,3 +341,61 @@ def fingerprint(sf_dir: str):
 
     return rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"]) \
              .map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ corpus clean
+
+def corpus_clean(sf_dir: str, *, min_tokens: int = 20,
+                 max_stopword_ratio: float = 0.15,
+                 langs: tuple[str, ...] = ("en", "es", "fr", "de"),
+                 key_chars: int = 64):
+    """The cleaning pass a training-data pipeline actually ships, as ONE
+    streaming job: quality filter (token count + stopword ratio) and
+    language filter pruned INSIDE the map stage (rows die before any
+    shuffle), then a single groupby on a cheap text-prefix fingerprint
+    keeps each duplicate group's smallest doc_id (with its copy count).
+    Prefix-keying is the standard cheap first pass — exact md5 dedup and
+    MinHash (pipelines/dedup.py) are the stronger follow-up passes.
+
+    Scale shape: the only shuffle moves one short row per SURVIVING doc,
+    keyed by hash64(prefix) — never the text. Exactly SQL-reproducible
+    (q_corpus_clean; hash64 grouping equals the oracle's
+    substr-partitioning up to 64-bit collisions)."""
+    import ray.data as rd
+
+    from ..common.hashing import hash64
+
+    def clean_batch(batch: pa.Table) -> pa.Table:
+        df = _flat_tokens(batch)
+        agg = df.group_by("doc_id").agg(
+            n_tokens=pl.len().cast(pl.Int64),
+            n_stop=pl.col("term").is_in(list(STOPWORDS)).sum().cast(pl.Float64),
+        )
+        texts = batch.column("text").combine_chunks() \
+            if isinstance(batch.column("text"), pa.ChunkedArray) else batch.column("text")
+        ids = pl.DataFrame({
+            "doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
+            "lang": pl.Series(batch.column("lang").to_pylist(), dtype=pl.String),
+            "gkey": hash64(pc.utf8_slice_codeunits(texts, 0, key_chars)).astype(np.int64),
+        })
+        out = (ids.join(agg, on="doc_id", how="inner")
+               .filter((pl.col("n_tokens") >= min_tokens)
+                       & (pl.col("n_stop") / pl.col("n_tokens") <= max_stopword_ratio)
+                       & pl.col("lang").is_in(list(langs)))
+               .with_columns(stopword_ratio=(pl.col("n_stop")
+                                             / pl.col("n_tokens")).round(6))
+               .select(["gkey", "doc_id", "lang", "n_tokens", "stopword_ratio"]))
+        return out.to_arrow()
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        i = int(np.argmin(ids))
+        row = group.slice(i, 1).drop_columns(["gkey"])
+        return row.append_column("n_copies",
+                                 pa.array([group.num_rows], pa.int64()))
+
+    return (rd.read_parquet(_doc_path(sf_dir),
+                            columns=["doc_id", "text", "lang"])
+            .map_batches(clean_batch, batch_format="pyarrow")
+            .groupby("gkey").map_groups(keep_min, batch_format="pyarrow")
+            .sort("doc_id"))

@@ -463,3 +463,28 @@ def test_dedup_components_matches_sql_closure(ray_session):
     got = got.sort_values("doc_id").reset_index(drop=True)
     want = want.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_corpus_clean_matches_oracle(ray_session):
+    """q_corpus_clean == its SQL oracle at sf0.001: quality + lang filters
+    and the keep-min-per-prefix dedup rule, with non-vacuous effects."""
+    import importlib.util
+
+    import duckdb
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "ray_entry_clean", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    sf = "/root/testdata/sf0.001"
+    got = m.queries()["q_corpus_clean"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(m.oracle_sql()["q_corpus_clean"]).df()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert 0 < len(got) < 500            # filters actually dropped docs
+    assert (got.n_copies > 1).any()      # dedup actually collapsed groups
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
