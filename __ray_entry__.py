@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_ivf": lambda sf: similarity.knn_ivf(sf, KNN_QUERY_IDS, 10),
         # --- text analysis (driver mandate)
         "q_lang_id": textstats.lang_id,
+        # whitespace + BPE-ish (GPT-2-shaped regex) token budgets per doc
+        "q_token_count_bpe": textstats.token_count_bpe,
         "q_fingerprint": textstats.fingerprint,
         # one-pass corpus cleaning: quality + lang filters pruned in-map,
         # prefix-fingerprint dedup keep-rule in a single keyed shuffle
@@ -428,6 +430,14 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         # fingerprint: md5-hashed tokens + the unrolled rolling polynomial
         # FP_OFFSET·Bⁿ + Σ h_i·Bⁿ⁻ⁱ (mod 2^64) — UHUGEINT modular
         # arithmetic with a recursive-CTE power table
+        # same RE2-safe pattern string as textstats.BPE_PATTERN
+        "q_token_count_bpe": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_ws_tokens, "
+            "len(regexp_extract_all(text, "
+            "$$'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+$$))::BIGINT AS n_bpe_tokens "
+            "FROM documents"
+        ),
         # one-pass clean: same token regex, same filter constants, window
         # functions reproduce the keep-min-per-prefix rule
         "q_corpus_clean": f"""

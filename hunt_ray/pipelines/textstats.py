@@ -399,3 +399,32 @@ def corpus_clean(sf_dir: str, *, min_tokens: int = 20,
             .map_batches(clean_batch, batch_format="pyarrow")
             .groupby("gkey").map_groups(keep_min, batch_format="pyarrow")
             .sort("doc_id"))
+
+
+# ------------------------------------------------------------------ BPE-ish token counts
+
+# GPT-2-style pre-tokenizer shape, restricted to RE2-safe constructs (no
+# lookahead) so polars' Rust regex and the DuckDB oracle's RE2 agree
+# token-for-token (both leftmost-first)
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_count_bpe(sf_dir: str):
+    """Per-doc token counts under two tokenizations a training-data budget
+    needs: whitespace tokens and a BPE-ish pre-tokenizer split (the
+    GPT-2-shaped regex above). Vectorized polars extract_all per batch;
+    exact SQL oracle via the same pattern."""
+    import ray.data as rd
+
+    def counts(batch: pa.Table) -> pa.Table:
+        texts = pl.Series("t", batch.column("text").to_pylist(), dtype=pl.String)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_ws_tokens": (texts.str.extract_all(r"\S+").list.len()
+                            .cast(pl.Int64).to_arrow()),
+            "n_bpe_tokens": (texts.str.extract_all(BPE_PATTERN).list.len()
+                             .cast(pl.Int64).to_arrow()),
+        })
+
+    return rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"]) \
+             .map_batches(counts, batch_format="pyarrow")

@@ -488,3 +488,42 @@ def test_corpus_clean_matches_oracle(ray_session):
     assert 0 < len(got) < 500            # filters actually dropped docs
     assert (got.n_copies > 1).any()      # dedup actually collapsed groups
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_token_count_bpe_rich_text(ray_session, tmp_path):
+    """BPE-ish vs whitespace counts on text with contractions, punctuation,
+    numbers, and unicode — polars (Rust regex) must equal the DuckDB (RE2)
+    oracle token-for-token, and the two tokenizations must actually
+    differ (non-vacuous)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.pipelines.textstats import BPE_PATTERN, token_count_bpe
+
+    texts = ["It's a well-known fact: GPT-2 splits don't match \\S+ here!",
+             "  leading spaces, trailing...   ",
+             "中文 mixed with English and 123 numbers, naïve café",
+             "plain space separated words only",
+             ""]
+    d = tmp_path / "bpe"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                             "text": pa.array(texts, pa.string()),
+                             "lang": pa.array(["en"] * len(texts))}),
+                   str(d / "documents.parquet"))
+    got = token_count_bpe(str(d)).to_pandas().sort_values("doc_id") \
+                                 .reset_index(drop=True)
+    con = duckdb.connect()
+    want = pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "n_ws_tokens": [con.execute(
+            "SELECT len(regexp_extract_all(?, '\\S+'))", [t]).fetchone()[0]
+            for t in texts],
+        "n_bpe_tokens": [con.execute(
+            "SELECT len(regexp_extract_all(?, ?))",
+            [t, BPE_PATTERN]).fetchone()[0] for t in texts],
+    })
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    assert (got.n_bpe_tokens != got.n_ws_tokens).any()
