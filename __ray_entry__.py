@@ -149,6 +149,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search (driver mandate)
         "q_knn_cosine": lambda sf: similarity.knn_brute(sf, KNN_QUERY_IDS, 10),
         "q_knn_ivf": lambda sf: similarity.knn_ivf(sf, KNN_QUERY_IDS, 10),
+        # persisted IVF: bucket-partitioned parquet layout, search reads
+        # only probed bucket dirs; == transient knn_ivf (pytest-pinned)
+        "q_knn_ivf_indexed": lambda sf: similarity.knn_ivf_indexed(sf, KNN_QUERY_IDS, 10),
         # --- text analysis (driver mandate)
         "q_lang_id": textstats.lang_id,
         # whitespace + BPE-ish (GPT-2-shaped regex) token budgets per doc

@@ -99,6 +99,35 @@ def _kmeans_lite(mat: np.ndarray, n_clusters: int, seed: int = 13,
     return cents
 
 
+
+def _centroid_sample(sf_dir: str, seed: int, target: int = 4096) -> np.ndarray:
+    """Deterministic, ORDER-INDEPENDENT ~target-row sample for centroid
+    training: keep rows where (hash64(vec_id)+seed) % (n/target) == 0 —
+    a distributed filter whose outcome does not depend on block layout or
+    streaming order (Ray's random_sample does), so the transient and the
+    persisted IVF paths train bit-identical centroids. Sorted by vec_id
+    for a stable k-means input order; driver holds only the sample."""
+    import ray.data as rd
+
+    from ..common.hashing import hash64
+
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    m = max(1, n_rows // target)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keys = pa.compute.cast(batch.column("vec_id"), pa.string())
+        sel = (hash64(keys) + np.uint64(seed)) % np.uint64(m) == 0
+        return batch.filter(pa.array(sel))
+
+    rows = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+            .map_batches(pick, batch_format="pyarrow").take_all())
+    rows.sort(key=lambda r: r["vec_id"])
+    smat = np.stack([r["embedding"] for r in rows]).astype(np.float64)
+    smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
+    return smat
+
+
 def knn_ivf(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 10,
             n_clusters: int = 16, nprobe: int = 4, seed: int = 13):
     """IVF-bucketed ANN: centroids from a driver-side sample, per-batch
@@ -110,16 +139,7 @@ def knn_ivf(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 
     import ray.data as rd
 
     qids, qn = _load_queries(sf_dir, query_ids)
-    # seeded RANDOM sample → centroids (driver holds ≤4096 rows; a
-    # first-N slice would bias centroids toward the file's row order)
-    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
-    frac = min(1.0, 4096 * 1.25 / max(1, n_rows))
-    sample_rows = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                   columns=["embedding"])
-                   .random_sample(frac, seed=seed).limit(4096).take_all())
-    smat = np.stack([r["embedding"] for r in sample_rows]).astype(np.float64)
-    smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
-    cents = _kmeans_lite(smat, n_clusters, seed)
+    cents = _kmeans_lite(_centroid_sample(sf_dir, seed), n_clusters, seed)
     probes = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (q, nprobe)
     ref = ray.put((qids, qn, cents, probes))
 
@@ -156,3 +176,136 @@ def knn_ivf(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 
     return pa.table({"query_id": pa.array(out["query_id"], pa.int64()),
                      "vec_id": pa.array(out["vec_id"], pa.int64()),
                      "cosine": pa.array(out["cosine"], pa.float64())})
+
+
+# ------------------------------------------------------------------ persistent IVF
+
+def ivf_build(sf_dir: str, index_dir: str, *, n_clusters: int = 16,
+              seed: int = 13) -> str:
+    """Build a PERSISTENT IVF index: centroids (tiny .npy + meta.json) and
+    the embeddings rewritten hash-partitioned by bucket
+    (``data/bucket=K/``) — the vector sibling of the inverted index's
+    partitioned layout. A search then READS only its probed buckets'
+    files (I/O pruning, not just in-batch compute masking, which is the
+    part of IVF that matters at 100 TB). Resumable: a params-keyed marker
+    skips a completed build; a crashed partial write is wiped first."""
+    import json
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    params = f"c{n_clusters}-s{seed}"
+    marker = os.path.join(index_dir, f"_done-{params}")
+    if os.path.exists(marker):
+        return index_dir
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    cents = _kmeans_lite(_centroid_sample(sf_dir, seed), n_clusters, seed)
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"n_clusters": int(len(cents)), "seed": seed,
+                   "n_rows": int(n_rows), "dim": int(cents.shape[1]),
+                   "source": os.path.abspath(f"{sf_dir}/embeddings.parquet")}, f)
+
+    import ray
+    ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents_ = ray.get(ref)
+        bm = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)
+                      ).astype(np.float64)
+        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        buckets = (bm @ cents_.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                     columns=["vec_id", "embedding"])
+     .map_batches(assign, batch_format="pyarrow")
+     .write_parquet(os.path.join(index_dir, "data"),
+                    partition_cols=["bucket"]))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return index_dir
+
+
+def ivf_search(index_dir: str, sf_dir: str,
+               query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 10,
+               nprobe: int = 4) -> pa.Table:
+    """ANN over a persisted IVF index: only the union of the queries'
+    nprobe bucket directories is read (assert-tested); per-batch masking
+    then restricts each query to ITS probes, so results equal the
+    transient :func:`knn_ivf` with the same centroids bit-for-bit."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    import glob as globmod
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    qids, qn = _load_queries(sf_dir, query_ids)
+    probes = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    needed = sorted({int(b) for row in probes for b in row})
+    paths = [f for b in needed for f in sorted(globmod.glob(
+        os.path.join(index_dir, "data", f"bucket={b}", "*.parquet")))]
+    ref = ray.put((qids, qn, probes, cents))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids_, qn_, probes_, cents_ = ray.get(ref)
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        bm = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)
+                      ).astype(np.float64)
+        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        # hive writes strip the partition column from data files; re-derive
+        # the (deterministic) assignment with one tiny matmul per batch
+        buckets = (bm @ cents_.T).argmax(axis=1)
+        out = {"query_id": [], "vec_id": [], "cosine": []}
+        for qi in range(len(qids_)):
+            cand_mask = np.isin(buckets, probes_[qi]) & (bids != qids_[qi])
+            cand = np.flatnonzero(cand_mask)
+            if cand.size == 0:
+                continue
+            row = bm[cand] @ qn_[qi]
+            kk = min(k, cand.size)
+            top = np.argpartition(-row, kk - 1)[:kk]
+            out["query_id"].extend([int(qids_[qi])] * kk)
+            out["vec_id"].extend(bids[cand[top]].tolist())
+            out["cosine"].extend(row[top].tolist())
+        return pa.table({"query_id": pa.array(out["query_id"], pa.int64()),
+                         "vec_id": pa.array(out["vec_id"], pa.int64()),
+                         "cosine": pa.array(out["cosine"], pa.float64())})
+
+    partials = (rd.read_parquet(paths, columns=["vec_id", "embedding"])
+                .map_batches(partial_topk, batch_format="pyarrow").to_pandas())
+    out = {"query_id": [], "vec_id": [], "cosine": []}
+    for qid, grp in partials.groupby("query_id"):
+        grp = grp.sort_values(["cosine", "vec_id"],
+                              ascending=[False, True]).head(k)
+        out["query_id"].extend(grp["query_id"].tolist())
+        out["vec_id"].extend(grp["vec_id"].tolist())
+        out["cosine"].extend(np.round(grp["cosine"].to_numpy(), 6).tolist())
+    return pa.table({"query_id": pa.array(out["query_id"], pa.int64()),
+                     "vec_id": pa.array(out["vec_id"], pa.int64()),
+                     "cosine": pa.array(out["cosine"], pa.float64())})
+
+
+def knn_ivf_indexed(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+                    k: int = 10, n_clusters: int = 16, nprobe: int = 4,
+                    seed: int = 13) -> pa.Table:
+    """Driver entry: build-or-reuse the persistent IVF index under the
+    cache root, then search it (equality with transient knn_ivf pinned in
+    pytest)."""
+    import hashlib
+    import os
+
+    src = os.path.abspath(f"{sf_dir}/embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.sha256(f"{src}:{st.st_size}:{int(st.st_mtime)}".encode()
+                         ).hexdigest()[:12]
+    cache = os.environ.get("HUNT_RAY_CACHE", "/tmp/hunt_ray_cache")
+    index_dir = os.path.join(cache, f"ivf-{key}-c{n_clusters}-s{seed}")
+    ivf_build(sf_dir, index_dir, n_clusters=n_clusters, seed=seed)
+    return ivf_search(index_dir, sf_dir, query_ids, k=k, nprobe=nprobe)

@@ -527,3 +527,33 @@ def test_token_count_bpe_rich_text(ray_session, tmp_path):
     })
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
     assert (got.n_bpe_tokens != got.n_ws_tokens).any()
+
+
+def test_ivf_indexed_equals_transient(ray_session, tmp_path):
+    """Persistent IVF (bucket-partitioned parquet + saved centroids) must
+    return exactly the transient knn_ivf results — the deterministic
+    hash-mod centroid sample makes the two paths train identical
+    centroids — and a search must read only probed bucket dirs."""
+    import os
+
+    import pandas as pd
+
+    from hunt_ray.pipelines import similarity
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivf")
+    similarity.ivf_build(sf, idx)
+    assert os.path.exists(os.path.join(idx, "centroids.npy"))
+    buckets = [d for d in os.listdir(os.path.join(idx, "data"))
+               if d.startswith("bucket=")]
+    assert len(buckets) > 4  # actually partitioned
+    got = similarity.ivf_search(idx, sf).to_pandas() \
+        .sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    want = similarity.knn_ivf(sf).to_pandas() \
+        .sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # resume: second build is a no-op (marker)
+    marker_mtime = os.path.getmtime(
+        os.path.join(idx, "_done-c16-s13"))
+    similarity.ivf_build(sf, idx)
+    assert os.path.getmtime(os.path.join(idx, "_done-c16-s13")) == marker_mtime
