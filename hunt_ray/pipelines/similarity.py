@@ -309,3 +309,34 @@ def knn_ivf_indexed(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
     index_dir = os.path.join(cache, f"ivf-{key}-c{n_clusters}-s{seed}")
     ivf_build(sf_dir, index_dir, n_clusters=n_clusters, seed=seed)
     return ivf_search(index_dir, sf_dir, query_ids, k=k, nprobe=nprobe)
+
+
+def ivf_add(index_dir: str, embeddings_parquet: str) -> int:
+    """Incrementally add vectors to a persisted IVF index: assign each new
+    row to a bucket under the index's FROZEN centroids and append new
+    parquet files into the same ``data/bucket=K/`` layout (Ray writes
+    uniquely-named files, so existing data is untouched — the immutable-
+    segments pattern applied to vectors). Re-train (a fresh
+    :func:`ivf_build`) when drift matters; returns rows added."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents_ = ray.get(ref)
+        bm = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)
+                      ).astype(np.float64)
+        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        buckets = (bm @ cents_.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    ds = rd.read_parquet(embeddings_parquet, columns=["vec_id", "embedding"])
+    n = ds.count()
+    (ds.map_batches(assign, batch_format="pyarrow")
+     .write_parquet(os.path.join(index_dir, "data"),
+                    partition_cols=["bucket"]))
+    return int(n)

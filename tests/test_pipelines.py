@@ -557,3 +557,44 @@ def test_ivf_indexed_equals_transient(ray_session, tmp_path):
         os.path.join(idx, "_done-c16-s13"))
     similarity.ivf_build(sf, idx)
     assert os.path.getmtime(os.path.join(idx, "_done-c16-s13")) == marker_mtime
+
+
+def test_ivf_add_incremental(ray_session, tmp_path):
+    """Building on half the corpus then ivf_add-ing the other half must
+    search identically to an index whose data was written in one pass
+    under the SAME centroids (frozen-centroid append, segments-style)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from hunt_ray.pipelines import similarity
+
+    sf = "/root/testdata/sf0.001"
+    src = pq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    half = src.num_rows // 2
+    d1, d2 = tmp_path / "h1", tmp_path / "h2"
+    for d, tbl in ((d1, src.slice(0, half)), (d2, src.slice(half))):
+        d.mkdir()
+        pq.write_table(tbl, str(d / "embeddings.parquet"))
+
+    idx = str(tmp_path / "ivf_inc")
+    similarity.ivf_build(str(d1), idx)
+    added = similarity.ivf_add(idx, str(d2 / "embeddings.parquet"))
+    assert added == src.num_rows - half
+
+    # reference: same centroids applied to the FULL corpus in one pass
+    idx_full = str(tmp_path / "ivf_full")
+    import os
+    import shutil
+
+    os.makedirs(idx_full)
+    shutil.copy(os.path.join(idx, "centroids.npy"),
+                os.path.join(idx_full, "centroids.npy"))
+    similarity.ivf_add(idx_full, f"{sf}/embeddings.parquet")
+
+    got = similarity.ivf_search(idx, sf).to_pandas() \
+        .sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    want = similarity.ivf_search(idx_full, sf).to_pandas() \
+        .sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
