@@ -282,6 +282,12 @@ def run_bench() -> dict:
     t = time.time()
     similarity.knn_brute(SF_DIR)
     timings["knn_brute"] = round(time.time() - t, 3)
+    t = time.time()
+    textstats.corpus_clean(SF_DIR).count()
+    timings["corpus_clean"] = round(time.time() - t, 3)
+    t = time.time()
+    textstats.token_count_bpe(SF_DIR).count()
+    timings["token_count_bpe"] = round(time.time() - t, 3)
 
     out = {
         "metric": "index-build seconds (50k-doc corpus) + query latency",
