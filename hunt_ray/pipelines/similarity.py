@@ -251,10 +251,11 @@ def ivf_search(index_dir: str, sf_dir: str,
     needed = sorted({int(b) for row in probes for b in row})
     paths = [f for b in needed for f in sorted(globmod.glob(
         os.path.join(index_dir, "data", f"bucket={b}", "*.parquet")))]
-    ref = ray.put((qids, qn, probes, cents))
+    tombs = _ivf_tombstones(index_dir)
+    ref = ray.put((qids, qn, probes, cents, tombs))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        qids_, qn_, probes_, cents_ = ray.get(ref)
+        qids_, qn_, probes_, cents_, tombs_ = ray.get(ref)
         bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         bm = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)
                       ).astype(np.float64)
@@ -262,9 +263,11 @@ def ivf_search(index_dir: str, sf_dir: str,
         # hive writes strip the partition column from data files; re-derive
         # the (deterministic) assignment with one tiny matmul per batch
         buckets = (bm @ cents_.T).argmax(axis=1)
+        live = ~np.isin(bids.astype(np.uint64), tombs_) if tombs_.size \
+            else np.ones(len(bids), bool)
         out = {"query_id": [], "vec_id": [], "cosine": []}
         for qi in range(len(qids_)):
-            cand_mask = np.isin(buckets, probes_[qi]) & (bids != qids_[qi])
+            cand_mask = live & np.isin(buckets, probes_[qi]) & (bids != qids_[qi])
             cand = np.flatnonzero(cand_mask)
             if cand.size == 0:
                 continue
@@ -340,3 +343,25 @@ def ivf_add(index_dir: str, embeddings_parquet: str) -> int:
      .write_parquet(os.path.join(index_dir, "data"),
                     partition_cols=["bucket"]))
     return int(n)
+
+
+def ivf_delete(index_dir: str, vec_ids) -> int:
+    """Tombstone vectors in a persisted IVF index (the inverted index's
+    per-segment tombstone idea, flattened: one sorted uint64 id set in
+    ``tombstones.npy``, unioned on repeat calls). Search filters hits
+    against it; data files stay immutable. Returns total tombstoned."""
+    import os
+
+    path = os.path.join(index_dir, "tombstones.npy")
+    ids = np.asarray(sorted(set(int(v) for v in vec_ids)), dtype=np.uint64)
+    if os.path.exists(path):
+        ids = np.union1d(np.load(path), ids)
+    np.save(path, ids)
+    return int(ids.size)
+
+
+def _ivf_tombstones(index_dir: str) -> np.ndarray:
+    import os
+
+    path = os.path.join(index_dir, "tombstones.npy")
+    return np.load(path) if os.path.exists(path) else np.empty(0, np.uint64)

@@ -598,3 +598,23 @@ def test_ivf_add_incremental(ray_session, tmp_path):
     want = similarity.ivf_search(idx_full, sf).to_pandas() \
         .sort_values(["query_id", "vec_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_ivf_delete_tombstones(ray_session, tmp_path):
+    """Tombstoned vectors vanish from persistent-IVF results; data files
+    stay immutable; repeat deletes union."""
+    from hunt_ray.pipelines import similarity
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivf_del")
+    similarity.ivf_build(sf, idx)
+    before = similarity.ivf_search(idx, sf).to_pandas()
+    victim = int(before.iloc[0]["vec_id"])
+    n = similarity.ivf_delete(idx, [victim])
+    assert n == 1
+    after = similarity.ivf_search(idx, sf).to_pandas()
+    assert victim in set(before["vec_id"])
+    assert victim not in set(after["vec_id"])
+    # non-victim results unchanged for queries the victim didn't serve
+    similarity.ivf_delete(idx, [victim])  # idempotent union
+    assert similarity.ivf_delete(idx, []) == 1
