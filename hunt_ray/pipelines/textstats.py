@@ -373,9 +373,12 @@ def corpus_clean(sf_dir: str, *, min_tokens: int = 20,
         )
         texts = batch.column("text").combine_chunks() \
             if isinstance(batch.column("text"), pa.ChunkedArray) else batch.column("text")
+        lang_s = pl.from_arrow(batch.column("lang").combine_chunks()
+                               if isinstance(batch.column("lang"), pa.ChunkedArray)
+                               else batch.column("lang"))
         ids = pl.DataFrame({
             "doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
-            "lang": pl.Series(batch.column("lang").to_pylist(), dtype=pl.String),
+            "lang": lang_s,
             "gkey": hash64(pc.utf8_slice_codeunits(texts, 0, key_chars)).astype(np.int64),
         })
         out = (ids.join(agg, on="doc_id", how="inner")
@@ -417,7 +420,9 @@ def token_count_bpe(sf_dir: str):
     import ray.data as rd
 
     def counts(batch: pa.Table) -> pa.Table:
-        texts = pl.Series("t", batch.column("text").to_pylist(), dtype=pl.String)
+        tcol = batch.column("text").combine_chunks() \
+            if isinstance(batch.column("text"), pa.ChunkedArray) else batch.column("text")
+        texts = pl.from_arrow(tcol)  # nulls propagate like the SQL oracle
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "n_ws_tokens": (texts.str.extract_all(r"\S+").list.len()
