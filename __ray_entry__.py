@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(round_cols, batch_format="pyarrow")
 
+    from hunt_ray.pipelines import curate, events
+
     return {
         # --- inverted-index feed + term statistics (SURVEY §2.2/§2.5)
         "q_postings": textstats.postings,
@@ -160,6 +162,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one-pass corpus cleaning: quality + lang filters pruned in-map,
         # prefix-fingerprint dedup keep-rule in a single keyed shuffle
         "q_corpus_clean": textstats.corpus_clean,
+        # --- corpus curation (driver mandate; hunt_ray/pipelines/curate.py)
+        # eval-set n-gram decontamination: broadcast eval gram hashes,
+        # vectorized isin probe per batch — no shuffle
+        "q_decontaminate": lambda sf: curate.decontaminate(sf, n=4, eval_mod=19),
+        # Gopher-style repetition quality stats — pure map
+        "q_repetition": curate.repetition,
+        # per-source (domain) doc cap — partial+final top-k per source
+        "q_source_cap": lambda sf: curate.source_cap(sf, k=20),
+        # deterministic per-lang stratified sample (md5 draw, oracle-compat)
+        "q_sample_stratified": curate.sample_stratified,
+        # gap-based sessionization over events — keyed-window map_groups
+        "q_sessionize": lambda sf: events.sessionize(sf, gap_minutes=480),
         # --- multimodal plumbing (driver mandate; decode stubbed)
         "q_multimodal_features": lambda sf: multimodal.decode_features(
             flagship.ensure_pages(sf)),
@@ -543,6 +557,66 @@ SELECT doc_id::BIGINT AS doc_id, i::BIGINT AS win,
                             substr(t, (i * win + 1)::BIGINT, win)), 1, 15)
         )::UBIGINT % 10000)::BIGINT AS fval
 FROM t, unnest(range(0, 16)) AS u(i)
+""",
+        # eval slice = doc_id % 19; contaminated = non-eval doc sharing ≥1
+        # distinct word-4-gram with any eval doc (engine matches on 64-bit
+        # gram hashes — exact up to ~1e-11 collision odds at this size)
+        "q_decontaminate": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(ts[i:i+3], ' ') AS g
+  FROM toks,
+       UNNEST(CASE WHEN len(ts) >= 4 THEN range(1, len(ts)-2) ELSE [] END) AS t(i)),
+eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 19 = 0)
+SELECT g2.doc_id::BIGINT AS doc_id, count(DISTINCT g2.g)::BIGINT AS n_hit_grams
+FROM grams g2 JOIN eval_grams e ON g2.g = e.g
+WHERE g2.doc_id % 19 <> 0 GROUP BY g2.doc_id
+""",
+        "q_repetition": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS pos
+  FROM documents),
+big AS (SELECT a.doc_id, a.term || ' ' || b.term AS bg
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg),
+top AS (SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
+        FROM bgc GROUP BY doc_id),
+tok AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_distinct
+        FROM toks GROUP BY doc_id)
+SELECT t.doc_id::BIGINT AS doc_id, t.n_tokens::BIGINT AS n_tokens,
+       round(1.0 - t.n_distinct / t.n_tokens, 6) AS dup_token_ratio,
+       coalesce(top.top_bigram_n, 0)::BIGINT AS top_bigram_n,
+       round(coalesce(top.top_bigram_n / top.n_bigrams, 0.0), 6) AS top_bigram_frac
+FROM tok t LEFT JOIN top ON t.doc_id = top.doc_id
+""",
+        "q_source_cap": (
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, row_number() OVER "
+            "(PARTITION BY source ORDER BY doc_id) AS rn FROM documents) "
+            "WHERE rn <= 20"
+        ),
+        "q_sample_stratified": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE (CASE lang WHEN 'en' THEN 128 WHEN 'de' THEN 64 ELSE 32 END) "
+            "> CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER)"
+        ),
+        "q_sessionize": """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN ts - lag(ts) OVER w > INTERVAL 480 MINUTE OR lag(ts) OVER w IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS session_seq
+      FROM e)
+SELECT user_id::BIGINT AS user_id, session_seq::BIGINT AS session_seq,
+       count(*)::BIGINT AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_seq
 """,
         # q_minhash_dedup / q_knn_ivf / q_embedding_dedup_lsh /
         # q_multimodal_features|resize|frames / q_index_search /

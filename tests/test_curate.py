@@ -1,0 +1,186 @@
+"""Corpus-curation pipelines (hunt_ray/pipelines/curate.py, events.py):
+decontamination, repetition stats, source caps, stratified sampling,
+sessionization — each against its DuckDB oracle plus hand-built edge
+cases (planted contamination, multi-block caps, gap boundaries)."""
+
+from __future__ import annotations
+
+import importlib.util
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _ray(ray_session):
+    return ray_session
+
+
+@pytest.fixture(scope="module")
+def entry():
+    spec = importlib.util.spec_from_file_location(
+        "ray_entry_curate", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def _oracle(entry, key: str, sf: str = SF) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    return con.execute(entry.oracle_sql()[key]).df()
+
+
+def _assert_matches(entry, key: str, *, min_rows: int = 1):
+    got = entry.queries()[key](SF).to_pandas()
+    want = _oracle(entry, key)
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    assert len(got) == len(want) >= min_rows
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    return got
+
+
+def test_decontaminate_matches_oracle(entry):
+    got = _assert_matches(entry, "q_decontaminate", min_rows=5)
+    assert (got.n_hit_grams >= 1).all()
+
+
+def test_decontaminate_planted(tmp_path):
+    """A doc that copies a 6-token passage from an eval doc is flagged
+    with the right distinct-gram count; unrelated docs are not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.pipelines.curate import decontaminate
+
+    passage = "alpha beta gamma delta epsilon zeta"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),  # doc 0 is eval (0 % m == 0)
+        "text": pa.array([
+            f"intro {passage} outro",
+            f"stolen words {passage} appended here",   # 3 shared 4-grams
+            "totally unrelated words with no overlap at all",
+        ]),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = decontaminate(str(tmp_path), n=4, eval_mod=19).to_pandas()
+    assert out.doc_id.tolist() == [1]
+    assert out.n_hit_grams.tolist() == [3]  # the 3 windows inside the passage
+
+
+def test_repetition_matches_oracle(entry):
+    got = _assert_matches(entry, "q_repetition", min_rows=100)
+    assert (got.dup_token_ratio > 0).any()      # fixture vocab is small
+    assert (got.top_bigram_n >= 1).all()
+
+
+def test_repetition_hand_case():
+    import pyarrow as pa
+
+    from hunt_ray.pipelines.curate import repetition_batch
+
+    out = repetition_batch(pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "text": pa.array(["a a a b", "unique"]),
+    })).to_pandas().set_index("doc_id")
+    assert out.loc[7, "n_tokens"] == 4
+    assert out.loc[7, "dup_token_ratio"] == pytest.approx(0.5)
+    assert out.loc[7, "top_bigram_n"] == 2          # "a a" twice of 3 bigrams
+    assert out.loc[7, "top_bigram_frac"] == pytest.approx(round(2 / 3, 6))
+    assert out.loc[8, "n_tokens"] == 1
+    assert out.loc[8, "top_bigram_n"] == 0
+    assert out.loc[8, "top_bigram_frac"] == 0.0
+
+
+def test_source_cap_matches_oracle(entry):
+    got = _assert_matches(entry, "q_source_cap", min_rows=20)
+    assert got.groupby("source").size().max() <= 20
+
+
+def test_source_cap_across_blocks(tmp_path):
+    """The partial+final combine caps correctly when one source's docs are
+    spread over several input files (the multi-block case the partial
+    stage alone cannot resolve) — lowest doc_ids win globally."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.pipelines.curate import source_cap
+
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    # interleave ids across files so per-file lowest-k ≠ global lowest-k
+    for f, ids in enumerate(([9, 3, 6], [1, 4, 7], [2, 5, 8])):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": pa.array(["hot"] * len(ids)),
+        }), d / f"part-{f}.parquet")
+    out = source_cap(str(tmp_path), k=4).to_pandas()
+    assert sorted(out.doc_id.tolist()) == [1, 2, 3, 4]
+    assert (out.source == "hot").all()
+
+
+def test_sample_stratified_matches_oracle(entry):
+    got = _assert_matches(entry, "q_sample_stratified", min_rows=50)
+    # en sampled at 2× de, 4× default — the strata actually differ
+    assert set(got.lang) >= {"en", "de"}
+
+
+def test_sample_stratified_deterministic_and_nested():
+    from hunt_ray.pipelines.curate import sample_stratified
+
+    a = sample_stratified(SF).to_pandas().doc_id.sort_values().tolist()
+    b = sample_stratified(SF).to_pandas().doc_id.sort_values().tolist()
+    assert a == b  # same draw every run
+    # raising every rate only ADDS docs (threshold rule on a fixed draw)
+    wide = sample_stratified(SF, rates={"en": 255, "de": 255},
+                             default_rate=255).to_pandas()
+    assert set(a) <= set(wide.doc_id)
+
+
+def test_sessionize_matches_oracle(entry):
+    got = _assert_matches(entry, "q_sessionize", min_rows=100)
+    assert (got.n_events >= 1).all()
+    assert (got.session_start <= got.session_end).all()
+    # multi-event sessions exist (the gap choice is non-vacuous)
+    assert (got.n_events > 1).any()
+
+
+def test_sessionize_gap_boundaries(tmp_path):
+    """Gap rule is strict '>': an event exactly gap minutes later stays in
+    the session; one microsecond past it opens a new one. session_seq
+    restarts per user."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.pipelines.events import sessionize
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    m = 60_000_000
+    rows = [
+        (1, t0, 0), (1, t0 + 10 * m, 1),        # u1 s1: two events
+        (1, t0 + 10 * m + 480 * m, 2),          # exactly gap → same session
+        (1, t0 + 10 * m + 960 * m + 1, 3),      # gap + 1 µs → new session
+        (2, t0, 4),                             # u2 s1
+    ]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()).cast(pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["x"] * len(rows)),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    }), tmp_path / "events.parquet")
+    out = (sessionize(str(tmp_path), gap_minutes=480).to_pandas()
+           .sort_values(["user_id", "session_seq"]).reset_index(drop=True))
+    assert out[["user_id", "session_seq", "n_events"]].values.tolist() == [
+        [1, 1, 3], [1, 2, 1], [2, 1, 1]]
