@@ -293,6 +293,18 @@ def run_bench() -> dict:
     textstats.token_count_bpe(SF_DIR).count()
     timings["token_count_bpe"] = round(time.time() - t, 3)
 
+    from hunt_ray.pipelines import curate, events
+
+    t = time.time()
+    curate.decontaminate(SF_DIR).count()
+    timings["decontaminate"] = round(time.time() - t, 3)
+    t = time.time()
+    curate.repetition(SF_DIR).count()
+    timings["repetition"] = round(time.time() - t, 3)
+    t = time.time()
+    events.sessionize(SF_DIR).count()
+    timings["sessionize"] = round(time.time() - t, 3)
+
     out = {
         "metric": "index-build seconds (50k-doc corpus) + query latency",
         "value": round(build_sec, 3),

@@ -21,6 +21,36 @@ import polars as pl
 import pyarrow as pa
 
 
+def session_rows(uid: np.ndarray, ts: np.ndarray, eid: np.ndarray,
+                 gap_us: int) -> dict[str, np.ndarray]:
+    """The vectorized session kernel over one group of (user_id, ts_us,
+    event_id) rows, any order: a new session opens at every user change
+    or strict gap breach (ts gap > gap_us). Returns per-session columns
+    with session_seq numbered 1.. per user in (ts, event_id) order.
+    Pure numpy — property-tested against a naive loop model."""
+    uid = np.asarray(uid, np.int64)
+    ts = np.asarray(ts, np.int64)
+    if not len(uid):
+        z = np.empty(0, np.int64)
+        return {"user_id": z, "session_seq": z, "n_events": z,
+                "session_start": z, "session_end": z}
+    order = np.lexsort((np.asarray(eid, np.int64), ts, uid))
+    uid, ts = uid[order], ts[order]
+    new = np.r_[True, (uid[1:] != uid[:-1]) |
+                (ts[1:] - ts[:-1] > np.int64(gap_us))]
+    starts = np.flatnonzero(new)
+    ends = np.r_[starts[1:], len(ts)]
+    ustart = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+    # session_seq restarts at 1 per user: subtract the index of each
+    # user's first session (every user-start row opens a session)
+    first = np.searchsorted(starts, ustart)
+    per_user = np.diff(np.r_[first, len(starts)])
+    seq = np.arange(len(starts)) - np.repeat(first, per_user) + 1
+    return {"user_id": uid[starts], "session_seq": seq,
+            "n_events": ends - starts,
+            "session_start": ts[starts], "session_end": ts[ends - 1]}
+
+
 def sessionize(sf_dir: str, *, gap_minutes: int = 480):
     """Per-user gap sessions: a new session starts when the time since the
     user's previous event exceeds ``gap_minutes``. Returns one row per
@@ -30,32 +60,20 @@ def sessionize(sf_dir: str, *, gap_minutes: int = 480):
     """
     import ray.data as rd
 
-    gap_us = np.int64(gap_minutes) * 60_000_000
+    gap_us = int(gap_minutes) * 60_000_000
 
     def sessions(group: pa.Table) -> pa.Table:
-        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = group.column("event_id").to_numpy(zero_copy_only=False)
-        uid = group.column("user_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts, uid))
-        uid, ts = uid[order], ts[order]
-        # new session at every user change or gap breach
-        new = np.r_[True, (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)]
-        sess = np.cumsum(new) - 1
-        starts = np.flatnonzero(new)
-        ends = np.r_[starts[1:], len(ts)]
-        ustart = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
-        # session_seq restarts at 1 per user: subtract the index of each
-        # user's first session (every user-start row opens a session)
-        first = np.searchsorted(starts, ustart)
-        per_user = np.diff(np.r_[first, len(starts)])
-        seq = np.arange(len(starts)) - np.repeat(first, per_user) + 1
+        r = session_rows(
+            group.column("user_id").to_numpy(zero_copy_only=False),
+            group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False),
+            group.column("event_id").to_numpy(zero_copy_only=False), gap_us)
         return pa.table({
-            "user_id": pa.array(uid[starts], pa.int64()),
-            "session_seq": pa.array(seq, pa.int64()),
-            "n_events": pa.array(ends - starts, pa.int64()),
-            "session_start": pa.array(ts[starts], pa.int64()).cast(
+            "user_id": pa.array(r["user_id"], pa.int64()),
+            "session_seq": pa.array(r["session_seq"], pa.int64()),
+            "n_events": pa.array(r["n_events"], pa.int64()),
+            "session_start": pa.array(r["session_start"], pa.int64()).cast(
                 pa.timestamp("us")),
-            "session_end": pa.array(ts[ends - 1], pa.int64()).cast(
+            "session_end": pa.array(r["session_end"], pa.int64()).cast(
                 pa.timestamp("us")),
         })
 

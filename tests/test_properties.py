@@ -320,3 +320,103 @@ def test_strtree_query_matches_bruteforce(points, a, b, c, d):
     want = np.flatnonzero((lat >= la0) & (lat <= la1)
                           & (lon >= lo0) & (lon <= lo1))
     assert np.array_equal(got, want)
+
+
+# ---------------------------------------------------------------- curation
+
+
+@given(st.lists(st.tuples(st.integers(0, 5),          # user
+                          st.integers(0, 10_000),     # ts (µs)
+                          st.integers(0, 10**6)),     # event_id
+                max_size=200),
+       st.integers(1, 2_000))
+@settings(max_examples=80, deadline=None)
+def test_session_kernel_matches_naive_model(rows, gap_us):
+    """Vectorized session kernel == a per-user loop model: same session
+    count, sizes, bounds, and per-user 1..n numbering, for any event
+    stream (duplicate timestamps, ties, empty)."""
+    import numpy as np
+
+    from hunt_ray.pipelines.events import session_rows
+
+    uid = np.asarray([r[0] for r in rows], np.int64)
+    ts = np.asarray([r[1] for r in rows], np.int64)
+    eid = np.asarray([r[2] for r in rows], np.int64)
+    got = session_rows(uid, ts, eid, gap_us)
+
+    want = []
+    for u in sorted(set(uid.tolist())):
+        evs = sorted((t, e) for (uu, t, e) in rows if uu == u)
+        seq, start = 0, None
+        cur: list[int] = []
+        for t, _e in evs:
+            if start is None or t - cur[-1] > gap_us:
+                if cur:
+                    want.append((u, seq, len(cur), cur[0], cur[-1]))
+                seq += 1
+                cur, start = [t], t
+            else:
+                cur.append(t)
+        if cur:
+            want.append((u, seq, len(cur), cur[0], cur[-1]))
+    got_rows = list(zip(got["user_id"].tolist(), got["session_seq"].tolist(),
+                        got["n_events"].tolist(), got["session_start"].tolist(),
+                        got["session_end"].tolist()))
+    assert got_rows == want
+
+
+_word = st.text(alphabet="abc", min_size=1, max_size=2)
+
+
+@given(st.lists(st.lists(_word, max_size=12), min_size=1, max_size=6),
+       st.integers(2, 4))
+@settings(max_examples=60, deadline=None)
+def test_word_ngram_hashes_match_tuple_sets(docs, n):
+    """Distinct n-gram hash count per doc == the set of token n-tuples
+    (hash injectivity on this universe); short docs yield no grams."""
+    import pyarrow as pa
+
+    from hunt_ray.pipelines.curate import word_ngram_hashes
+
+    batch = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array([" ".join(d) for d in docs]),
+    })
+    ids, hs = word_ngram_hashes(batch, n)
+    for did, h in zip(ids, hs):
+        toks = docs[int(did)]
+        want = {tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        assert len(h) == len(want)
+
+
+@given(st.lists(st.lists(_word, max_size=15), min_size=1, max_size=5))
+@settings(max_examples=60, deadline=None)
+def test_repetition_batch_matches_counter_model(docs):
+    """repetition_batch == a Counter model for token and adjacent-bigram
+    stats, for any token stream (docs with <1 token emit no row)."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from hunt_ray.pipelines.curate import repetition_batch
+
+    batch = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array([" ".join(d) for d in docs]),
+    })
+    out = repetition_batch(batch).to_pandas().set_index("doc_id")
+    for did, toks in enumerate(docs):
+        if not toks:
+            assert did not in out.index
+            continue
+        row = out.loc[did]
+        assert row["n_tokens"] == len(toks)
+        assert row["dup_token_ratio"] == round(1 - len(set(toks)) / len(toks), 6)
+        bigrams = Counter(zip(toks, toks[1:]))
+        if bigrams:
+            top = max(bigrams.values())
+            assert row["top_bigram_n"] == top
+            assert row["top_bigram_frac"] == round(top / sum(bigrams.values()), 6)
+        else:
+            assert row["top_bigram_n"] == 0
+            assert row["top_bigram_frac"] == 0.0
