@@ -115,7 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(round_cols, batch_format="pyarrow")
 
-    from hunt_ray.pipelines import curate, events
+    from hunt_ray.pipelines import curate, events, sketch
 
     return {
         # --- inverted-index feed + term statistics (SURVEY §2.2/§2.5)
@@ -172,8 +172,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_source_cap": lambda sf: curate.source_cap(sf, k=20),
         # deterministic per-lang stratified sample (md5 draw, oracle-compat)
         "q_sample_stratified": curate.sample_stratified,
+        # token-budget mixture: greedy per-lang fill in draw order
+        "q_quota_by_lang": curate.quota_by_lang,
+        # KMV distinct-count sketch (mergeable k-smallest summaries);
+        # deterministic md5 hashing makes even the sketch exactly oracled
+        "q_distinct_kmv": sketch.distinct_bigrams_kmv,
         # gap-based sessionization over events — keyed-window map_groups
         "q_sessionize": lambda sf: events.sessionize(sf, gap_minutes=480),
+        # tumbling calendar windows — partial+final combine
+        "q_window_agg": events.window_agg,
+        # per-user as-of join (click → most recent prior view),
+        # deterministic tie-break on (ts, event_id)
+        "q_asof_join": events.asof_join,
         # --- multimodal plumbing (driver mandate; decode stubbed)
         "q_multimodal_features": lambda sf: multimodal.decode_features(
             flagship.ensure_pages(sf)),
@@ -603,6 +613,40 @@ FROM tok t LEFT JOIN top ON t.doc_id = top.doc_id
             "WHERE (CASE lang WHEN 'en' THEN 128 WHEN 'de' THEN 64 ELSE 32 END) "
             "> CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER)"
         ),
+        # the k-th smallest md5-derived hash of the distinct bigrams is a
+        # pure function of the data — the KMV estimate is exactly SQL-
+        # reproducible (est = (k−1) / (h_k / (2⁶⁴−1)), exact when n ≤ k)
+        "q_distinct_kmv": """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS pos
+  FROM documents),
+big AS (SELECT DISTINCT a.lang, a.term || ' ' || b.term AS bg
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+h AS (SELECT DISTINCT lang, ('0x' || substring(md5(bg), 1, 16))::UBIGINT AS h
+      FROM big),
+r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n FROM h)
+SELECT lang, 64::BIGINT AS k,
+       CASE WHEN n <= 64 THEN n::DOUBLE
+            ELSE round((64 - 1) / (h / 18446744073709551615.0), 4) END
+         AS est_distinct
+FROM r WHERE rk = least(64, n)
+""",
+        # greedy fill: keep a doc iff the tokens of previously kept docs
+        # (draw order: md5(doc_id), doc_id) are still under the budget
+        "q_quota_by_lang": f"""
+WITH toks AS (SELECT doc_id, count(*)::BIGINT AS n_tokens
+              FROM ({_TOKENS}) GROUP BY doc_id),
+d AS (SELECT doc.doc_id, doc.lang, coalesce(toks.n_tokens, 0) AS n_tokens,
+             md5(CAST(doc.doc_id AS VARCHAR)) AS draw
+      FROM documents doc LEFT JOIN toks USING (doc_id)),
+c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY draw, doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens AS prior
+      FROM d)
+SELECT doc_id, lang, n_tokens::BIGINT AS n_tokens FROM c
+WHERE prior < (CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 1500 ELSE 800 END)
+""",
         "q_sessionize": """
 WITH e AS (
   SELECT user_id, ts, event_id,
@@ -617,6 +661,28 @@ SELECT user_id::BIGINT AS user_id, session_seq::BIGINT AS session_seq,
        count(*)::BIGINT AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM s GROUP BY user_id, session_seq
+""",
+        # integer-cent summation (values carry 2 decimals): exact and
+        # summation-order-free on both sides, unlike a rounded float sum
+        "q_window_agg": (
+            "SELECT date_trunc('hour', ts) AS win, event_type, "
+            "count(*)::BIGINT AS n, "
+            "sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        # window-function formulation (not ASOF JOIN: DuckDB's ASOF picks
+        # an arbitrary row among equal-ts matches; rn=1 over (ts DESC,
+        # event_id DESC) pins the engine's deterministic tie-break)
+        "q_asof_join": """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+j AS (
+  SELECT c.event_id, c.user_id, v.event_id AS view_event_id,
+         epoch_us(c.ts) - epoch_us(v.ts) AS lag_us,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+  FROM c JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts)
+SELECT event_id, user_id, view_event_id, lag_us FROM j WHERE rn = 1
 """,
         # q_minhash_dedup / q_knn_ivf / q_embedding_dedup_lsh /
         # q_multimodal_features|resize|frames / q_index_search /

@@ -70,14 +70,15 @@ def word_ngram_hashes(batch: pa.Table, n: int) -> tuple[np.ndarray, list]:
                 g ^= (w[:, j] + np.uint64(j + 1)) * _NGMIX[j % len(_NGMIX)]
         valid = d[: m - n + 1] == d[n - 1:]
         vd, vg = d[: m - n + 1][valid], g[valid]
-        order = np.lexsort((vg, vd))
-        vd, vg = vd[order], vg[order]
-        keep = np.r_[True, (vd[1:] != vd[:-1]) | (vg[1:] != vg[:-1])]
-        vd, vg = vd[keep], vg[keep]
-        starts = np.flatnonzero(np.r_[True, vd[1:] != vd[:-1]])
-        ends = np.r_[starts[1:], len(vd)]
-        for lo, hi in zip(starts, ends):
-            gmap[int(vd[lo])] = vg[lo:hi]
+        if vd.size:  # every window may straddle doc boundaries
+            order = np.lexsort((vg, vd))
+            vd, vg = vd[order], vg[order]
+            keep = np.r_[True, (vd[1:] != vd[:-1]) | (vg[1:] != vg[:-1])]
+            vd, vg = vd[keep], vg[keep]
+            starts = np.flatnonzero(np.r_[True, vd[1:] != vd[:-1]])
+            ends = np.r_[starts[1:], len(vd)]
+            for lo, hi in zip(starts, ends):
+                gmap[int(vd[lo])] = vg[lo:hi]
     return doc_ids, [gmap.get(int(did), np.empty(0, np.uint64))
                      for did in doc_ids]
 
@@ -260,3 +261,59 @@ def sample_stratified(sf_dir: str, *, rates: dict[str, int] | None = None,
 
     ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "lang"])
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- token quotas
+
+def quota_by_lang(sf_dir: str, *, budgets: dict[str, int] | None = None,
+                  default_budget: int = 800):
+    """Token-budget mixture sampling: per language, keep docs in a
+    deterministic draw order (md5(doc_id), doc_id) until the kept docs'
+    token total reaches the language's budget — how a training mixture is
+    actually assembled ("N tokens of lang X"). Greedy fill: a doc is kept
+    iff the tokens of previously kept docs are still under budget, so the
+    total lands in [budget, budget + one doc).
+
+    Shape: token counts in-map (one short row per doc rides the shuffle),
+    then ``groupby(lang).map_groups`` with a vectorized sort + cumsum.
+    Per-group state is one language's (doc_id, tokens, draw) rows — at
+    web scale, pre-aggregate the draw axis into quantile buckets and fill
+    bucket-by-bucket so no group materializes a whole language (the same
+    two-level refinement as the head-term salting in the index build).
+    Deterministic and resumable: the draw is a pure function of doc_id.
+    """
+    import ray.data as rd
+
+    budgets = budgets if budgets is not None else {"en": 4000, "de": 1500}
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        df = _flat_tokens(batch)
+        cnt = df.group_by("doc_id").agg(n_tokens=pl.len().cast(pl.Int64))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        base = pl.DataFrame({
+            "doc_id": ids,
+            "lang": pl.from_arrow(batch.column("lang").combine_chunks()
+                                  if isinstance(batch.column("lang"), pa.ChunkedArray)
+                                  else batch.column("lang")),
+            "draw": [hashlib.md5(str(int(i)).encode()).hexdigest()
+                     for i in ids],
+        })
+        out = base.join(cnt, on="doc_id", how="left").fill_null(0)
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("lang", pa.string()),
+            ("draw", pa.string()), ("n_tokens", pa.int64())]))
+
+    def fill(group: pa.Table) -> pa.Table:
+        lang = group.column("lang")[0].as_py()
+        budget = budgets.get(lang, default_budget)
+        draw = np.asarray(group.column("draw").to_pylist())
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = group.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, draw))
+        prior = np.cumsum(toks[order]) - toks[order]
+        keep = np.sort(order[prior < budget])
+        return group.take(keep).select(["doc_id", "lang", "n_tokens"])
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text", "lang"])
+    return (ds.map_batches(doc_rows, batch_format="pyarrow")
+            .groupby("lang").map_groups(fill, batch_format="pyarrow"))

@@ -80,3 +80,104 @@ def sessionize(sf_dir: str, *, gap_minutes: int = 480):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_id"])
     return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+def window_agg(sf_dir: str, *, unit: str = "hour"):
+    """Tumbling-window aggregate: events bucketed into calendar windows
+    (``floor_temporal``), counts + value sums per (window, event_type).
+    Partial combine per batch (the shuffle moves one row per (window,
+    type, batch), never an event), then a small global groupby — the
+    partial+final pattern; window count grows with time span, not volume.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(batch.column("ts"), unit=unit)
+        # sum in integer cents: float summation order differs between the
+        # partial+final combine and any oracle, so a float sum is only
+        # ulp-reproducible — the cent sum is exact and order-free
+        cents = np.round(batch.column("value").to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        df = pl.DataFrame({
+            "win": pl.from_arrow(win.combine_chunks()
+                                 if isinstance(win, pa.ChunkedArray) else win),
+            "event_type": pl.from_arrow(batch.column("event_type").combine_chunks()
+                                        if isinstance(batch.column("event_type"), pa.ChunkedArray)
+                                        else batch.column("event_type")),
+            "cents": cents,
+        })
+        out = df.group_by(["win", "event_type"]).agg(
+            n=pl.len().cast(pl.Int64), cents=pl.col("cents").sum())
+        return out.to_arrow().cast(pa.schema([
+            ("win", pa.timestamp("us")), ("event_type", pa.string()),
+            ("n", pa.int64()), ("cents", pa.int64())]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        i = batch.column_names.index("cents")
+        val = pc2.divide(pc2.cast(batch.column("cents"), pa.float64()), 100.0)
+        return batch.remove_column(i).append_column("sum_value", val)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["win", "event_type"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("cents", alias_name="cents"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def asof_join(sf_dir: str, *, left_type: str = "click",
+              right_type: str = "view"):
+    """Per-user as-of join: each ``left_type`` event matched to the most
+    recent ``right_type`` event with ts ≤ its own (ties on ts broken by
+    max event_id — deterministic, unlike a bare SQL ASOF JOIN); left
+    events with no prior match are dropped (inner semantics).
+
+    The composition the driver calls out for operators Ray Data lacks:
+    ``groupby(user_id).map_groups`` + an in-group ``searchsorted`` over
+    the time-sorted right side — no per-row Python, per-group memory =
+    one user's events. Same user-keyed partitioning assumption as
+    :func:`sessionize`.
+    """
+    import ray.data as rd
+
+    def join(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        lm, rm = et == left_type, et == right_type
+        empty = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                           ("view_event_id", pa.int64()),
+                           ("lag_us", pa.int64())]).empty_table()
+        if not lm.any() or not rm.any():
+            return empty
+        out = []
+        # a map_groups group is one user, but stay correct for any batch
+        for u in np.unique(uid):
+            l = lm & (uid == u)
+            r = rm & (uid == u)
+            if not l.any() or not r.any():
+                continue
+            order = np.lexsort((eid[r], ts[r]))
+            rts, rid = ts[r][order], eid[r][order]
+            idx = np.searchsorted(rts, ts[l], side="right") - 1
+            ok = idx >= 0
+            out.append((eid[l][ok], np.full(int(ok.sum()), u, np.int64),
+                        rid[idx[ok]], ts[l][ok] - rts[idx[ok]]))
+        if not out:
+            return empty
+        return pa.table({
+            "event_id": pa.array(np.concatenate([o[0] for o in out]), pa.int64()),
+            "user_id": pa.array(np.concatenate([o[1] for o in out]), pa.int64()),
+            "view_event_id": pa.array(np.concatenate([o[2] for o in out]), pa.int64()),
+            "lag_us": pa.array(np.concatenate([o[3] for o in out]), pa.int64()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "event_type"])
+    return ds.groupby("user_id").map_groups(join, batch_format="pyarrow")

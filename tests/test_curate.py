@@ -184,3 +184,125 @@ def test_sessionize_gap_boundaries(tmp_path):
            .sort_values(["user_id", "session_seq"]).reset_index(drop=True))
     assert out[["user_id", "session_seq", "n_events"]].values.tolist() == [
         [1, 1, 3], [1, 2, 1], [2, 1, 1]]
+
+
+def test_window_agg_matches_oracle(entry):
+    got = _assert_matches(entry, "q_window_agg", min_rows=50)
+    assert (got.n >= 1).all()
+    assert got.event_type.nunique() >= 3
+
+
+def test_asof_join_matches_oracle(entry):
+    got = _assert_matches(entry, "q_asof_join", min_rows=20)
+    assert (got.lag_us >= 0).all()              # match is never in the future
+    assert got.event_id.is_unique               # one match per left event
+
+
+def test_asof_join_tie_and_inner_semantics(tmp_path):
+    """Equal-ts view matches (ts ≤), max event_id wins among equal-ts
+    views, and clicks before any view are dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.pipelines.events import asof_join
+
+    t0 = 1_700_000_000_000_000
+    rows = [  # (user, ts, event_id, type)
+        (1, t0 - 5, 0, "click"),      # before any view → dropped
+        (1, t0, 1, "view"),
+        (1, t0, 2, "view"),           # same ts: max event_id (2) wins
+        (1, t0, 3, "click"),          # equal ts matches (v.ts <= c.ts)
+        (1, t0 + 10, 4, "click"),
+        (2, t0 + 1, 5, "view"),
+        (2, t0 + 9, 6, "click"),
+    ]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()).cast(pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    }), tmp_path / "events.parquet")
+    out = (asof_join(str(tmp_path)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert out[["event_id", "view_event_id", "lag_us"]].values.tolist() == [
+        [3, 2, 0], [4, 2, 10], [6, 5, 8]]
+
+
+def test_quota_by_lang_matches_oracle(entry):
+    got = _assert_matches(entry, "q_quota_by_lang", min_rows=20)
+    # each language lands in [budget, budget + one doc): over budget but
+    # dropping its last-drawn doc would fall under
+    totals = got.groupby("lang").n_tokens.sum()
+    budgets = {"en": 4000, "de": 1500}
+    for lang, total in totals.items():
+        assert total >= budgets.get(lang, 800)
+
+
+def test_quota_by_lang_greedy_fill(tmp_path):
+    """Docs are taken in (md5(doc_id), doc_id) draw order until the budget
+    is crossed; the crossing doc is kept, later ones dropped."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.pipelines.curate import quota_by_lang
+
+    ids = list(range(10))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(["w1 w2 w3 w4" for _ in ids]),   # 4 tokens each
+        "lang": pa.array(["xx"] * len(ids)),
+    }), tmp_path / "documents.parquet")
+    out = quota_by_lang(str(tmp_path), budgets={},
+                        default_budget=10).to_pandas()
+    # greedy: prior < 10 keeps the first 3 docs in draw order (0,4,8 prior)
+    order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    assert sorted(out.doc_id) == sorted(order[:3])
+    assert out.n_tokens.sum() == 12               # crossed the budget of 10
+
+
+def test_distinct_kmv_matches_oracle(entry):
+    got = _assert_matches(entry, "q_distinct_kmv", min_rows=3)
+    assert (got.k == 64).all()
+    # accuracy: within 25% of the exact distinct-bigram count per lang
+    # (k=64 → expected relative error ~1/√62 ≈ 13%)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    exact = con.execute("""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS pos
+  FROM documents)
+SELECT a.lang, count(DISTINCT a.term || ' ' || b.term) AS n
+FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY a.lang""").df().set_index("lang").n
+    for _, row in got.iterrows():
+        assert abs(row.est_distinct / exact[row.lang] - 1) < 0.25
+
+
+def test_kmv_exact_when_under_k(tmp_path):
+    """A corpus whose distinct-bigram count is ≤ k is counted exactly
+    (the sketch holds the full hash set), across multiple input blocks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.pipelines.sketch import distinct_bigrams_kmv
+
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    for f in range(3):  # same 5 bigrams in every block → union collapses
+        ids = list(range(f * 4, f * 4 + 4))
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(["w1 w2 w3 w4 w5 w6" for _ in ids]),
+            "lang": pa.array(["xx"] * len(ids)),
+        }), d / f"part-{f}.parquet")
+    out = distinct_bigrams_kmv(str(tmp_path), k=64).to_pandas()
+    assert out.lang.tolist() == ["xx"]
+    assert out.est_distinct.tolist() == [5.0]
