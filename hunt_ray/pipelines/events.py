@@ -51,6 +51,44 @@ def session_rows(uid: np.ndarray, ts: np.ndarray, eid: np.ndarray,
             "session_start": ts[starts], "session_end": ts[ends - 1]}
 
 
+def asof_rows(uid: np.ndarray, ts: np.ndarray, eid: np.ndarray,
+              et: np.ndarray, left_type: str, right_type: str
+              ) -> dict[str, np.ndarray]:
+    """The vectorized as-of kernel over one group of (user_id, ts_us,
+    event_id, event_type) rows: each left event joins the right event
+    with the max (ts, event_id) ≤ (its ts, ∞) for the same user; lefts
+    with no prior right are dropped. Pure numpy — property-tested
+    against a naive loop model."""
+    uid = np.asarray(uid, np.int64)
+    ts = np.asarray(ts, np.int64)
+    eid = np.asarray(eid, np.int64)
+    et = np.asarray(et)
+    lm, rm = et == left_type, et == right_type
+    z = np.empty(0, np.int64)
+    empty = {"event_id": z, "user_id": z, "view_event_id": z, "lag_us": z}
+    if not lm.any() or not rm.any():
+        return empty
+    out = []
+    # a map_groups group is one user, but stay correct for any batch
+    for u in np.unique(uid):
+        l = lm & (uid == u)
+        r = rm & (uid == u)
+        if not l.any() or not r.any():
+            continue
+        order = np.lexsort((eid[r], ts[r]))
+        rts, rid = ts[r][order], eid[r][order]
+        idx = np.searchsorted(rts, ts[l], side="right") - 1
+        ok = idx >= 0
+        out.append((eid[l][ok], np.full(int(ok.sum()), u, np.int64),
+                    rid[idx[ok]], ts[l][ok] - rts[idx[ok]]))
+    if not out:
+        return empty
+    return {"event_id": np.concatenate([o[0] for o in out]),
+            "user_id": np.concatenate([o[1] for o in out]),
+            "view_event_id": np.concatenate([o[2] for o in out]),
+            "lag_us": np.concatenate([o[3] for o in out])}
+
+
 def sessionize(sf_dir: str, *, gap_minutes: int = 480):
     """Per-user gap sessions: a new session starts when the time since the
     user's previous event exceeds ``gap_minutes``. Returns one row per
@@ -146,36 +184,17 @@ def asof_join(sf_dir: str, *, left_type: str = "click",
     import ray.data as rd
 
     def join(group: pa.Table) -> pa.Table:
-        et = group.column("event_type").to_numpy(zero_copy_only=False)
-        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = group.column("event_id").to_numpy(zero_copy_only=False)
-        uid = group.column("user_id").to_numpy(zero_copy_only=False)
-        lm, rm = et == left_type, et == right_type
-        empty = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
-                           ("view_event_id", pa.int64()),
-                           ("lag_us", pa.int64())]).empty_table()
-        if not lm.any() or not rm.any():
-            return empty
-        out = []
-        # a map_groups group is one user, but stay correct for any batch
-        for u in np.unique(uid):
-            l = lm & (uid == u)
-            r = rm & (uid == u)
-            if not l.any() or not r.any():
-                continue
-            order = np.lexsort((eid[r], ts[r]))
-            rts, rid = ts[r][order], eid[r][order]
-            idx = np.searchsorted(rts, ts[l], side="right") - 1
-            ok = idx >= 0
-            out.append((eid[l][ok], np.full(int(ok.sum()), u, np.int64),
-                        rid[idx[ok]], ts[l][ok] - rts[idx[ok]]))
-        if not out:
-            return empty
+        r = asof_rows(
+            group.column("user_id").to_numpy(zero_copy_only=False),
+            group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False),
+            group.column("event_id").to_numpy(zero_copy_only=False),
+            group.column("event_type").to_numpy(zero_copy_only=False),
+            left_type, right_type)
         return pa.table({
-            "event_id": pa.array(np.concatenate([o[0] for o in out]), pa.int64()),
-            "user_id": pa.array(np.concatenate([o[1] for o in out]), pa.int64()),
-            "view_event_id": pa.array(np.concatenate([o[2] for o in out]), pa.int64()),
-            "lag_us": pa.array(np.concatenate([o[3] for o in out]), pa.int64()),
+            "event_id": pa.array(r["event_id"], pa.int64()),
+            "user_id": pa.array(r["user_id"], pa.int64()),
+            "view_event_id": pa.array(r["view_event_id"], pa.int64()),
+            "lag_us": pa.array(r["lag_us"], pa.int64()),
         })
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",

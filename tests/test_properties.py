@@ -420,3 +420,37 @@ def test_repetition_batch_matches_counter_model(docs):
         else:
             assert row["top_bigram_n"] == 0
             assert row["top_bigram_frac"] == 0.0
+
+
+@given(st.lists(st.tuples(st.integers(0, 3),         # user
+                          st.integers(0, 50),        # ts
+                          st.integers(0, 10**6),     # event_id
+                          st.sampled_from(["L", "R", "x"])),
+                max_size=120))
+@settings(max_examples=80, deadline=None)
+def test_asof_kernel_matches_naive_model(rows):
+    """Vectorized as-of kernel == a loop model: every L event joins the R
+    event with max (ts, event_id) at or before it for the same user;
+    unmatched Ls drop. Duplicate timestamps and ties included."""
+    import numpy as np
+
+    from hunt_ray.pipelines.events import asof_rows
+
+    uid = np.asarray([r[0] for r in rows], np.int64)
+    ts = np.asarray([r[1] for r in rows], np.int64)
+    eid = np.asarray([r[2] for r in rows], np.int64)
+    et = np.asarray([r[3] for r in rows])
+    got = asof_rows(uid, ts, eid, et, "L", "R")
+    got_rows = sorted(zip(got["event_id"].tolist(), got["user_id"].tolist(),
+                          got["view_event_id"].tolist(), got["lag_us"].tolist()))
+
+    want = []
+    for (u, t, e, k) in rows:
+        if k != "L":
+            continue
+        cands = [(rt, re) for (ru, rt, re, rk) in rows
+                 if rk == "R" and ru == u and rt <= t]
+        if cands:
+            bt, be = max(cands)
+            want.append((e, u, be, t - bt))
+    assert got_rows == sorted(want)

@@ -240,3 +240,26 @@ def test_collect_lookups_covers_ast(serve_index):
     sr, rr_ = p.collect_lookups(
         parse_query("datecontext:[2013-01-01 TO 2013-06-30]"))
     assert any(cx == "datecontext" for cx, _, _ in rr_)
+
+
+def test_concurrent_reads_identical(serve_index):
+    """16 threads hammering one serve-mode engine get exactly the serial
+    results — backs the HTTP server's concurrent-read design (reads are
+    lock-free; only mutations serialize, hunt_ray/query/commands.py)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    remote_reader = RemoteIndexReader(serve_index, n_actors=2, doc_shards=3)
+    remote = SearchEngine.from_reader(remote_reader)
+    try:
+        serial = {q: [(h.url, h.score) for h in
+                      remote.search(q, limit=10).result]
+                  for q in QUERIES}
+        jobs = QUERIES * 4  # 32 queries over 16 threads, caches shared
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            results = list(ex.map(
+                lambda q: (q, [(h.url, h.score) for h in
+                               remote.search(q, limit=10).result]), jobs))
+        for q, got in results:
+            assert got == serial[q], q
+    finally:
+        remote_reader.shutdown()
