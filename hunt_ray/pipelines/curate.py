@@ -1,6 +1,6 @@
 """Corpus-curation pipelines for LLM training data: eval-set
 decontamination, repetition (Gopher-style) quality stats, per-source doc
-caps, and deterministic stratified sampling.
+caps, deterministic stratified sampling, and token-budget mixture quotas.
 
 Scale shapes (what matters at 100 TB):
 
