@@ -154,6 +154,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # persisted IVF: bucket-partitioned parquet layout, search reads
         # only probed bucket dirs; == transient knn_ivf (pytest-pinned)
         "q_knn_ivf_indexed": lambda sf: similarity.knn_ivf_indexed(sf, KNN_QUERY_IDS, 10),
+        # k-means under the deterministic init centroids (exactly oracled;
+        # the iterated fit is float-order-dependent → pytest-verified)
+        "q_kmeans_assign": lambda sf: similarity.kmeans_assign_fixed(sf, k=8),
+        # self-checking clustering probe: the Lloyd's objective (mean
+        # assigned cosine) recorded before every update must be
+        # non-decreasing — one row per pass with a boolean verdict
+        "q_kmeans_objective": lambda sf: similarity.kmeans_objective(
+            sf, k=10, iters=5),
+        # SemDeDup-style cluster-local near-dup pairs, multi-probe
+        # assignment (recall vs brute embedding_dedup measured in pytest
+        # and driver-visible in q_dedup_recall)
+        "q_semantic_dedup": lambda sf: similarity.semantic_dedup(
+            sf, threshold=0.45, k=10, iters=5),
         # --- text analysis (driver mandate)
         "q_lang_id": textstats.lang_id,
         # whitespace + BPE-ish (GPT-2-shaped regex) token budgets per doc
@@ -174,6 +187,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sample_stratified": curate.sample_stratified,
         # token-budget mixture: greedy per-lang fill in draw order
         "q_quota_by_lang": curate.quota_by_lang,
+        # PII redaction (synthetic PII injected deterministically — the
+        # fixture corpus has none): count-then-replace pure map
+        "q_redact_pii": curate.redact_pii,
+        # per-source quality rollup + the domain filter over it
+        "q_source_rollup": curate.source_rollup,
+        "q_source_filter": curate.source_filter,
+        # cross-doc repeated word-n-grams (passage-dedup signal):
+        # gram-bucketed df, per-doc sums — two keyed shuffles
+        "q_repeated_ngrams": lambda sf: curate.repeated_ngrams(sf, n=6),
         # KMV distinct-count sketch (mergeable k-smallest summaries);
         # deterministic md5 hashing makes even the sketch exactly oracled
         "q_distinct_kmv": sketch.distinct_bigrams_kmv,
@@ -647,6 +669,71 @@ c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY draw, doc_id
 SELECT doc_id, lang, n_tokens::BIGINT AS n_tokens FROM c
 WHERE prior < (CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 1500 ELSE 800 END)
 """,
+        "q_redact_pii": _redact_pii_oracle_sql(),
+        "q_source_rollup": f"""
+WITH agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum(CASE WHEN term IN ('the','a','of','and','to')
+             THEN 1 ELSE 0 END)::BIGINT AS n_stop
+  FROM ({_TOKENS}) GROUP BY doc_id)
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       coalesce(sum(agg.n_tokens), 0)::BIGINT AS n_tokens,
+       CASE WHEN coalesce(sum(agg.n_tokens), 0) = 0 THEN 0.0
+            ELSE round(sum(agg.n_stop)::DOUBLE / sum(agg.n_tokens), 6) END
+         AS stopword_ratio
+FROM documents d LEFT JOIN agg USING (doc_id) GROUP BY d.source
+""",
+        # same rollup, thresholded (n_docs >= 1, ratio <= 0.065 — chosen
+        # to split the fixture's 0.041-0.076 per-source ratio range), then
+        # a semi-join back to the docs
+        "q_source_filter": f"""
+WITH agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum(CASE WHEN term IN ('the','a','of','and','to')
+             THEN 1 ELSE 0 END)::BIGINT AS n_stop
+  FROM ({_TOKENS}) GROUP BY doc_id),
+roll AS (
+  SELECT d.source, count(*)::BIGINT AS n_docs,
+         CASE WHEN coalesce(sum(agg.n_tokens), 0) = 0 THEN 0.0
+              ELSE round(sum(agg.n_stop)::DOUBLE / sum(agg.n_tokens), 6) END
+           AS stopword_ratio
+  FROM documents d LEFT JOIN agg USING (doc_id) GROUP BY d.source),
+ok AS (SELECT source FROM roll
+       WHERE n_docs >= 1 AND stopword_ratio <= 0.065)
+SELECT d.doc_id, d.source, d.lang FROM documents d JOIN ok USING (source)
+""",
+        # distinct word-6-grams shared with >=1 OTHER doc, counted per doc
+        # (the engine matches on 64-bit gram hashes — same collision
+        # caveat as q_decontaminate)
+        "q_repeated_ngrams": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+5], ' ') AS g
+  FROM toks,
+       UNNEST(CASE WHEN len(ts) >= 6 THEN range(1, len(ts)-4) ELSE [] END) AS t(i)),
+df AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2)
+SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_repeated_grams
+FROM grams JOIN df USING (g) GROUP BY doc_id
+""",
+        # zero-iteration spherical k-means assignment: centroids are the
+        # embeddings of vec_ids 0..7 (the engine's deterministic init);
+        # argmax tie-break = lowest cluster id
+        "q_kmeans_assign": """
+WITH c AS (SELECT vec_id AS cluster, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 8),
+a AS (SELECT e.vec_id, c.cluster,
+             list_cosine_similarity(c.cv, e.embedding::DOUBLE[]) AS cos
+      FROM embeddings e CROSS JOIN c),
+r AS (SELECT vec_id, cluster, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cluster ASC) AS rk
+      FROM a)
+SELECT vec_id::BIGINT AS vec_id, cluster::BIGINT AS cluster,
+       round(cos, 6) AS cosine
+FROM r WHERE rk = 1
+""",
         "q_sessionize": """
 WITH e AS (
   SELECT user_id, ts, event_id,
@@ -686,9 +773,25 @@ SELECT event_id, user_id, view_event_id, lag_us FROM j WHERE rn = 1
 """,
         # q_minhash_dedup / q_knn_ivf / q_embedding_dedup_lsh /
         # q_multimodal_features|resize|frames / q_index_search /
-        # q_rank_identity: non-SQL-expressible (seeded hash permutations,
-        # probabilistic recall, index-state probes) → rows-only by design.
+        # q_rank_identity / q_kmeans_objective / q_semantic_dedup:
+        # non-SQL-expressible (seeded hash permutations, probabilistic
+        # recall, float-order-dependent iterative fits, index-state
+        # probes) → rows-only by design.
     }
+
+
+def _redact_pii_oracle_sql() -> str:
+    from hunt_ray.pipelines.curate import PII_PATTERNS, synth_pii_expr_sql
+
+    red = "t"
+    counts = []
+    for name, pat, tok in PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name}s")
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return (f"WITH aug AS (SELECT doc_id, {synth_pii_expr_sql()} AS t "
+            "FROM documents)\n"
+            f"SELECT doc_id, {', '.join(counts)}, md5({red}) AS redacted_md5 "
+            "FROM aug")
 
 
 def _index_bm25_oracle_sql() -> str:

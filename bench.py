@@ -304,6 +304,18 @@ def run_bench() -> dict:
     t = time.time()
     events.sessionize(SF_DIR).count()
     timings["sessionize"] = round(time.time() - t, 3)
+    t = time.time()
+    curate.redact_pii(SF_DIR).count()
+    timings["redact_pii"] = round(time.time() - t, 3)
+    t = time.time()
+    curate.repeated_ngrams(SF_DIR).count()
+    timings["repeated_ngrams"] = round(time.time() - t, 3)
+    t = time.time()
+    curate.source_rollup(SF_DIR).count()
+    timings["source_rollup"] = round(time.time() - t, 3)
+    t = time.time()
+    similarity.semantic_dedup(SF_DIR).count()
+    timings["semantic_dedup"] = round(time.time() - t, 3)
 
     out = {
         "metric": "index-build seconds (50k-doc corpus) + query latency",

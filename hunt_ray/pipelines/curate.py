@@ -1,6 +1,7 @@
 """Corpus-curation pipelines for LLM training data: eval-set
 decontamination, repetition (Gopher-style) quality stats, per-source doc
-caps, deterministic stratified sampling, and token-budget mixture quotas.
+caps, deterministic stratified sampling, token-budget mixture quotas,
+PII redaction, and per-source quality rollups/filters.
 
 Scale shapes (what matters at 100 TB):
 
@@ -17,6 +18,12 @@ Scale shapes (what matters at 100 TB):
 - sample_stratified: pure per-batch map keyed on a deterministic hash of
   doc_id — resumable and reproducible by construction (re-running a shard
   keeps the same sample).
+- redact_pii: pure per-batch map (compiled-regex replace_all in polars'
+  Rust regex engine), no shuffle; count-then-replace on each batch.
+- source_rollup / source_filter: partial per-batch per-source sums (a few
+  short rows per source per batch ride the shuffle, never the text), one
+  small groupby; the filter broadcasts the tiny passing-source set and
+  re-streams the corpus once.
 
 The reference has no corpus-curation surface (it indexes what it is
 given); these follow the driver mandate for training-data pipeline
@@ -147,6 +154,58 @@ def decontaminate(sf_dir: str, *, n: int = 4, eval_mod: int = 19):
 
     ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- repeated passages
+
+def repeated_ngrams(sf_dir: str, *, n: int = 6, num_buckets: int = 32):
+    """Cross-document repeated-passage detection (the corpus-vs-corpus
+    sibling of :func:`decontaminate`, à la Lee et al. "Deduplicating
+    Training Data Makes Language Models Better"): for every doc, count its
+    distinct word-n-grams that also occur in ≥1 *other* doc — the signal
+    behind passage-level dedup and boilerplate stripping.
+
+    Shape: one pass emits distinct (gram-hash, doc_id) rows; grams are
+    hash-bucketed (``gram % num_buckets``) so each ``map_groups`` call
+    holds one bucket (a gram never straddles buckets — per-gram df is
+    exact bucket-locally); per-doc partial counts from each bucket then
+    sum through one tiny ``groupby(doc_id)``. Nothing corpus-sized on the
+    driver; bucket count scales with the gram-row estimate (same sizing
+    hazard as n-gram Jaccard, see ``_auto_num_buckets``).
+
+    Matching is on 64-bit gram hashes — exact vs the string-matching
+    oracle up to ~1e-11 collision odds at fixture size (use 128-bit at
+    true web scale).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    P = max(2, num_buckets)
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids, hs = word_ngram_hashes(batch, n)
+        counts = np.asarray([len(h) for h in hs], dtype=np.int64)
+        flat = (np.concatenate(hs) if len(hs) else np.empty(0, np.uint64))
+        dids = np.repeat(np.asarray(ids, dtype=np.int64), counts)
+        return pa.table({
+            "bucket": pa.array((flat % np.uint64(P)).astype(np.int64), pa.int64()),
+            "gram": pa.array(flat, pa.uint64()),
+            "doc_id": pa.array(dids, pa.int64())})
+
+    def bucket_partial(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group.select(["gram", "doc_id"]))
+        rep = (df.group_by("gram").agg(df_g=pl.len())
+               .filter(pl.col("df_g") >= 2))
+        out = (df.join(rep, on="gram", how="inner")
+               .group_by("doc_id").agg(n_rep=pl.len().cast(pl.Int64)))
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("n_rep", pa.int64())]))
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return (ds.map_batches(gram_rows, batch_format="pyarrow")
+            .groupby("bucket").map_groups(bucket_partial, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("n_rep", alias_name="n_repeated_grams")))
 
 
 # ---------------------------------------------------------------- repetition
@@ -317,3 +376,160 @@ def quota_by_lang(sf_dir: str, *, budgets: dict[str, int] | None = None,
     ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text", "lang"])
     return (ds.map_batches(doc_rows, batch_format="pyarrow")
             .groupby("lang").map_groups(fill, batch_format="pyarrow"))
+
+
+# ------------------------------------------------------------- PII redaction
+
+# One pattern string per PII class, shared verbatim between polars (Rust
+# regex) and the DuckDB oracle (RE2): no lookarounds, no backrefs — the
+# common leftmost-first subset where both engines match identically.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{4}", "<PHONE>"),
+)
+
+
+def synth_pii_expr_sql() -> str:
+    """The SQL twin of :func:`_with_synthetic_pii` (kept adjacent so the
+    two stay in lockstep)."""
+    return ("text || ' contact doc' || doc_id || '@mail.example.com from 10.' "
+            "|| (doc_id % 256) || '.0.' || (doc_id % 100) "
+            "|| ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')")
+
+
+def _with_synthetic_pii(df: pl.DataFrame) -> pl.DataFrame:
+    """Append deterministic synthetic PII derived from doc_id. The fixture
+    corpus contains no PII by construction (and the driver mandates no
+    external data), so the driver-visible probe injects one email, one
+    IPv4 and one phone number per doc — identically on the engine and the
+    oracle side — to exercise the redaction kernel non-vacuously."""
+    did = pl.col("doc_id")
+    return df.with_columns(
+        text=pl.col("text") + " contact doc" + did.cast(pl.String)
+        + "@mail.example.com from 10." + (did % 256).cast(pl.String)
+        + ".0." + (did % 100).cast(pl.String) + " call +1-555-"
+        + (did % 10000).cast(pl.String).str.zfill(4))
+
+
+def redact_pii_batch(batch: pa.Table, *, synthesize: bool = False) -> pa.Table:
+    """Count-then-replace each PII class (order: email, ip, phone — the
+    replacement tokens contain no digits or '@', so no pass can create a
+    match for a later one). Returns per-doc counts plus md5 of the
+    redacted text (the oracle-compat scalar stage, like ``md5_batch``) —
+    production redaction would write the redacted text column itself."""
+    df = pl.DataFrame({
+        "doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
+        "text": pl.from_arrow(batch.column("text").combine_chunks()
+                              if isinstance(batch.column("text"), pa.ChunkedArray)
+                              else batch.column("text")),
+    })
+    if synthesize:
+        df = _with_synthetic_pii(df)
+    red = pl.col("text")
+    counts = {}
+    for name, pat, tok in PII_PATTERNS:
+        counts[f"n_{name}s"] = pl.col("text").str.count_matches(pat).cast(pl.Int64)
+        red = red.str.replace_all(pat, tok)
+    out = df.with_columns(redacted=red, **counts)
+    md5 = [hashlib.md5(t.encode()).hexdigest()
+           for t in out["redacted"].to_list()]
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+        "n_emails": out["n_emails"].to_arrow(),
+        "n_ips": out["n_ips"].to_arrow(),
+        "n_phones": out["n_phones"].to_arrow(),
+        "redacted_md5": pa.array(md5, pa.string()),
+    })
+
+
+def redact_pii(sf_dir: str, *, synthesize: bool = True):
+    """PII redaction pass over the corpus — pure map, no shuffle. With
+    ``synthesize`` (the driver probe) deterministic PII is injected first;
+    on a real corpus pass ``synthesize=False``."""
+    import ray.data as rd
+
+    from functools import partial
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(partial(redact_pii_batch, synthesize=synthesize),
+                          batch_format="pyarrow")
+
+
+# ---------------------------------------------------- per-source quality
+
+def _source_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch per-source partial sums (docs, tokens, stopword hits) —
+    the combiner half of the rollup; a few short rows per source per
+    batch, never the text."""
+    from .textstats import STOPWORDS
+
+    df = _flat_tokens(batch)
+    tok = df.group_by("doc_id").agg(
+        n_tokens=pl.len().cast(pl.Int64),
+        n_stop=pl.col("term").is_in(list(STOPWORDS)).sum().cast(pl.Int64))
+    base = pl.DataFrame({
+        "doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
+        "source": pl.from_arrow(batch.column("source").combine_chunks()
+                                if isinstance(batch.column("source"), pa.ChunkedArray)
+                                else batch.column("source")),
+    })
+    out = (base.join(tok, on="doc_id", how="left").fill_null(0)
+           .group_by("source").agg(
+               n_docs=pl.len().cast(pl.Int64),
+               n_tokens=pl.col("n_tokens").sum().cast(pl.Int64),
+               n_stop=pl.col("n_stop").sum().cast(pl.Int64)))
+    return out.to_arrow().cast(pa.schema([
+        ("source", pa.string()), ("n_docs", pa.int64()),
+        ("n_tokens", pa.int64()), ("n_stop", pa.int64())]))
+
+
+def source_rollup(sf_dir: str):
+    """Per-source quality rollup: n_docs, total tokens, micro-averaged
+    stopword ratio (Σstop/Σtokens) — the per-host statistics behind
+    C4/RefinedWeb-style domain filtering. Partial sums per batch, one
+    small groupby over (sources × batches) short rows."""
+    import ray.data as rd
+
+    def final(group: pa.Table) -> pa.Table:
+        nd = int(np.sum(group.column("n_docs").to_numpy(zero_copy_only=False)))
+        nt = int(np.sum(group.column("n_tokens").to_numpy(zero_copy_only=False)))
+        ns = int(np.sum(group.column("n_stop").to_numpy(zero_copy_only=False)))
+        ratio = round(ns / nt, 6) if nt else 0.0
+        return pa.table({"source": group.column("source").slice(0, 1),
+                         "n_docs": pa.array([nd], pa.int64()),
+                         "n_tokens": pa.array([nt], pa.int64()),
+                         "stopword_ratio": pa.array([ratio], pa.float64())})
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text", "source"])
+    return (ds.map_batches(_source_partial, batch_format="pyarrow")
+            .groupby("source").map_groups(final, batch_format="pyarrow"))
+
+
+def source_filter(sf_dir: str, *, min_docs: int = 1,
+                  max_stopword_ratio: float = 0.065):
+    """Keep docs only from sources whose rollup passes (n_docs ≥ min_docs
+    and stopword_ratio ≤ max_stopword_ratio) — domain-level filtering.
+    The passing-source set is tiny (hosts, not docs): collected on the
+    driver, broadcast once via ``ray.put``, then the corpus streams
+    through one vectorized membership filter."""
+    import ray
+    import ray.data as rd
+
+    roll = source_rollup(sf_dir)
+    passing = []
+    for b in roll.iter_batches(batch_format="pyarrow"):
+        m = (np.asarray(b.column("n_docs").to_numpy(zero_copy_only=False))
+             >= min_docs) & \
+            (np.asarray(b.column("stopword_ratio").to_numpy(zero_copy_only=False))
+             <= max_stopword_ratio)
+        passing.extend(s for s, ok in zip(b.column("source").to_pylist(), m) if ok)
+    ok_ref = ray.put(np.asarray(sorted(set(passing)), dtype=object))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = ray.get(ok_ref)
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        return batch.filter(pa.array(np.isin(src, ok)))
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "source", "lang"])
+    return ds.map_batches(keep, batch_format="pyarrow")

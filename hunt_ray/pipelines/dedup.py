@@ -964,7 +964,8 @@ def dedup_recall(sf_dir: str, *, minhash_threshold: float = 0.5,
     """Self-checking recall probe (mirrors q_rank_identity): measure each
     probabilistic dedup against its EXACT sibling over the same measure —
     MinHash-LSH vs exact word-shingle Jaccard (``shingle_jaccard_exact``,
-    identical shingle universe), embedding-LSH vs brute-force cosine.
+    identical shingle universe), embedding-LSH vs brute-force cosine, and
+    SemDeDup-style cluster-local pairs vs the same brute cosine.
     One row per method with measured recall, the stated floor, and an
     ``ok`` verdict; false positives are impossible by construction (both
     probe pipelines verify exactly inside buckets), asserted via
@@ -981,11 +982,16 @@ def dedup_recall(sf_dir: str, *, minhash_threshold: float = 0.5,
                          "vec_a", "vec_b")
     probe_emb = pair_set(embedding_dedup_lsh(sf_dir, threshold=emb_threshold),
                          "vec_a", "vec_b")
+    from .similarity import semantic_dedup
+
+    probe_sem = pair_set(semantic_dedup(sf_dir, threshold=emb_threshold,
+                                        k=10, iters=5), "vec_a", "vec_b")
 
     rows = []
     for method, exact, probe, floor in (
             ("minhash_lsh_vs_shingle_jaccard", exact_mh, probe_mh, minhash_floor),
-            ("embedding_lsh_vs_brute_cosine", exact_emb, probe_emb, emb_floor)):
+            ("embedding_lsh_vs_brute_cosine", exact_emb, probe_emb, emb_floor),
+            ("semantic_kmeans_vs_brute_cosine", exact_emb, probe_sem, emb_floor)):
         common = len(exact & probe)
         recall = round(common / len(exact), 6) if exact else 1.0
         rows.append({

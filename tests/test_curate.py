@@ -306,3 +306,82 @@ def test_kmv_exact_when_under_k(tmp_path):
     out = distinct_bigrams_kmv(str(tmp_path), k=64).to_pandas()
     assert out.lang.tolist() == ["xx"]
     assert out.est_distinct.tolist() == [5.0]
+
+
+def test_redact_pii_matches_oracle(entry):
+    got = _assert_matches(entry, "q_redact_pii", min_rows=100)
+    # the synthetic injection plants exactly one of each class per doc
+    assert (got.n_emails == 1).all()
+    assert (got.n_ips == 1).all()
+    assert (got.n_phones == 1).all()
+
+
+def test_redact_pii_hand_case():
+    import pyarrow as pa
+
+    from hunt_ray.pipelines.curate import redact_pii_batch
+
+    t = ("mail a.b-c%d@sub.example.org then 192.168.0.1 and "
+         "+49-123-4567 done; not-an-ip 1.2.3 and bare @ stay")
+    out = redact_pii_batch(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([t]),
+    })).to_pandas()
+    assert out.n_emails.tolist() == [1]
+    assert out.n_ips.tolist() == [1]
+    assert out.n_phones.tolist() == [1]
+    # redaction is idempotent: replacement tokens match no pattern
+    import hashlib
+
+    red = t.replace("a.b-c%d@sub.example.org", "<EMAIL>") \
+           .replace("192.168.0.1", "<IP>").replace("+49-123-4567", "<PHONE>")
+    assert out.redacted_md5.tolist() == [hashlib.md5(red.encode()).hexdigest()]
+    again = redact_pii_batch(pa.table({
+        "doc_id": pa.array([1], pa.int64()), "text": pa.array([red]),
+    })).to_pandas()
+    assert again.redacted_md5.tolist() == out.redacted_md5.tolist()
+    assert again[["n_emails", "n_ips", "n_phones"]].sum().sum() == 0
+
+
+def test_source_rollup_matches_oracle(entry):
+    got = _assert_matches(entry, "q_source_rollup", min_rows=5)
+    assert (got.n_docs >= 1).all()
+    assert got.stopword_ratio.between(0, 1).all()
+
+
+def test_source_filter_matches_oracle(entry):
+    got = _assert_matches(entry, "q_source_filter", min_rows=10)
+    roll = entry.queries()["q_source_rollup"](SF).to_pandas()
+    passing = set(roll[roll.stopword_ratio <= 0.065].source)
+    assert set(got.source) == passing        # non-vacuous both ways
+    assert passing < set(roll.source)
+
+
+def test_repeated_ngrams_matches_oracle(entry):
+    got = _assert_matches(entry, "q_repeated_ngrams", min_rows=2)
+    assert (got.n_repeated_grams >= 1).all()
+
+
+def test_repeated_ngrams_planted(tmp_path):
+    """Two docs sharing one 6-token passage are both flagged with exactly
+    one repeated 6-gram; the unrelated doc is absent. Result is invariant
+    to the bucket count (grams never straddle buckets)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.pipelines.curate import repeated_ngrams
+
+    passage = "alpha beta gamma delta epsilon zeta"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"one {passage} tail1",
+            f"two two {passage} tail2",
+            "nothing shared here at all among these words",
+        ]),
+    }), tmp_path / "documents.parquet")
+    for p in (2, 7):
+        out = (repeated_ngrams(str(tmp_path), n=6, num_buckets=p)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert out.doc_id.tolist() == [1, 2]
+        assert out.n_repeated_grams.tolist() == [1, 1]

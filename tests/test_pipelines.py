@@ -359,7 +359,7 @@ def test_dedup_recall_probe():
     from hunt_ray.pipelines.dedup import dedup_recall
 
     out = dedup_recall(SF).to_pandas()
-    assert len(out) == 2
+    assert len(out) == 3
     assert out["ok"].all(), out.to_string()
     assert out["precision_exact"].all()
 
@@ -618,3 +618,97 @@ def test_ivf_delete_tombstones(ray_session, tmp_path):
     # non-victim results unchanged for queries the victim didn't serve
     similarity.ivf_delete(idx, [victim])  # idempotent union
     assert similarity.ivf_delete(idx, []) == 1
+
+
+def test_kmeans_assign_fixed_matches_oracle(ray_session):
+    """q_kmeans_assign (zero-iteration spherical k-means under the
+    deterministic vec_id<8 init) == the DuckDB argmax-cosine oracle."""
+    import importlib.util
+
+    import duckdb
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "ray_entry_km", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    got = m.queries()["q_kmeans_assign"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    want = con.execute(m.oracle_sql()["q_kmeans_assign"]).df()
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    want = want.sort_values("vec_id").reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert got.cluster.nunique() > 1      # the init actually partitions
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_kmeans_fit_improves_objective():
+    """Iterating Lloyd's does not worsen the mean assigned-cosine
+    objective, and every distributed pass equals a single-process numpy
+    reference built from the same parquet (same float64 fold order per
+    centroid via sorted vec_id replay)."""
+    import pyarrow.parquet as pq
+
+    from hunt_ray.pipelines.similarity import kmeans_assign, kmeans_fit
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False))
+    m = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)
+                 ).astype(np.float64)[order]
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    def ref_fit(k, iters):
+        cents = m[:k].copy()
+        for _ in range(iters):
+            a = (m @ cents.T).argmax(axis=1)
+            for c in range(k):
+                mem = m[a == c]
+                if len(mem):
+                    v = mem.mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 1e-12:
+                        cents[c] = v / n
+        return cents
+
+    objs = []
+    for iters in (0, 2, 5):
+        cents = kmeans_fit(SF, k=8, iters=iters)
+        # distributed partial sums == the numpy reference (float64 sums
+        # are permutation-sensitive only below the 1e-9 assert tolerance)
+        np.testing.assert_allclose(cents, ref_fit(8, iters), atol=1e-9)
+        a = kmeans_assign(SF, cents).to_pandas()
+        objs.append(a.cosine.mean())
+    # 1e-5 margin: the cosine column is rounded to 6 decimals
+    assert objs[0] <= objs[1] + 1e-5
+    assert objs[1] <= objs[2] + 1e-5
+
+
+def test_kmeans_objective_monotone(ray_session):
+    """The self-checking Lloyd's probe: one row per pass, objective
+    non-decreasing (ok everywhere), and iterating actually helped."""
+    from hunt_ray.pipelines.similarity import kmeans_objective
+
+    out = kmeans_objective(SF, k=10, iters=5).to_pandas()
+    assert len(out) == 6                       # 5 pre-update passes + final
+    assert out.ok.all(), out.to_string()
+    assert out.mean_cosine.iloc[-1] > out.mean_cosine.iloc[0]
+
+
+def test_semantic_dedup_recall_vs_brute(ray_session):
+    """Cluster-local pairs find most of the brute-force near-dup pairs,
+    and every reported pair IS a brute pair with the identical cosine
+    (no false positives by construction)."""
+    from hunt_ray.pipelines.dedup import embedding_dedup
+    from hunt_ray.pipelines.similarity import semantic_dedup
+
+    brute = embedding_dedup(SF, threshold=0.45).to_pandas()
+    sem = semantic_dedup(SF, threshold=0.45, k=10, iters=5).to_pandas()
+    b = {(a, c): x for a, c, x in zip(brute.vec_a, brute.vec_b, brute.cosine)}
+    s = {(a, c): x for a, c, x in zip(sem.vec_a, sem.vec_b, sem.cosine)}
+    assert set(s) <= set(b)
+    for k_, v in s.items():
+        assert abs(v - b[k_]) < 1e-9
+    assert len(b) > 0
+    assert len(s) / len(b) >= 0.6
