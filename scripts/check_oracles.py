@@ -78,7 +78,21 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — report and continue
             fails.append(name)
             print(f"  FAIL {name:<28} {str(e).splitlines()[0][:120]}")
-    print(f"{len([n for n in qs if n in sqls]) - len(fails)} ok, "
+    # rows-only entries: the driver's weaker gate — must run, return rows,
+    # and any self-checking `ok` column must be all-true
+    for name in sorted(set(qs) - set(sqls)):
+        t0 = time.time()
+        try:
+            got = to_df(qs[name](sf))
+            assert len(got) >= 0
+            if "ok" in got.columns:
+                assert bool(got["ok"].all()), "self-check column has False rows"
+            print(f"  ok   {name:<28} {len(got):>7} rows  "
+                  f"{time.time() - t0:6.1f}s (rows-only)")
+        except Exception as e:  # noqa: BLE001 — report and continue
+            fails.append(name)
+            print(f"  FAIL {name:<28} {str(e).splitlines()[0][:120]}")
+    print(f"{len(qs) - len(fails)} ok, "
           f"{len(fails)} failed{': ' + ', '.join(fails) if fails else ''}")
     ray.shutdown()
     return 1 if fails else 0
