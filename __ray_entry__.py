@@ -193,6 +193,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source quality rollup + the domain filter over it
         "q_source_rollup": curate.source_rollup,
         "q_source_filter": curate.source_filter,
+        # Common-Crawl-style recrawl dedup: canonicalize url variants,
+        # keep the newest warc_ts snapshot per canonical url (partial
+        # keep-latest per batch, then a small groupby)
+        "q_snapshot_dedup": curate.snapshot_dedup,
         # cross-doc repeated word-n-grams (passage-dedup signal):
         # gram-bucketed df, per-doc sums — two keyed shuffles
         "q_repeated_ngrams": lambda sf: curate.repeated_ngrams(sf, n=6),
@@ -701,6 +705,33 @@ roll AS (
 ok AS (SELECT source FROM roll
        WHERE n_docs >= 1 AND stopword_ratio <= 0.065)
 SELECT d.doc_id, d.source, d.lang FROM documents d JOIN ok USING (source)
+""",
+        # recrawl snapshots derive deterministically from doc_id (base +
+        # every-3rd later trailing-slash recrawl + every-5th earlier
+        # tracking-params variant — curate.snapshot_rows is the exact
+        # mirror); canonicalization is the same 4 first-match regex
+        # replaces on lower(url); keep-newest = arg_max on unique ts
+        "q_snapshot_dedup": r"""
+WITH snaps AS (
+  SELECT 'https://www.example.com/p/' || doc_id AS url,
+         doc_id * 10 AS warc_ts, 0 AS variant FROM documents
+  UNION ALL
+  SELECT 'http://example.com/p/' || doc_id || '/', doc_id * 10 + 5, 1
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'https://example.com/p/' || doc_id || '?utm_source=feed#frag',
+         doc_id * 10 + 3, 2
+  FROM documents WHERE doc_id % 5 = 0),
+canon AS (
+  SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           lower(url), '^https?://', ''), '^www\.', ''),
+           '[?#].*$', ''), '/+$', '') AS canonical_url,
+         warc_ts, variant
+  FROM snaps)
+SELECT canonical_url, count(*)::BIGINT AS n_snapshots,
+       max(warc_ts)::BIGINT AS warc_ts_kept,
+       arg_max(variant, warc_ts)::BIGINT AS variant_kept
+FROM canon GROUP BY canonical_url
 """,
         # distinct word-6-grams shared with >=1 OTHER doc, counted per doc
         # (the engine matches on 64-bit gram hashes — same collision

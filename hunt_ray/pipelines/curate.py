@@ -533,3 +533,97 @@ def source_filter(sf_dir: str, *, min_docs: int = 1,
 
     ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "source", "lang"])
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ------------------------------------------------- URL snapshot dedup
+
+# canonicalization rules applied in order to lower(url); each is a
+# first-match regex replace with identical semantics in polars (Rust
+# regex) and DuckDB (RE2): strip scheme, strip leading www., drop
+# query+fragment, strip trailing slashes
+SNAP_CANON_RULES = (r"^https?://", r"^www\.", r"[?#].*$", r"/+$")
+
+
+def canonicalize_urls(urls: pl.Series) -> pl.Series:
+    s = urls.str.to_lowercase()
+    for pat in SNAP_CANON_RULES:
+        s = s.str.replace(pat, "")
+    return s
+
+
+def snapshot_rows(batch: pa.Table) -> pa.Table:
+    """Derive recrawl snapshots deterministically from doc_id (so the
+    DuckDB oracle recomputes them exactly — same trick as the flagship
+    pages corpus): every doc has a base snapshot, every 3rd a later
+    trailing-slash http recrawl, every 5th an earlier tracking-params
+    variant. All three canonicalize to ``example.com/p/<id>``."""
+    df = pl.DataFrame({"doc_id": pl.from_arrow(
+        batch.column("doc_id").combine_chunks()
+        if isinstance(batch.column("doc_id"), pa.ChunkedArray)
+        else batch.column("doc_id"))})
+    variants = [
+        df.select(
+            url=pl.format("https://www.example.com/p/{}", pl.col("doc_id")),
+            warc_ts=pl.col("doc_id") * 10,
+            variant=pl.lit(0).cast(pl.Int64)),
+        df.filter(pl.col("doc_id") % 3 == 0).select(
+            url=pl.format("http://example.com/p/{}/", pl.col("doc_id")),
+            warc_ts=pl.col("doc_id") * 10 + 5,
+            variant=pl.lit(1).cast(pl.Int64)),
+        df.filter(pl.col("doc_id") % 5 == 0).select(
+            url=pl.format("https://example.com/p/{}?utm_source=feed#frag",
+                          pl.col("doc_id")),
+            warc_ts=pl.col("doc_id") * 10 + 3,
+            variant=pl.lit(2).cast(pl.Int64)),
+    ]
+    snaps = pl.concat(variants).with_columns(
+        canonical_url=canonicalize_urls(pl.col("url")))
+    return snaps.to_arrow().cast(pa.schema([
+        ("url", pa.string()), ("warc_ts", pa.int64()),
+        ("variant", pa.int64()), ("canonical_url", pa.string())]))
+
+
+_SNAP_OUT = pa.schema([
+    ("canonical_url", pa.string()), ("n_snapshots", pa.int64()),
+    ("warc_ts_kept", pa.int64()), ("variant_kept", pa.int64())])
+
+
+def snapshot_dedup(sf_dir: str):
+    """Common-Crawl-style snapshot dedup: canonicalize url variants
+    (scheme / www. / query+fragment / trailing slash), keep the NEWEST
+    ``warc_ts`` snapshot per canonical url, count how many were folded.
+
+    Scale shape: per-batch partial keep-latest (each batch forwards ONE
+    short row per canonical url it sees — never html/text), then a small
+    groupby over the survivors. At 100 TB the shuffle volume is one row
+    per (batch, url), and hot urls (recrawled every snapshot) still
+    contribute ≤ 1 row per batch. Reference parity: Hunt's
+    duplicate-URI insert rule (``Interpreter.hs:558-571`` keeps one doc
+    per URI) is the keep-one ancestor; this is its keep-newest
+    generalization over crawl snapshots.
+    """
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(batch)
+                .sort("warc_ts", descending=True)
+                .group_by("canonical_url", maintain_order=True)
+                .agg(n_snapshots=pl.len().cast(pl.Int64),
+                     warc_ts_kept=pl.col("warc_ts").first(),
+                     variant_kept=pl.col("variant").first()))
+        return df.to_arrow().cast(_SNAP_OUT)
+
+    def final(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort("warc_ts_kept", descending=True)
+        return pl.DataFrame({
+            "canonical_url": [df["canonical_url"][0]],
+            "n_snapshots": [int(df["n_snapshots"].sum())],
+            "warc_ts_kept": [int(df["warc_ts_kept"][0])],
+            "variant_kept": [int(df["variant_kept"][0])],
+        }).to_arrow().cast(_SNAP_OUT)
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id"])
+    return (ds.map_batches(snapshot_rows, batch_format="pyarrow")
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("canonical_url")
+            .map_groups(final, batch_format="pyarrow"))

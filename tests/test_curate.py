@@ -385,3 +385,30 @@ def test_repeated_ngrams_planted(tmp_path):
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
         assert out.doc_id.tolist() == [1, 2]
         assert out.n_repeated_grams.tolist() == [1, 1]
+
+
+def test_snapshot_dedup_matches_oracle(entry):
+    got = _assert_matches(entry, "q_snapshot_dedup", min_rows=100)
+    # every doc folds to exactly one canonical url; recrawled docs kept
+    # the newest variant (the %3 trailing-slash recrawl outranks both)
+    assert got.n_snapshots.between(1, 3).all()
+    ids = got.canonical_url.str.rsplit("/", n=1).str[-1].astype(int)
+    assert len(got) == ids.nunique()
+    both = got[(ids % 15 == 0)]
+    assert (both.n_snapshots == 3).all() and (both.variant_kept == 1).all()
+
+
+def test_snapshot_canonicalize_rules():
+    import polars as pl
+
+    from hunt_ray.pipelines.curate import canonicalize_urls
+
+    urls = pl.Series([
+        "HTTPS://WWW.Example.com/A/B/",
+        "http://example.com/a/b?q=1#x",
+        "https://sub.www.example.com/a",   # www. strips only at host start
+        "example.com/plain",
+    ])
+    assert canonicalize_urls(urls).to_list() == [
+        "example.com/a/b", "example.com/a/b",
+        "sub.www.example.com/a", "example.com/plain"]
