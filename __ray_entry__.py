@@ -115,7 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(round_cols, batch_format="pyarrow")
 
-    from hunt_ray.pipelines import curate, events, sketch
+    from hunt_ray.pipelines import curate, events, graph, sketch
 
     return {
         # --- inverted-index feed + term statistics (SURVEY §2.2/§2.5)
@@ -197,6 +197,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keep the newest warc_ts snapshot per canonical url (partial
         # keep-latest per batch, then a small groupby)
         "q_snapshot_dedup": curate.snapshot_dedup,
+        # web link graph (edges derived deterministically from doc_id):
+        # degree rollup (count-combine) and 5-iteration PageRank — the
+        # union+groupby attach pattern co-locates each node's rank with
+        # its out-edges, no rank-vector broadcast, no driver joins
+        "q_link_degree": graph.link_degree,
+        "q_pagerank": graph.pagerank,
         # cross-doc repeated word-n-grams (passage-dedup signal):
         # gram-bucketed df, per-doc sums — two keyed shuffles
         "q_repeated_ngrams": lambda sf: curate.repeated_ngrams(sf, n=6),
@@ -733,6 +739,21 @@ SELECT canonical_url, count(*)::BIGINT AS n_snapshots,
        arg_max(variant, warc_ts)::BIGINT AS variant_kept
 FROM canon GROUP BY canonical_url
 """,
+        # derived link graph (same EDGE_MULT derivation as graph.py),
+        # exact integer degree rollup
+        "q_link_degree": f"""
+WITH {_EDGES_CTE},
+outd AS (SELECT src AS doc_id, count(*)::BIGINT AS out_degree FROM edges GROUP BY 1),
+ind AS (SELECT dst AS doc_id, count(*)::BIGINT AS in_degree FROM edges GROUP BY 1)
+SELECT d.doc_id, coalesce(o.out_degree, 0)::BIGINT AS out_degree,
+       coalesce(i.in_degree, 0)::BIGINT AS in_degree
+FROM documents d LEFT JOIN outd o USING (doc_id) LEFT JOIN ind i USING (doc_id)
+""",
+        # 5 unrolled PageRank iterations (damping 0.85, uniform init, no
+        # dangling mass — every node derives >=1 out-edge); ranks are
+        # N-scaled then rounded to 6 so the comparison is corpus-size
+        # independent and >=9 ulps above float noise
+        "q_pagerank": _pagerank_oracle_sql(),
         # distinct word-6-grams shared with >=1 OTHER doc, counted per doc
         # (the engine matches on 64-bit gram hashes — same collision
         # caveat as q_decontaminate)
@@ -823,6 +844,30 @@ def _redact_pii_oracle_sql() -> str:
             "FROM documents)\n"
             f"SELECT doc_id, {', '.join(counts)}, md5({red}) AS redacted_md5 "
             "FROM aug")
+
+
+_N_DOCS = "(SELECT count(*) FROM documents)"
+# exact mirror of graph.EDGE_MULT / graph.edge_batch
+_EDGES_CTE = f"""edges AS (
+  SELECT DISTINCT doc_id AS src, (doc_id*31+1) % {_N_DOCS} AS dst FROM documents
+  UNION SELECT doc_id, (doc_id*17+2) % {_N_DOCS} FROM documents
+  UNION SELECT doc_id, (doc_id*13+3) % {_N_DOCS} FROM documents)"""
+
+
+def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    it = f"SELECT doc_id AS node, 1.0/{_N_DOCS} AS rank FROM documents"
+    for _ in range(iterations):
+        it = f"""
+SELECT d.doc_id AS node,
+       (1-{damping})/{_N_DOCS} + {damping} * coalesce(sum(r.rank / od.out_degree), 0) AS rank
+FROM documents d
+LEFT JOIN edges e ON e.dst = d.doc_id
+LEFT JOIN ({it}) r ON r.node = e.src
+LEFT JOIN (SELECT src, count(*)::DOUBLE AS out_degree FROM edges GROUP BY 1) od
+       ON od.src = e.src
+GROUP BY d.doc_id"""
+    return (f"WITH {_EDGES_CTE} SELECT node, "
+            f"round(rank * {_N_DOCS}, 6) AS pr_scaled FROM ({it})")
 
 
 def _index_bm25_oracle_sql() -> str:
