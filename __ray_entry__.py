@@ -197,6 +197,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keep the newest warc_ts snapshot per canonical url (partial
         # keep-latest per batch, then a small groupby)
         "q_snapshot_dedup": curate.snapshot_dedup,
+        # unicode NFC + control-strip + whitespace-collapse cleaning pass
+        # (pure map; deterministic synthetic mess since the fixture is
+        # already clean — mirrored via chr() in the oracle)
+        "q_normalize_text": curate.normalize_text,
         # web link graph (edges derived deterministically from doc_id):
         # degree rollup (count-combine) and 5-iteration PageRank — the
         # union+groupby attach pattern co-locates each node's rank with
@@ -738,6 +742,26 @@ SELECT canonical_url, count(*)::BIGINT AS n_snapshots,
        max(warc_ts)::BIGINT AS warc_ts_kept,
        arg_max(variant, warc_ts)::BIGINT AS variant_kept
 FROM canon GROUP BY canonical_url
+""",
+        # NFC compose + strip ASCII control chars + collapse ASCII
+        # whitespace + trim — decoration keyed on doc_id % 4 mirrors
+        # curate.normalize_text_batch(synthesize=True) exactly
+        "q_normalize_text": r"""
+WITH deco AS (
+  SELECT doc_id, CASE doc_id % 4
+    WHEN 1 THEN text || ' cafe' || chr(769)
+    WHEN 2 THEN text || chr(7) || 'bell'
+    WHEN 3 THEN text || '  double  space '
+    ELSE text END AS t
+  FROM documents)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(nfc_normalize(t),
+            '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+            '[ \t\n\r\f]+', ' ', 'g'), ' ') AS text_norm,
+       (trim(regexp_replace(regexp_replace(nfc_normalize(t),
+            '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+            '[ \t\n\r\f]+', ' ', 'g'), ' ') <> t)::BIGINT AS changed
+FROM deco
 """,
         # derived link graph (same EDGE_MULT derivation as graph.py),
         # exact integer degree rollup

@@ -627,3 +627,51 @@ def snapshot_dedup(sf_dir: str):
             .map_batches(partial, batch_format="pyarrow")
             .groupby("canonical_url")
             .map_groups(final, batch_format="pyarrow"))
+
+
+# --------------------------------------------- unicode text normalization
+
+# shared Rust-regex / RE2 subset (same discipline as redact_pii): ASCII
+# control chars minus \t\n\r handled by the whitespace pass; explicit
+# ASCII whitespace class (RE2's \s) so both engines agree byte-for-byte
+NORM_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+NORM_WS_RE = r"[ \t\n\r\f]+"
+
+
+def normalize_text_batch(batch: pa.Table, *, synthesize: bool = False) -> pa.Table:
+    """NFC-normalize → strip control chars → collapse whitespace runs →
+    trim — the standard first cleaning pass over scraped web text. With
+    ``synthesize``, deterministic mess (decomposed accents, a control
+    char, doubled spaces — keyed on doc_id % 4, mirrored in the SQL
+    oracle via chr()) is appended first, since the fixture corpus is
+    already clean."""
+    df = pl.from_arrow(batch).rename({"text": "t"})
+    if synthesize:
+        df = df.with_columns(
+            t=pl.when(pl.col("doc_id") % 4 == 1)
+              .then(pl.col("t") + pl.lit(" cafe\u0301"))
+              .when(pl.col("doc_id") % 4 == 2)
+              .then(pl.col("t") + pl.lit("\x07bell"))
+              .when(pl.col("doc_id") % 4 == 3)
+              .then(pl.col("t") + pl.lit("  double  space "))
+              .otherwise(pl.col("t")))
+    out = df.with_columns(
+        text_norm=pl.col("t").str.normalize("NFC")
+                   .str.replace_all(NORM_CTRL_RE, "")
+                   .str.replace_all(NORM_WS_RE, " ")
+                   .str.strip_chars(" ")
+    ).with_columns(changed=(pl.col("text_norm") != pl.col("t")).cast(pl.Int64))
+    return out.select(["doc_id", "text_norm", "changed"]).to_arrow().cast(
+        pa.schema([("doc_id", pa.int64()), ("text_norm", pa.string()),
+                   ("changed", pa.int64())]))
+
+
+def normalize_text(sf_dir: str, *, synthesize: bool = True):
+    """Pure per-batch map — no shuffle; at 100 TB this streams the corpus
+    once through vectorized Rust-regex/NFC kernels."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: normalize_text_batch(b, synthesize=synthesize),
+        batch_format="pyarrow")

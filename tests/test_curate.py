@@ -412,3 +412,27 @@ def test_snapshot_canonicalize_rules():
     assert canonicalize_urls(urls).to_list() == [
         "example.com/a/b", "example.com/a/b",
         "sub.www.example.com/a", "example.com/plain"]
+
+
+def test_normalize_text_matches_oracle(entry):
+    got = _assert_matches(entry, "q_normalize_text", min_rows=100)
+    # every decorated class actually changed; clean docs with already-
+    # normalized text stay unchanged
+    ids = got.doc_id % 4
+    assert (got[ids == 1].changed == 1).all()  # decomposed accent composed
+    assert (got[ids == 2].changed == 1).all()  # control char stripped
+    assert (got[ids == 3].changed == 1).all()  # whitespace collapsed+trimmed
+    assert not got.text_norm.str.contains("\x07").any()
+    assert not got.text_norm.str.contains("  ").any()
+
+
+def test_normalize_text_kernels():
+    import pyarrow as pa
+
+    from hunt_ray.pipelines.curate import normalize_text_batch
+
+    t = pa.table({"doc_id": pa.array([0, 4, 8], type=pa.int64()),
+                  "text": ["café nfd", "a\x00b\x1fc", " lead  in\ttab "]})
+    out = normalize_text_batch(t).to_pandas()
+    assert out.text_norm.tolist() == ["café nfd", "abc", "lead in tab"]
+    assert out.changed.tolist() == [1, 1, 1]
