@@ -105,9 +105,6 @@ def link_degree(sf_dir: str):
 
 
 _PR = pa.schema([("node", pa.int64()), ("rank", pa.float64())])
-_TAGGED = pa.schema([("key", pa.int64()), ("dst", pa.int64()),
-                     ("rank", pa.float64())])
-
 
 def pagerank(sf_dir: str, *, iterations: int = 5, damping: float = DAMPING):
     """Distributed PageRank over the derived link graph; returns
@@ -115,38 +112,38 @@ def pagerank(sf_dir: str, *, iterations: int = 5, damping: float = DAMPING):
     (N-scaling keeps the rounded values O(1) at any corpus size, so the
     oracle comparison is scale-independent).
 
-    Each iteration: tag rank rows (dst=-1) and edge rows (rank=0) into
-    one schema, groupby src co-locates them, the group fn splits the
-    group's rank across its out-edges, then a dst-keyed groupby sums
-    contributions and a zero base row per node keeps sinks present.
+    Each iteration is ONE dst-keyed shuffle: the out-edges of a rank
+    batch's nodes are derived IN the map (edges co-partitioned with
+    ranks — the standard Pregel/vertex-program layout; on a real corpus
+    this is an edge table hash-partitioned by src alongside the rank
+    table, so the per-iteration join is partition-local), each node's
+    rank is spread over its out-degree vectorized, and a native
+    groupby-sum folds contributions with a zero base row per node
+    keeping sinks present. For an edge table that is NOT co-partitioned
+    with ranks, the union + bucketed-groupby attach pattern
+    (``dedup.minhash_dedup``'s verify; this module at commit 47894cc)
+    adds the src-keyed co-location shuffle explicitly.
     """
     import ray.data as rd
 
     n = n_docs(sf_dir)
     docs = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id"])
 
-    def edge_rows(batch: pa.Table) -> pa.Table:
-        e = edge_batch(batch, n)
-        return pa.table({"key": e.column("src"), "dst": e.column("dst"),
-                         "rank": pa.array(np.zeros(len(e)), pa.float64())
-                         }).cast(_TAGGED)
-
-    def rank_rows(batch: pa.Table) -> pa.Table:
-        node = batch.column("node")
-        return pa.table({"key": node,
-                         "dst": pa.array(np.full(len(batch), -1, np.int64)),
-                         "rank": batch.column("rank")}).cast(_TAGGED)
-
-    def contribs(group: pa.Table) -> pa.Table:
-        dst = group.column("dst").to_numpy(zero_copy_only=False)
-        rk = group.column("rank").to_numpy(zero_copy_only=False)
-        is_edge = dst >= 0
-        r = float(rk[~is_edge][0]) if (~is_edge).any() else 0.0
-        out = dst[is_edge]
-        if len(out) == 0:
-            return _PR.empty_table()
-        return pa.table({"node": pa.array(np.sort(out)),
-                         "rank": pa.array(np.full(len(out), r / len(out)))
+    def contribs(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        rk = batch.column("rank").to_numpy(zero_copy_only=False)
+        e = edge_batch(pa.table({"doc_id": pa.array(node)}), n)
+        src = e.column("src").to_numpy(zero_copy_only=False)
+        dst = e.column("dst").to_numpy(zero_copy_only=False)
+        order = np.argsort(src, kind="stable")
+        src, dst = src[order], dst[order]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        outdeg = np.diff(np.r_[starts, len(src)])
+        pos = np.searchsorted(node[np.argsort(node)], src[starts])
+        rk_sorted = rk[np.argsort(node)]
+        per_src = rk_sorted[pos] / outdeg
+        return pa.table({"node": pa.array(dst),
+                         "rank": pa.array(np.repeat(per_src, outdeg))
                          }).cast(_PR)
 
     def base_rows(batch: pa.Table) -> pa.Table:
@@ -154,7 +151,6 @@ def pagerank(sf_dir: str, *, iterations: int = 5, damping: float = DAMPING):
                          "rank": pa.array(np.zeros(len(batch)), pa.float64())
                          }).cast(_PR)
 
-    edges = docs.map_batches(edge_rows, batch_format="pyarrow").materialize()
     zeros = docs.map_batches(base_rows, batch_format="pyarrow").materialize()
     ranks = docs.map_batches(
         lambda b: pa.table({
@@ -164,10 +160,7 @@ def pagerank(sf_dir: str, *, iterations: int = 5, damping: float = DAMPING):
 
     teleport = (1.0 - damping) / n
     for _ in range(iterations):
-        tagged = ranks.map_batches(rank_rows, batch_format="pyarrow") \
-                      .union(edges)
-        summed = (tagged.groupby("key")
-                  .map_groups(contribs, batch_format="pyarrow")
+        summed = (ranks.map_batches(contribs, batch_format="pyarrow")
                   .union(zeros)
                   .groupby("node").sum("rank"))
         ranks = summed.map_batches(
