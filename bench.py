@@ -317,6 +317,18 @@ def run_bench() -> dict:
     similarity.semantic_dedup(SF_DIR).count()
     timings["semantic_dedup"] = round(time.time() - t, 3)
 
+    from hunt_ray.pipelines import graph
+
+    t = time.time()
+    curate.normalize_text(SF_DIR).count()
+    timings["normalize_text"] = round(time.time() - t, 3)
+    t = time.time()
+    curate.snapshot_dedup(SF_DIR).count()
+    timings["snapshot_dedup"] = round(time.time() - t, 3)
+    t = time.time()
+    graph.pagerank(SF_DIR).count()
+    timings["pagerank5"] = round(time.time() - t, 3)
+
     out = {
         "metric": "index-build seconds (50k-doc corpus) + query latency",
         "value": round(build_sec, 3),
