@@ -248,8 +248,8 @@ class SegmentedIndex:
             lc_ranges.append(rec.get("lc_range") if rec else None)
         from ..analyze.schema import schema_from_json
 
-        stats = _doc_stats(out_dir, os.path.join(out_dir, "docs"),
-                           schema_from_json(schema_json))
+        stats = _doc_stats(os.path.join(out_dir, "docs"),
+                           schema_from_json(schema_json), man, gen, P)
         man.commit_generation(gen, {
             "params_hash": phash,
             "schema": schema_json,
@@ -365,11 +365,12 @@ def _make_compactor(seg_dirs: list[str], tombs_list: list[np.ndarray],
                 "tf": pa.array(all_tfs, pa.uint32()),
                 "positions": pos_arr,
             }) if len(all_cx) else None
-            n_rows, n_terms, lc_range = _encode_partition(
+            n_rows, n_terms, lc_range, doclen_sums = _encode_partition(
                 merged, out_dir, part, chunk_docs)
             man.mark_part_done(0, part, {
                 "params_hash": phash, "part": part, "rows": n_rows,
                 "terms": n_terms, "lc_range": lc_range,
+                "doclen_sums": doclen_sums,
                 "lineage": {"inputs": seg_dirs, "params_hash": phash,
                             "kind": "compaction"},
                 "merge_seconds": round(time.time() - t0, 3),

@@ -597,10 +597,12 @@ def snapshot_dedup(sf_dir: str):
     short row per canonical url it sees — never html/text), then a small
     groupby over the survivors. At 100 TB the shuffle volume is one row
     per (batch, url), and hot urls (recrawled every snapshot) still
-    contribute ≤ 1 row per batch. Reference parity: Hunt's
-    duplicate-URI insert rule (``Interpreter.hs:558-571`` keeps one doc
-    per URI) is the keep-one ancestor; this is its keep-newest
-    generalization over crawl snapshots.
+    contribute ≤ 1 row per batch. Reference parity: Hunt enforces URI
+    uniqueness by rejecting duplicate inserts with a 409 error
+    (``hunt-searchengine/src/Hunt/Interpreter.hs`` ~419-480,
+    ``execInsertList``'s duplicate-URI check); this operator is the
+    batch-world generalization — resolve duplicates by keeping the
+    newest crawl snapshot instead of erroring.
     """
     import ray.data as rd
 

@@ -144,6 +144,58 @@ def rank_identity(sf_dir: str) -> pa.Table:
 
 FLAGSHIP_BM25_QUERIES = ["join hash batch", "customer window", "document 42"]
 
+# completion probe prefixes: corpus-common stems ("doc"/"hea" from the
+# derived headline, the rest from the documents vocabulary) + one AND-filter
+# shape and one context-routed shape, mirroring the REFERENCE_COMPLETIONS
+# grammar coverage over the sf-scaled corpus
+COMPLETION_PREFIXES = ["doc", "hea", "cu", "ta", "jo",
+                       "document AND ta", "title:doc"]
+
+
+def completion_probe(sf_dir: str, k: int = 10) -> pa.Table:
+    """Self-checking completion (suggest) probe over the flagship index:
+    for each fixed prefix query, the engine's scored-words result
+    (processQueryScoredWords analog — prefix dictionary scan, per-word
+    sim×tf aggregation, context-weight max merge; Processor.hs:311-383)
+    must equal the independent in-Python oracle (query/oracle.py) over the
+    same derived pages corpus. Scores are float32 (Score monoid), so the
+    check is identity against the independent implementation rather than
+    a float64 SQL oracle; the ``identical`` column is the verdict. One row
+    per (prefix, rank) over the top-k words, plus the per-prefix verdict
+    computed over the FULL untruncated ranking."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    from ..analyze.schema import default_schema
+    from ..query.oracle import OracleIndex, OracleProcessor
+
+    index_dir = ensure_index(sf_dir)
+    engine = SearchEngine(index_dir)
+    pages_dir = ensure_pages(sf_dir)
+    tbl = pa.concat_tables([pq.read_table(f)
+                            for f in sorted(g.glob(f"{pages_dir}/*.parquet"))])
+    oracle = OracleProcessor(OracleIndex(tbl, default_schema()))
+
+    rows = {"prefix": [], "rank": [], "word": [], "score": [], "identical": []}
+    for prefix in COMPLETION_PREFIXES:
+        got = engine.complete(prefix, limit=10**6)
+        want = oracle.complete(prefix, limit=10**6)
+        same = got == want
+        for rank, (w, s) in enumerate(got[:k]):
+            rows["prefix"].append(prefix)
+            rows["rank"].append(rank)
+            rows["word"].append(w)
+            rows["score"].append(float(s))
+            rows["identical"].append(same)
+    return pa.table({
+        "prefix": pa.array(rows["prefix"], pa.string()),
+        "rank": pa.array(rows["rank"], pa.int32()),
+        "word": pa.array(rows["word"], pa.string()),
+        "score": pa.array(rows["score"], pa.float64()),
+        "identical": pa.array(rows["identical"], pa.bool_()),
+    })
+
 
 def index_metrics(sf_dir: str) -> pa.Table:
     """Per-partition build lineage + metrics from the manifest completion

@@ -6,26 +6,35 @@ signal used to weight or filter training data. The reference indexes
 documents and has no graph surface; these follow the driver mandate for
 training-data pipeline operators.
 
-Edges derive deterministically from doc_id (three pseudo-random
-out-links per doc, distinct-deduped) so the DuckDB oracle recomputes the
-graph exactly — the same derivation trick as ``curate.snapshot_rows``
-and the flagship pages corpus. The operators themselves are generic over
-any (src, dst) edge Dataset.
+Two operator layers:
+
+- :func:`pagerank_edges` — the GENERIC operator over any ``(src, dst)``
+  edge ``Dataset`` (sinks allowed; dangling mass redistributed
+  uniformly). Each iteration is two keyed shuffles: a src-keyed
+  union+groupby that attaches a node's rank to its out-edges (the same
+  attach pattern as ``dedup.minhash_dedup``'s verify — no driver-side
+  joins, no broadcast of the rank vector, which at 10^12 nodes is
+  itself TB-scale), then a dst-keyed groupby summing contributions.
+- :func:`pagerank` — the fixture wrapper over the derived link graph,
+  kept as the exactly-oracled driver entry. Edges derive
+  deterministically from doc_id (three pseudo-random out-links per doc,
+  distinct-deduped) so the DuckDB oracle recomputes the graph exactly —
+  the same derivation trick as ``curate.snapshot_rows``. Because the
+  edges are a pure function of the node id, they are derived IN the
+  rank map — the co-partitioned fast path (on a real corpus: an edge
+  table hash-partitioned by src alongside the rank table makes the
+  per-iteration attach partition-local, saving the src shuffle).
 
 Scale shapes (what matters at 100 TB):
 
 - ``link_degree``: out-degree is local to each src's derivation batch;
   in-degree is a map-side partial count per dst (short int rows ride the
   shuffle), one small groupby. Classic count-combine.
-- ``pagerank``: each iteration is (a) one src-keyed shuffle that
-  co-locates a node's rank row with its out-edge rows (the union +
-  groupby attach pattern from ``dedup.minhash_dedup``'s verify — no
-  driver-side joins, no broadcast of the rank vector, which at 10^12
-  nodes is itself TB-scale), then (b) one dst-keyed groupby summing
-  contributions. Ranks materialize between iterations (the standard
-  iterative checkpoint; the ranks table is one short row per node,
-  never the corpus). Every node keeps out-degree ≥ 1 by construction,
-  so there is no dangling mass and the per-iteration total stays 1.
+- ``pagerank*``: per-iteration state is one short (node, rank) row per
+  node — never the corpus; ranks materialize between iterations (the
+  standard iterative checkpoint). Dangling mass is a per-group marker
+  row folded by the same dst-keyed groupby, so the only driver-side
+  value per iteration is one scalar.
 """
 
 from __future__ import annotations
@@ -36,7 +45,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 DAMPING = 0.85
-EDGE_MULT = (31, 17, 13)  # dst_c = (src * mult_c + c + 1) % n_docs
+# dst_c = (src * mult_c + c + 1) % n_docs — requires doc_ids to be exactly
+# 0..n-1 (asserted in n_docs); a gap would create phantom dst nodes the
+# oracle's FROM documents rollup drops, breaking q_link_degree/q_pagerank
+EDGE_MULT = (31, 17, 13)
 
 
 def _doc_path(sf_dir: str) -> str:
@@ -44,8 +56,24 @@ def _doc_path(sf_dir: str) -> str:
 
 
 def n_docs(sf_dir: str) -> int:
-    """Node count from parquet metadata — no data read."""
-    return pq.ParquetFile(_doc_path(sf_dir)).metadata.num_rows
+    """Node count from parquet metadata — no data read. Verifies the
+    contiguous-id invariant the edge derivation depends on via doc_id
+    column statistics (still metadata-only)."""
+    md = pq.ParquetFile(_doc_path(sf_dir)).metadata
+    n = md.num_rows
+    idx = next((i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "doc_id"), None)
+    if idx is not None:
+        lo = min(md.row_group(g).column(idx).statistics.min
+                 for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max
+                 for g in range(md.num_row_groups))
+        if (lo, hi) != (0, n - 1):
+            raise ValueError(
+                f"derived link graph requires contiguous doc_ids 0..{n-1}, "
+                f"got range [{lo}, {hi}] — use pagerank_edges() with an "
+                "explicit edge table instead")
+    return n
 
 
 def edge_batch(batch: pa.Table, n: int) -> pa.Table:
@@ -105,24 +133,183 @@ def link_degree(sf_dir: str):
 
 
 _PR = pa.schema([("node", pa.int64()), ("rank", pa.float64())])
+# attach-shuffle row layout: rank rows carry dst = _RANK_ROW; the dangling
+# marker emitted by the attach map targets the reserved _DANGLING node id
+_RANK_ROW = np.int64(-1)
+_DANGLING = np.int64(-2)
+_ATT = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                  ("rank", pa.float64())])
+
+
+def _spread_ranks(node: np.ndarray, rk: np.ndarray,
+                  src: np.ndarray, dst: np.ndarray) -> pa.Table:
+    """Vectorized rank spread: each node's rank split over its out-edges.
+
+    ``(src, dst)`` are this rank batch's out-edges (src ⊆ node). Returns
+    (node=dst, rank=rank_src/outdeg_src) contribution rows plus ONE
+    dangling-mass marker row (node=_DANGLING) carrying the summed rank of
+    batch nodes with no out-edges, so the dst-keyed groupby folds dangling
+    mass with no extra pass."""
+    if len(node) == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.float64())}).cast(_PR)
+    node_order = np.argsort(node, kind="stable")
+    node_sorted, rk_sorted = node[node_order], rk[node_order]
+    if len(src):
+        order = np.argsort(src, kind="stable")
+        src, dst = src[order], dst[order]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        outdeg = np.diff(np.r_[starts, len(src)])
+        pos = np.searchsorted(node_sorted, src[starts])
+        per_src = rk_sorted[pos] / outdeg
+        out_node = dst
+        out_rank = np.repeat(per_src, outdeg)
+        # dangling = batch nodes that appear in no src group
+        has_out = np.zeros(len(node_sorted), dtype=bool)
+        has_out[pos] = True
+    else:
+        out_node = np.empty(0, np.int64)
+        out_rank = np.empty(0, np.float64)
+        has_out = np.zeros(len(node_sorted), dtype=bool)
+    dangling = float(rk_sorted[~has_out].sum())
+    if dangling > 0.0:
+        out_node = np.r_[out_node, _DANGLING]
+        out_rank = np.r_[out_rank, dangling]
+    return pa.table({"node": pa.array(out_node, pa.int64()),
+                     "rank": pa.array(out_rank, pa.float64())}).cast(_PR)
+
+
+def pagerank_edges(edges, *, nodes=None, iterations: int = 5,
+                   damping: float = DAMPING, round_to: int | None = None):
+    """Generic distributed PageRank over an arbitrary ``(src, dst)`` edge
+    ``Dataset`` (int64 node ids ≥ 0). Sinks (nodes with no out-edges) are
+    handled with uniform dangling-mass redistribution — the standard
+    PR formulation: PR'(v) = (1-d)/N + d·(Σ_{u→v} PR(u)/deg(u) + D/N)
+    with D = Σ_{sinks u} PR(u).
+
+    ``nodes`` (optional Dataset with a ``node`` column) pins the node
+    universe; by default it is the distinct union of src and dst.
+
+    Physical plan per iteration (attach-shuffle path — edges NOT assumed
+    co-partitioned with ranks):
+      1. union(rank rows, edge rows) → groupby(src).map_groups attaches
+         each node's rank to its out-edges and spreads it (one keyed
+         shuffle; rank rows are tagged dst=_RANK_ROW)
+      2. groupby(node).sum over contribution rows + a per-group dangling
+         marker + zero base rows (second keyed shuffle)
+    The per-iteration materialized state is one short row per node. When
+    the edge table IS co-partitioned with ranks (or edges derive from the
+    node id), use the one-shuffle fast path — see :func:`pagerank`.
+    """
+    import ray.data as rd
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": batch.column("src").cast(pa.int64()),
+            "dst": batch.column("dst").cast(pa.int64()),
+            "rank": pa.array(np.full(batch.num_rows, np.nan), pa.float64()),
+        }).cast(_ATT)
+
+    edge_tagged = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    # node universe: explicit, or distinct(src ∪ dst)
+    if nodes is None:
+        nodes = (edges.map_batches(
+            lambda b: pa.table({"node": pa.concat_arrays([
+                b.column("src").cast(pa.int64()).combine_chunks(),
+                b.column("dst").cast(pa.int64()).combine_chunks()])}),
+            batch_format="pyarrow")
+            .groupby("node").count()
+            .select_columns(["node"]))
+    nodes = nodes.materialize()
+    n = nodes.count()
+    if n == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "rank": pa.array([], pa.float64())}))
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("node").cast(pa.int64()),
+                         "rank": pa.array(np.zeros(batch.num_rows), pa.float64())
+                         }).cast(_PR)
+
+    zeros = nodes.map_batches(base_rows, batch_format="pyarrow").materialize()
+    ranks = nodes.map_batches(
+        lambda b: pa.table({
+            "node": b.column("node").cast(pa.int64()),
+            "rank": pa.array(np.full(b.num_rows, 1.0 / n))}).cast(_PR),
+        batch_format="pyarrow").materialize()
+
+    def attach(group: pa.Table) -> pa.Table:
+        """One src group: rank rows (dst=_RANK_ROW) + out-edge rows."""
+        if group.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.float64())}).cast(_PR)
+        dst = group.column("dst").to_numpy(zero_copy_only=False)
+        src = group.column("src").to_numpy(zero_copy_only=False)
+        rk = group.column("rank").to_numpy(zero_copy_only=False)
+        is_rank = dst == _RANK_ROW
+        return _spread_ranks(src[is_rank], rk[is_rank],
+                             src[~is_rank], dst[~is_rank])
+
+    teleport = (1.0 - damping) / n
+    for _ in range(iterations):
+        rank_tagged = ranks.map_batches(
+            lambda b: pa.table({
+                "src": b.column("node"),
+                "dst": pa.array(np.full(b.num_rows, _RANK_ROW), pa.int64()),
+                "rank": b.column("rank")}).cast(_ATT),
+            batch_format="pyarrow")
+        contrib = (rank_tagged.union(edge_tagged)
+                   .groupby("src").map_groups(attach, batch_format="pyarrow"))
+        summed = contrib.union(zeros).groupby("node").sum("rank").materialize()
+        # the dangling marker folds to one tiny row; its scalar is the only
+        # driver-side value per iteration
+        import pyarrow.compute as pc
+
+        dangling = 0.0
+        for b in summed.iter_batches(batch_format="pyarrow"):
+            m = pc.equal(b.column("node"), pa.scalar(_DANGLING, pa.int64()))
+            if pc.any(m).as_py():
+                dangling = float(b.filter(m).column("sum(rank)")[0].as_py())
+                break
+        share = damping * dangling / n
+
+        def new_ranks(b: pa.Table, _share=share) -> pa.Table:
+            keep = pc.not_equal(b.column("node"), pa.scalar(_DANGLING, pa.int64()))
+            b = b.filter(keep)
+            return pa.table({
+                "node": b.column("node"),
+                "rank": pa.array(
+                    teleport + _share + damping *
+                    b.column("sum(rank)").to_numpy(zero_copy_only=False))
+            }).cast(_PR)
+
+        ranks = summed.map_batches(new_ranks, batch_format="pyarrow").materialize()
+    if round_to is not None:
+        def rnd(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": b.column("node"),
+                "rank": pa.array(np.round(
+                    b.column("rank").to_numpy(zero_copy_only=False), round_to))})
+        ranks = ranks.map_batches(rnd, batch_format="pyarrow")
+    return ranks
+
 
 def pagerank(sf_dir: str, *, iterations: int = 5, damping: float = DAMPING):
-    """Distributed PageRank over the derived link graph; returns
-    (node, pr_scaled) with pr_scaled = rank·n rounded to 6 decimals
-    (N-scaling keeps the rounded values O(1) at any corpus size, so the
-    oracle comparison is scale-independent).
+    """PageRank over the derived link graph (the exactly-oracled driver
+    entry); returns (node, pr_scaled) with pr_scaled = rank·n rounded to 6
+    decimals (N-scaling keeps the rounded values O(1) at any corpus size,
+    so the oracle comparison is scale-independent).
 
-    Each iteration is ONE dst-keyed shuffle: the out-edges of a rank
-    batch's nodes are derived IN the map (edges co-partitioned with
-    ranks — the standard Pregel/vertex-program layout; on a real corpus
-    this is an edge table hash-partitioned by src alongside the rank
-    table, so the per-iteration join is partition-local), each node's
-    rank is spread over its out-degree vectorized, and a native
-    groupby-sum folds contributions with a zero base row per node
-    keeping sinks present. For an edge table that is NOT co-partitioned
-    with ranks, the union + bucketed-groupby attach pattern
-    (``dedup.minhash_dedup``'s verify; this module at commit 47894cc)
-    adds the src-keyed co-location shuffle explicitly.
+    This is the CO-PARTITIONED fast path of :func:`pagerank_edges`: each
+    iteration is ONE dst-keyed shuffle, because the out-edges of a rank
+    batch's nodes derive IN the map (the standard Pregel/vertex-program
+    layout; on a real corpus this is an edge table hash-partitioned by
+    src alongside the rank table, making the per-iteration attach
+    partition-local). Every derived node keeps out-degree ≥ 1 by
+    construction, so the dangling marker row never fires here — the
+    kernel (``_spread_ranks``) is shared with the generic operator, which
+    handles sinks.
     """
     import ray.data as rd
 
@@ -133,18 +320,9 @@ def pagerank(sf_dir: str, *, iterations: int = 5, damping: float = DAMPING):
         node = batch.column("node").to_numpy(zero_copy_only=False)
         rk = batch.column("rank").to_numpy(zero_copy_only=False)
         e = edge_batch(pa.table({"doc_id": pa.array(node)}), n)
-        src = e.column("src").to_numpy(zero_copy_only=False)
-        dst = e.column("dst").to_numpy(zero_copy_only=False)
-        order = np.argsort(src, kind="stable")
-        src, dst = src[order], dst[order]
-        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
-        outdeg = np.diff(np.r_[starts, len(src)])
-        pos = np.searchsorted(node[np.argsort(node)], src[starts])
-        rk_sorted = rk[np.argsort(node)]
-        per_src = rk_sorted[pos] / outdeg
-        return pa.table({"node": pa.array(dst),
-                         "rank": pa.array(np.repeat(per_src, outdeg))
-                         }).cast(_PR)
+        return _spread_ranks(node, rk,
+                             e.column("src").to_numpy(zero_copy_only=False),
+                             e.column("dst").to_numpy(zero_copy_only=False))
 
     def base_rows(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch.column("doc_id"),

@@ -292,3 +292,50 @@ def feature_windows_md5(sf_dir: str, *, batch_size: int = 128,
     return _documents_ds(sf_dir).map_batches(
         _Md5WindowStage, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency)
+
+
+def pipeline_summary(pages_dir: str):
+    """All three stub stages (decode / resize / frame-sample) in one driver
+    entry: each stage's output folds to ONE deterministic rollup row
+    (stage, n_rows, bytes_sum, int_sum) via per-batch partials + a tiny
+    groupby — so the actor-pool plumbing of every stage runs end-to-end
+    while the driver result stays a 3-row table (rows-only by declared
+    stub nature; the per-value oracles live in decode_meta_md5 /
+    feature_windows_md5)."""
+    import pyarrow.compute as pc
+
+    def partial(stage: str, bin_col: str, int_cols: tuple[str, ...]):
+        def f(batch: pa.Table) -> pa.Table:
+            by = int(pc.sum(pc.binary_length(batch.column(bin_col))).as_py() or 0) \
+                if bin_col else 0
+            iv = sum(int(pc.sum(batch.column(c)).as_py() or 0) for c in int_cols)
+            return pa.table({
+                "stage": pa.array([stage], pa.string()),
+                "n_rows": pa.array([batch.num_rows], pa.int64()),
+                "bytes_sum": pa.array([by], pa.int64()),
+                "int_sum": pa.array([iv], pa.int64()),
+            })
+        return f
+
+    dec = decode_features(pages_dir).map_batches(
+        partial("decode", None, ("n_bytes", "width", "height")),
+        batch_format="pyarrow")
+    rsz = resize_thumbnails(pages_dir).map_batches(
+        partial("resize", "thumb", ("thumb_w", "thumb_h")),
+        batch_format="pyarrow")
+    frm = sample_frames(pages_dir).map_batches(
+        partial("frames", "frame", ("frame_idx",)),
+        batch_format="pyarrow")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "stage": batch.column("stage"),
+            "n_rows": batch.column("sum(n_rows)").cast(pa.int64()),
+            "bytes_sum": batch.column("sum(bytes_sum)").cast(pa.int64()),
+            "int_sum": batch.column("sum(int_sum)").cast(pa.int64()),
+        })
+
+    return (dec.union(rsz).union(frm)
+            .groupby("stage")
+            .sum(["n_rows", "bytes_sum", "int_sum"])
+            .map_batches(fold, batch_format="pyarrow"))

@@ -75,3 +75,129 @@ def test_pagerank_sink_gets_teleport_only():
     if sinks:  # teleport-only rank, N-scaled: (1-d)
         vals = got[got.node.isin(sinks)].pr_scaled
         assert np.allclose(vals, 0.15, atol=1e-6)
+
+
+# ----------------------------------------------- generic operator (r4)
+
+# explicit edge table with real sinks: nodes 5 and 6 have NO out-edges
+# (dangling); node 6 also has no in-edges (pure teleport + dangling share)
+_EDGES = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 3), (4, 5), (1, 5)]
+_N_NODES = 7
+
+
+def _pagerank_oracle_df(iterations: int = 5, damping: float = 0.85) -> pd.DataFrame:
+    """DuckDB unrolled-iteration oracle with dangling-mass redistribution."""
+    import duckdb
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({s}, {d})" for s, d in _EDGES)
+    con.execute(f"CREATE TABLE edges(src BIGINT, dst BIGINT); "
+                f"INSERT INTO edges VALUES {vals}")
+    con.execute("CREATE TABLE nodes AS SELECT unnest(range(0, "
+                f"{_N_NODES})) AS node")
+    it = f"SELECT node, 1.0/{_N_NODES} AS rank FROM nodes"
+    for _ in range(iterations):
+        it = f"""
+WITH prev AS ({it}),
+od AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY 1),
+dang AS (SELECT coalesce(sum(p.rank), 0) AS mass FROM prev p
+         LEFT JOIN od ON od.src = p.node WHERE od.src IS NULL)
+SELECT n.node,
+       (1-{damping})/{_N_NODES}
+       + {damping} * ((SELECT mass FROM dang)/{_N_NODES}
+                      + coalesce(sum(p.rank / od.deg), 0)) AS rank
+FROM nodes n
+LEFT JOIN edges e ON e.dst = n.node
+LEFT JOIN prev p ON p.node = e.src
+LEFT JOIN od ON od.src = e.src
+GROUP BY n.node"""
+    return con.execute(f"SELECT node, rank FROM ({it}) ORDER BY node").df()
+
+
+def test_pagerank_edges_sinks_match_duckdb_oracle():
+    """pagerank_edges over an explicit (src, dst) table with sinks must
+    match the unrolled-CTE oracle including dangling-mass redistribution,
+    and conserve total mass."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hunt_ray.pipelines.graph import pagerank_edges
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([s for s, _ in _EDGES], pa.int64()),
+        "dst": pa.array([d for _, d in _EDGES], pa.int64())}))
+    nodes = rd.from_arrow(pa.table({
+        "node": pa.array(list(range(_N_NODES)), pa.int64())}))
+    got = (pagerank_edges(edges, nodes=nodes, iterations=5)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    want = _pagerank_oracle_df(iterations=5)
+    assert list(got.node) == list(want.node)
+    assert np.allclose(got["rank"], want["rank"], atol=1e-12)
+    # dangling redistribution keeps Σrank == 1
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+    # node 6 is isolated: teleport + its dangling share only
+    assert got.loc[got.node == 6, "rank"].iloc[0] < got["rank"].mean()
+
+
+def test_pagerank_edges_infers_node_universe():
+    """Without an explicit nodes Dataset, the universe is distinct(src∪dst)
+    — node 6 (isolated) is then absent but mass still conserves over the
+    6 reachable nodes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hunt_ray.pipelines.graph import pagerank_edges
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([s for s, _ in _EDGES], pa.int64()),
+        "dst": pa.array([d for _, d in _EDGES], pa.int64())}))
+    got = pagerank_edges(edges, iterations=3).to_pandas()
+    assert sorted(got.node) == [0, 1, 2, 3, 4, 5]
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_fast_path_matches_generic():
+    """The derived-graph one-shuffle wrapper and the generic attach-shuffle
+    operator agree on the same graph (they share _spread_ranks but take
+    different physical plans)."""
+    import pyarrow.compute as pc
+
+    from hunt_ray.pipelines import graph
+
+    n = graph.n_docs(SF)
+    edges = graph.link_edges(SF)
+    generic = (graph.pagerank_edges(edges, iterations=3)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+    fast = graph.pagerank(SF, iterations=3).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert list(generic.node) == list(fast.node)
+    assert np.allclose(generic["rank"] * n, fast["pr_scaled"], atol=1e-6)
+
+
+def test_n_docs_rejects_noncontiguous_ids(tmp_path):
+    """The derived-edge invariant (doc_ids exactly 0..n-1) is enforced, not
+    assumed (ADVICE r3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.pipelines import graph
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array([0, 1, 5], pa.int64())}),
+                   str(d / "documents.parquet"))
+    with pytest.raises(ValueError, match="contiguous"):
+        graph.n_docs(str(d))
+
+
+def test_spread_ranks_empty_batch():
+    """Ray can hand empty blocks to map_batches after shuffles; the spread
+    kernel must pass them through (ADVICE r3)."""
+    import pyarrow as pa
+
+    from hunt_ray.pipelines.graph import _spread_ranks
+
+    out = _spread_ranks(np.empty(0, np.int64), np.empty(0, np.float64),
+                        np.empty(0, np.int64), np.empty(0, np.int64))
+    assert out.num_rows == 0
+    assert out.schema.names == ["node", "rank"]
