@@ -253,6 +253,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # probabilistic scale paths: recall/truncation verified in-window
         # by q_dedup_recall / q_dedup_stats
         "q_minhash_dedup": lambda sf: dedup.minhash_dedup(sf, threshold=0.5),
+        # the full 100 TB recipe (minhash pairs → components); the
+        # component kernel is exactly oracled in-window (q_dedup_components)
+        # and the end-to-end output is pytest-pinned to a union-find oracle
+        "q_minhash_components": lambda sf: dedup.minhash_components(sf, threshold=0.5),
         "q_embedding_dedup_lsh": lambda sf: dedup.embedding_dedup_lsh(sf, threshold=0.45),
         # persisted IVF (bucket-partitioned parquet, probed-bucket-only
         # reads); == transient knn_ivf, pytest-pinned, recall vs in-window

@@ -280,6 +280,10 @@ def run_bench() -> dict:
     dedup.minhash_dedup(SF_DIR).count()  # lazy Dataset — force execution
     timings["minhash_dedup"] = round(time.time() - t, 3)
     t = time.time()
+    # the full 100 TB dedup recipe: minhash pairs → connected components
+    dedup.minhash_components(SF_DIR).count()
+    timings["minhash_components"] = round(time.time() - t, 3)
+    t = time.time()
     similarity.knn_brute(SF_DIR)
     timings["knn_brute"] = round(time.time() - t, 3)
     similarity.knn_ivf_indexed(SF_DIR)  # build-or-reuse the IVF index (untimed)
