@@ -121,15 +121,17 @@ def link_degree(sf_dir: str):
         return pl.concat([out.select(["doc_id", "out_degree", "in_degree"]),
                           inc]).to_arrow().cast(_DEG)
 
-    def final(group: pa.Table) -> pa.Table:
-        df = pl.from_arrow(group)
-        return (df.group_by("doc_id")
-                  .agg(out_degree=pl.col("out_degree").sum(),
-                       in_degree=pl.col("in_degree").sum())
-                  .to_arrow().cast(_DEG))
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "out_degree": batch.column("sum(out_degree)"),
+            "in_degree": batch.column("sum(in_degree)")}).cast(_DEG)
 
+    # native vectorized sum aggregate — map_groups would pay one Python
+    # call + table slice PER NODE in the reduce
     return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("doc_id").map_groups(final, batch_format="pyarrow"))
+            .groupby("doc_id").sum(["out_degree", "in_degree"])
+            .map_batches(rename, batch_format="pyarrow"))
 
 
 _PR = pa.schema([("node", pa.int64()), ("rank", pa.float64())])
@@ -139,6 +141,26 @@ _RANK_ROW = np.int64(-1)
 _DANGLING = np.int64(-2)
 _ATT = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
                   ("rank", pa.float64())])
+
+
+def _state_blocks(n_rows: int, rows_per_block: int = 250_000) -> int:
+    """Block count for the per-iteration rank/edge state: one block per
+    ~250k short rows (node, rank ≈ 16 bytes → ~4 MB blocks). Ray's
+    sort-shuffle cost has a per-block floor (sampling, one task per
+    map/reduce partition), so a toy graph left on the input's natural
+    32+ blocks pays ~10× the useful compute EVERY iteration; a 10^9-node
+    graph still gets 4000 blocks. Coalesce-only: callers keep the
+    upstream blocking when it is already ≤ this."""
+    return max(1, -(-n_rows // rows_per_block))
+
+
+def _coalesce(ds, n_rows: int):
+    """Repartition a materialized per-iteration state dataset down to
+    `_state_blocks(n_rows)` blocks (no-op when already at or below)."""
+    target = _state_blocks(n_rows)
+    if ds.num_blocks() > target:
+        ds = ds.repartition(target).materialize()
+    return ds
 
 
 def _spread_ranks(node: np.ndarray, rk: np.ndarray,
@@ -161,12 +183,16 @@ def _spread_ranks(node: np.ndarray, rk: np.ndarray,
         starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
         outdeg = np.diff(np.r_[starts, len(src)])
         pos = np.searchsorted(node_sorted, src[starts])
-        per_src = rk_sorted[pos] / outdeg
-        out_node = dst
-        out_rank = np.repeat(per_src, outdeg)
+        # a src with no rank row here (edge src outside an explicit node
+        # universe) contributes nothing — mask its whole edge group
+        pos_c = np.minimum(pos, len(node_sorted) - 1)
+        valid = node_sorted[pos_c] == src[starts]
+        out_node = dst[np.repeat(valid, outdeg)]
+        out_rank = np.repeat(rk_sorted[pos_c[valid]] / outdeg[valid],
+                             outdeg[valid])
         # dangling = batch nodes that appear in no src group
         has_out = np.zeros(len(node_sorted), dtype=bool)
-        has_out[pos] = True
+        has_out[pos_c[valid]] = True
     else:
         out_node = np.empty(0, np.int64)
         out_rank = np.empty(0, np.float64)
@@ -211,6 +237,7 @@ def pagerank_edges(edges, *, nodes=None, iterations: int = 5,
         }).cast(_ATT)
 
     edge_tagged = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
+    edge_tagged = _coalesce(edge_tagged, edge_tagged.count())
 
     # node universe: explicit, or distinct(src ∪ dst)
     if nodes is None:
@@ -232,21 +259,26 @@ def pagerank_edges(edges, *, nodes=None, iterations: int = 5,
                          "rank": pa.array(np.zeros(batch.num_rows), pa.float64())
                          }).cast(_PR)
 
-    zeros = nodes.map_batches(base_rows, batch_format="pyarrow").materialize()
-    ranks = nodes.map_batches(
+    zeros = _coalesce(
+        nodes.map_batches(base_rows, batch_format="pyarrow").materialize(), n)
+    ranks = _coalesce(nodes.map_batches(
         lambda b: pa.table({
             "node": b.column("node").cast(pa.int64()),
             "rank": pa.array(np.full(b.num_rows, 1.0 / n))}).cast(_PR),
-        batch_format="pyarrow").materialize()
+        batch_format="pyarrow").materialize(), n)
 
-    def attach(group: pa.Table) -> pa.Table:
-        """One src group: rank rows (dst=_RANK_ROW) + out-edge rows."""
-        if group.num_rows == 0:
+    def attach(batch: pa.Table) -> pa.Table:
+        """ALL src groups of one src-sorted block: rank rows
+        (dst=_RANK_ROW) + out-edge rows, spread vectorized in one call —
+        `_spread_ranks` does the per-src grouping internally, so there is
+        no per-group Python call or table slice (``map_groups`` would pay
+        both PER NODE)."""
+        if batch.num_rows == 0:
             return pa.table({"node": pa.array([], pa.int64()),
                              "rank": pa.array([], pa.float64())}).cast(_PR)
-        dst = group.column("dst").to_numpy(zero_copy_only=False)
-        src = group.column("src").to_numpy(zero_copy_only=False)
-        rk = group.column("rank").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        rk = batch.column("rank").to_numpy(zero_copy_only=False)
         is_rank = dst == _RANK_ROW
         return _spread_ranks(src[is_rank], rk[is_rank],
                              src[~is_rank], dst[~is_rank])
@@ -259,8 +291,14 @@ def pagerank_edges(edges, *, nodes=None, iterations: int = 5,
                 "dst": pa.array(np.full(b.num_rows, _RANK_ROW), pa.int64()),
                 "rank": b.column("rank")}).cast(_ATT),
             batch_format="pyarrow")
+        # sort("src") is the same co-location shuffle map_groups uses
+        # (each output block holds whole src groups); applying the
+        # vectorized kernel per BLOCK replaces map_groups' per-group UDF
+        # loop — at 10^9 nodes that loop is 10^9 Python calls + slices
         contrib = (rank_tagged.union(edge_tagged)
-                   .groupby("src").map_groups(attach, batch_format="pyarrow"))
+                   .sort("src")
+                   .map_batches(attach, batch_size=None,
+                                batch_format="pyarrow"))
         summed = contrib.union(zeros).groupby("node").sum("rank").materialize()
         # the dangling marker folds to one tiny row; its scalar is the only
         # driver-side value per iteration
@@ -284,7 +322,8 @@ def pagerank_edges(edges, *, nodes=None, iterations: int = 5,
                     b.column("sum(rank)").to_numpy(zero_copy_only=False))
             }).cast(_PR)
 
-        ranks = summed.map_batches(new_ranks, batch_format="pyarrow").materialize()
+        ranks = _coalesce(
+            summed.map_batches(new_ranks, batch_format="pyarrow").materialize(), n)
     if round_to is not None:
         def rnd(b: pa.Table) -> pa.Table:
             return pa.table({
@@ -329,25 +368,26 @@ def pagerank(sf_dir: str, *, iterations: int = 5, damping: float = DAMPING):
                          "rank": pa.array(np.zeros(len(batch)), pa.float64())
                          }).cast(_PR)
 
-    zeros = docs.map_batches(base_rows, batch_format="pyarrow").materialize()
-    ranks = docs.map_batches(
+    zeros = _coalesce(
+        docs.map_batches(base_rows, batch_format="pyarrow").materialize(), n)
+    ranks = _coalesce(docs.map_batches(
         lambda b: pa.table({
             "node": b.column("doc_id"),
             "rank": pa.array(np.full(len(b), 1.0 / n))}).cast(_PR),
-        batch_format="pyarrow").materialize()
+        batch_format="pyarrow").materialize(), n)
 
     teleport = (1.0 - damping) / n
     for _ in range(iterations):
         summed = (ranks.map_batches(contribs, batch_format="pyarrow")
                   .union(zeros)
                   .groupby("node").sum("rank"))
-        ranks = summed.map_batches(
+        ranks = _coalesce(summed.map_batches(
             lambda b: pa.table({
                 "node": b.column("node"),
                 "rank": pa.array(
                     teleport + damping *
                     b.column("sum(rank)").to_numpy(zero_copy_only=False))
-            }).cast(_PR), batch_format="pyarrow").materialize()
+            }).cast(_PR), batch_format="pyarrow").materialize(), n)
 
     def scale(batch: pa.Table) -> pa.Table:
         r = batch.column("rank").to_numpy(zero_copy_only=False)
