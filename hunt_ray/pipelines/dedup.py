@@ -23,6 +23,7 @@ import polars as pl
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..common.grouped import sorted_groups
 from ..common.hashing import hash64
 from .textstats import _flat_tokens
 
@@ -207,24 +208,102 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return _POPCNT8[by].sum(axis=1).astype(np.int32)
 
 
-def _capped_pairs(ids) -> tuple[np.ndarray, np.ndarray, int]:
-    """All unordered pairs of (the first MAX_BUCKET of) ids — vectorized
-    via triu_indices; returns (a, b, n_ids_dropped)."""
-    ids = np.asarray(ids, dtype=np.int64)
-    dropped = 0
-    if len(ids) > MAX_BUCKET:
-        dropped = len(ids) - MAX_BUCKET
-        ids = ids[:MAX_BUCKET]
-    ii, jj = np.triu_indices(len(ids), k=1)
-    return ids[ii], ids[jj], dropped
-
-
 def _dropped_pair_count(sizes: np.ndarray) -> np.ndarray:
     """Candidate pairs lost to the MAX_BUCKET cap per bucket of given
     size: C(n,2) − C(min(n,cap),2)."""
     n = sizes.astype(np.int64)
     kept = np.minimum(n, MAX_BUCKET)
     return n * (n - 1) // 2 - kept * (kept - 1) // 2
+
+
+def _segment_pair_indices(new_seg: np.ndarray, n_rows: int,
+                          label: str) -> tuple[np.ndarray, np.ndarray]:
+    """All unordered in-segment row-index pairs over a segment-sorted
+    block (MAX_BUCKET-capped per segment, keeping each segment's first
+    rows — the smallest ids when rows are id-sorted within segments).
+    Vectorized per DISTINCT capped segment size (≤ MAX_BUCKET numpy
+    passes), never per segment — the whole point of handing the kernel a
+    multi-bucket block instead of one map_groups call per bucket."""
+    starts = np.flatnonzero(new_seg)
+    sizes = np.diff(np.r_[starts, n_rows])
+    m = np.minimum(sizes, MAX_BUCKET)
+    n_capped = int((sizes > MAX_BUCKET).sum())
+    if n_capped:
+        print(f"{label}: capped {n_capped} hot bucket(s) "
+              f"({int(_dropped_pair_count(sizes).sum())} candidate pairs "
+              f"dropped)")
+    out_a, out_b = [], []
+    for s in np.unique(m):
+        if s < 2:
+            continue
+        ii, jj = np.triu_indices(int(s), k=1)
+        st = starts[m == s]
+        out_a.append((st[:, None] + ii[None, :]).ravel())
+        out_b.append((st[:, None] + jj[None, :]).ravel())
+    if not out_a:
+        z = np.empty(0, np.int64)
+        return z, z
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+def _seg_min(values: np.ndarray, seg_id: np.ndarray, rows: np.ndarray,
+             nseg: int) -> np.ndarray:
+    """Per-segment min of ``values[rows]`` (rows ascending within a
+    segment-sorted block) via ``minimum.reduceat``; segments with no row
+    get int64 max."""
+    out = np.full(nseg, np.iinfo(np.int64).max, np.int64)
+    if rows.size:
+        sid = seg_id[rows]
+        first = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]])
+        out[sid[first]] = np.minimum.reduceat(values[rows], first)
+    return out
+
+
+def _flat_binary(col: pa.ChunkedArray | pa.Array
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """A (large_)binary column → (flat uint8 value array, per-row byte
+    lengths) with ONE copy for the value region — no per-row ``as_py``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off_dt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offsets = np.frombuffer(col.buffers()[1], dtype=off_dt)[
+        col.offset: col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2] or b"", dtype=np.uint8)
+    return data[offsets[0]: offsets[-1]].copy(), np.diff(offsets)
+
+
+def _make_attach(schema: pa.Schema, blob_col: str):
+    """Block-safe carrier attach over a key-sorted block (sorted_groups):
+    every key group's role-2 carrier blob is broadcast to the group's
+    pair-side rows — vectorized across ALL groups (map_groups would pay
+    one Python call + table slice per doc)."""
+    a_col, b_col = schema.names[1], schema.names[2]
+
+    def attach(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        roles = batch.column("role").to_numpy(zero_copy_only=False)
+        n = len(key)
+        seg_id = np.cumsum(np.r_[False, key[1:] != key[:-1]])
+        idx = np.arange(n, dtype=np.int64)
+        carrier = _seg_min(idx, seg_id, np.flatnonzero(roles == 2),
+                           int(seg_id[-1]) + 1)
+        src = carrier[seg_id]
+        take = (roles != 2) & (src < n)
+        if not take.any():
+            return schema.empty_table()
+        rows = idx[take]
+        sel = batch.take(pa.array(rows))
+        return pa.table({
+            "key": sel.column("key"),
+            a_col: sel.column(a_col),
+            b_col: sel.column(b_col),
+            "role": sel.column("role"),
+            blob_col: batch.column(blob_col).take(pa.array(src[take])),
+        }).cast(schema)
+
+    return attach
 
 
 def minhash_candidates(sf_dir: str, *, seed: int = 7, k: int = 3):
@@ -235,18 +314,27 @@ def minhash_candidates(sf_dir: str, *, seed: int = 7, k: int = 3):
     sigs = ds.map_batches(MinHashStage, fn_constructor_args=(seed, k),
                           batch_format="pyarrow", concurrency=(1, 4))
 
-    def pairs_of_bucket(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        a, b, dropped = _capped_pairs(ids)
-        if dropped:
-            print(f"minhash: capped hot bucket "
-                  f"(band={group.column('band')[0].as_py()}, "
-                  f"{len(ids) + dropped} docs → {MAX_BUCKET})")
-        return pa.table({"doc_a": pa.array(a, pa.int64()),
-                         "doc_b": pa.array(b, pa.int64())})
+    def pairs_of_block(batch: pa.Table) -> pa.Table:
+        """ALL (band, band_hash) buckets of one sorted block: in-bucket
+        doc-id dedup + capped pair generation, vectorized per distinct
+        bucket size — no per-bucket Python call."""
+        if batch.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        band = batch.column("band").to_numpy(zero_copy_only=False)
+        bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, bh, band))
+        band, bh, did = band[order], bh[order], did[order]
+        new = np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])]
+        uniq = new | (did != np.r_[did[:1], did[:-1]])
+        band, bh, did = band[uniq], bh[uniq], did[uniq]
+        new = np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])]
+        ia, ib = _segment_pair_indices(new, len(did), "minhash")
+        return pa.table({"doc_a": pa.array(did[ia], pa.int64()),
+                         "doc_b": pa.array(did[ib], pa.int64())})
 
-    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
-        pairs_of_bucket, batch_format="pyarrow")
+    pairs = sorted_groups(sigs, ["band", "band_hash"], pairs_of_block)
     # a pair may surface from several bands — dedup with a tiny groupby
     from ray.data.aggregate import Count
 
@@ -286,12 +374,13 @@ def minhash_dedup(sf_dir: str, *, threshold: float = 0.5, seed: int = 7, k: int 
 
     Verification is distributed through two doc-keyed shuffles, never the
     driver: candidate pairs explode into one row per side, union with the
-    per-doc shingle-signature rows, a groupby on the doc id attaches each
-    side's signature inside ``map_groups``, and a second groupby on the
-    pair brings both sides together for the exact Jaccard. Nothing
-    corpus-sized ever lands on one node. (Implemented as groupbys rather
-    than ``Dataset.join`` — the hash-join operator rejects the schema-less
-    empty blocks tiny candidate sets produce.)
+    per-doc shingle-signature rows, a doc-keyed co-location sort attaches
+    each side's signature, and a second pair-keyed sort brings both sides
+    together for the exact Jaccard. Both kernels are vectorized across
+    every group in a block (``sorted_groups``) — no per-doc or per-pair
+    Python. Nothing corpus-sized ever lands on one node. (Implemented as
+    keyed sorts rather than ``Dataset.join`` — the hash-join operator
+    rejects the schema-less empty blocks tiny candidate sets produce.)
     """
 
     def explode_pairs(batch: pa.Table) -> pa.Table:
@@ -321,49 +410,52 @@ def minhash_dedup(sf_dir: str, *, threshold: float = 0.5, seed: int = 7, k: int 
         .map_batches(explode_pairs, batch_format="pyarrow")
     sigs = shingle_signatures(sf_dir, k).map_batches(tag_sigs, batch_format="pyarrow")
 
-    def attach(group: pa.Table) -> pa.Table:
-        """One doc's group: its signature row + the pair sides that need it."""
-        roles = group.column("role").to_numpy(zero_copy_only=False)
-        sig_rows = np.flatnonzero(roles == 2)
-        need = np.flatnonzero(roles != 2)
-        if sig_rows.size == 0 or need.size == 0:
-            return _VERIFY_SCHEMA.empty_table()
-        blob = group.column("shingles")[int(sig_rows[0])].as_py()
-        sel = group.take(pa.array(need))
-        return pa.table({
-            "key": sel.column("key"),
-            "doc_a": sel.column("doc_a"),
-            "doc_b": sel.column("doc_b"),
-            "role": sel.column("role"),
-            "shingles": pa.array([blob] * len(need), pa.large_binary()),
-        })
+    attach = _make_attach(_VERIFY_SCHEMA, "shingles")
 
-    def verify(group: pa.Table) -> pa.Table:
-        """One pair's group: two sides with signatures → exact Jaccard."""
-        roles = group.column("role").to_numpy(zero_copy_only=False)
-        ia = np.flatnonzero(roles == 0)
-        ib = np.flatnonzero(roles == 1)
+    def verify(batch: pa.Table) -> pa.Table:
+        """ALL pair groups of one (doc_a, doc_b)-sorted block: exact
+        shingle Jaccard via ONE (pair, hash) lexsort over the block's
+        flattened signature bytes — both sides of every pair intersected
+        in the same numpy pass, no per-pair Python or per-row as_py."""
         empty = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                            ("jaccard", pa.float64())]).empty_table()
-        if ia.size == 0 or ib.size == 0:
+        if batch.num_rows == 0:
             return empty
-        sa = np.frombuffer(group.column("shingles")[int(ia[0])].as_py(),
-                           dtype=np.uint64)
-        sb = np.frombuffer(group.column("shingles")[int(ib[0])].as_py(),
-                           dtype=np.uint64)
-        if sa.size == 0 or sb.size == 0:
-            return empty
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        jac = inter / (sa.size + sb.size - inter)
-        if jac < threshold:
-            return empty
-        return pa.table({"doc_a": group.column("doc_a").slice(0, 1),
-                         "doc_b": group.column("doc_b").slice(0, 1),
-                         "jaccard": pa.array([round(jac, 6)], pa.float64())})
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        roles = batch.column("role").to_numpy(zero_copy_only=False)
+        new = np.r_[True, (da[1:] != da[:-1]) | (db[1:] != db[:-1])]
+        seg_id = np.cumsum(new) - 1
+        nseg = int(seg_id[-1]) + 1
+        flat, byte_lens = _flat_binary(batch.column("shingles"))
+        hv = flat.view(np.uint64)  # each blob is a sorted-unique uint64 set
+        lens = byte_lens // 8
+        side_a = roles == 0
+        # one row per (pair, side) after attach ⇒ plain scatter-adds give
+        # each side's set size per pair
+        size_a = np.zeros(nseg, np.int64)
+        size_b = np.zeros(nseg, np.int64)
+        np.add.at(size_a, seg_id[side_a], lens[side_a])
+        np.add.at(size_b, seg_id[~side_a], lens[~side_a])
+        pair_of_hash = np.repeat(seg_id, lens)
+        order = np.lexsort((hv, pair_of_hash))
+        p, h = pair_of_hash[order], hv[order]
+        dup = (p[1:] == p[:-1]) & (h[1:] == h[:-1])
+        inter = np.bincount(p[1:][dup], minlength=nseg).astype(np.int64)
+        union = size_a + size_b - inter
+        ok = (size_a > 0) & (size_b > 0)
+        jac = np.zeros(nseg, np.float64)
+        jac[ok] = inter[ok] / union[ok]
+        keep = ok & (jac >= threshold)
+        rep = np.flatnonzero(new)[keep]
+        return pa.table({
+            "doc_a": pa.array(da[rep], pa.int64()),
+            "doc_b": pa.array(db[rep], pa.int64()),
+            "jaccard": pa.array(np.round(jac[keep], 6), pa.float64())})
 
-    return (pairs.union(sigs)
-            .groupby("key").map_groups(attach, batch_format="pyarrow")
-            .groupby(["doc_a", "doc_b"]).map_groups(verify, batch_format="pyarrow"))
+    return sorted_groups(
+        sorted_groups(pairs.union(sigs), "key", attach),
+        ["doc_a", "doc_b"], verify)
 
 
 # ------------------------------------------------------------------ n-gram jaccard (exact)
@@ -729,29 +821,34 @@ def simhash_dedup(sf_dir: str, *, max_hamming: int = 3):
             "simhash": pa.array(np.tile(s, n_blocks), pa.uint64()),
         })
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        """Vectorized in-bucket verify: unique (doc, sig) rows via one
-        lexsort, all pairs via triu_indices, Hamming via xor + table
-        popcount — no Python pair loop."""
-        d = group.column("doc_id").to_numpy(zero_copy_only=False)
-        s = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        order = np.lexsort((s, d))
-        d, s = d[order], s[order]
-        keep = np.r_[True, (d[1:] != d[:-1]) | (s[1:] != s[:-1])]
-        d, s = d[keep], s[keep]
-        if len(d) > MAX_BUCKET:  # hot-bucket cap (see _capped_pairs)
-            print(f"simhash: capped hot bucket ({len(d)} docs → {MAX_BUCKET})")
-            d, s = d[:MAX_BUCKET], s[:MAX_BUCKET]
-        ii, jj = np.triu_indices(len(d), k=1)
-        ham = _popcount64(s[ii] ^ s[jj])
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        """ALL (quarter, qval) buckets of one sorted block: unique
+        (doc, sig) rows via one lexsort, capped in-bucket pairs vectorized
+        per distinct bucket size, Hamming via xor + table popcount — no
+        per-bucket Python call."""
+        empty = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                           ("hamming", pa.int32())]).empty_table()
+        if batch.num_rows == 0:
+            return empty
+        q = batch.column("quarter").to_numpy(zero_copy_only=False)
+        v = batch.column("qval").to_numpy(zero_copy_only=False)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        s = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((s, d, v, q))
+        q, v, d, s = q[order], v[order], d[order], s[order]
+        new = np.r_[True, (q[1:] != q[:-1]) | (v[1:] != v[:-1])]
+        uniq = new | (d != np.r_[d[:1], d[:-1]]) | (s != np.r_[s[:1], s[:-1]])
+        q, v, d, s = q[uniq], v[uniq], d[uniq], s[uniq]
+        new = np.r_[True, (q[1:] != q[:-1]) | (v[1:] != v[:-1])]
+        ia, ib = _segment_pair_indices(new, len(d), "simhash")
+        ham = _popcount64(s[ia] ^ s[ib])
         m = ham <= max_hamming
-        return pa.table({"doc_a": pa.array(d[ii][m], pa.int64()),
-                         "doc_b": pa.array(d[jj][m], pa.int64()),
+        return pa.table({"doc_a": pa.array(d[ia][m], pa.int64()),
+                         "doc_b": pa.array(d[ib][m], pa.int64()),
                          "hamming": pa.array(ham[m], pa.int32())})
 
-    pairs = (sigs.map_batches(explode, batch_format="pyarrow")
-             .groupby(["quarter", "qval"])
-             .map_groups(bucket_pairs, batch_format="pyarrow"))
+    pairs = sorted_groups(sigs.map_batches(explode, batch_format="pyarrow"),
+                          ["quarter", "qval"], bucket_pairs)
     from ray.data.aggregate import Min
 
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
@@ -894,19 +991,28 @@ def embedding_dedup_lsh(sf_dir: str, *, threshold: float = 0.45,
                              fn_constructor_args=(seed, n_tables, n_planes, dim),
                              batch_format="pyarrow", concurrency=(1, 4))
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column("vec_id").to_numpy(zero_copy_only=False))
-        a, b, dropped = _capped_pairs(ids)
-        if dropped:
-            print(f"embedding-lsh: capped hot bucket "
-                  f"({len(ids)} → {MAX_BUCKET})")
-        return pa.table({"doc_a": pa.array(a, pa.int64()),
-                         "doc_b": pa.array(b, pa.int64())})
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        """ALL (table, bucket) groups of one sorted block — capped pairs
+        vectorized per distinct bucket size, no per-bucket Python call."""
+        if batch.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        t = batch.column("table").to_numpy(zero_copy_only=False)
+        bk = batch.column("bucket").to_numpy(zero_copy_only=False)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, bk, t))
+        t, bk, vid = t[order], bk[order], vid[order]
+        new = np.r_[True, (t[1:] != t[:-1]) | (bk[1:] != bk[:-1])]
+        uniq = new | (vid != np.r_[vid[:1], vid[:-1]])
+        t, bk, vid = t[uniq], bk[uniq], vid[uniq]
+        new = np.r_[True, (t[1:] != t[:-1]) | (bk[1:] != bk[:-1])]
+        ia, ib = _segment_pair_indices(new, len(vid), "embedding-lsh")
+        return pa.table({"doc_a": pa.array(vid[ia], pa.int64()),
+                         "doc_b": pa.array(vid[ib], pa.int64())})
 
     from ray.data.aggregate import Count
 
-    cand = (buckets.groupby(["table", "bucket"])
-            .map_groups(bucket_pairs, batch_format="pyarrow")
+    cand = (sorted_groups(buckets, ["table", "bucket"], bucket_pairs)
             .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_tables")))
 
     def explode_pairs(batch: pa.Table) -> pa.Table:
@@ -939,44 +1045,41 @@ def embedding_dedup_lsh(sf_dir: str, *, threshold: float = 0.45,
     sides = cand.map_batches(explode_pairs, batch_format="pyarrow")
     carriers = ds.map_batches(carrier_rows, batch_format="pyarrow")
 
-    def attach(group: pa.Table) -> pa.Table:
-        roles = group.column("role").to_numpy(zero_copy_only=False)
-        sig_rows = np.flatnonzero(roles == 2)
-        need = np.flatnonzero(roles != 2)
-        if sig_rows.size == 0 or need.size == 0:
-            return _EVER.empty_table()
-        blob = group.column("vec")[int(sig_rows[0])].as_py()
-        sel = group.take(pa.array(need))
-        return pa.table({
-            "key": sel.column("key"),
-            "vec_a": sel.column("vec_a"),
-            "vec_b": sel.column("vec_b"),
-            "role": sel.column("role"),
-            "vec": pa.array([blob] * len(need), pa.large_binary()),
-        })
+    attach = _make_attach(_EVER, "vec")
 
-    def verify(group: pa.Table) -> pa.Table:
+    def verify(batch: pa.Table) -> pa.Table:
+        """ALL pair groups of one (vec_a, vec_b)-sorted block: decode
+        every carrier blob with one flat-buffer view, align each pair's
+        two sides, and take all cosines in one einsum — no per-pair
+        Python or per-row frombuffer."""
         empty = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
                            ("cosine", pa.float64())]).empty_table()
-        roles = group.column("role").to_numpy(zero_copy_only=False)
-        ia = np.flatnonzero(roles == 0)
-        ib = np.flatnonzero(roles == 1)
-        if ia.size == 0 or ib.size == 0:
+        if batch.num_rows == 0:
             return empty
-        va = np.frombuffer(group.column("vec")[int(ia[0])].as_py(),
-                           dtype=np.float32).astype(np.float64)
-        vb = np.frombuffer(group.column("vec")[int(ib[0])].as_py(),
-                           dtype=np.float32).astype(np.float64)
-        cos = float(va @ vb)
-        if cos < threshold:
+        va_id = batch.column("vec_a").to_numpy(zero_copy_only=False)
+        vb_id = batch.column("vec_b").to_numpy(zero_copy_only=False)
+        roles = batch.column("role").to_numpy(zero_copy_only=False)
+        new = np.r_[True, (va_id[1:] != va_id[:-1]) | (vb_id[1:] != vb_id[:-1])]
+        seg_id = np.cumsum(new) - 1
+        flat, byte_lens = _flat_binary(batch.column("vec"))
+        # every row carries a full normalized vector after attach
+        mat = flat.view(np.float32).astype(np.float64).reshape(len(roles), -1)
+        sa, a_rows = seg_id[roles == 0], np.flatnonzero(roles == 0)
+        sb, b_rows = seg_id[roles == 1], np.flatnonzero(roles == 1)
+        common, i_a, i_b = np.intersect1d(sa, sb, return_indices=True)
+        if common.size == 0:
             return empty
-        return pa.table({"vec_a": group.column("vec_a").slice(0, 1),
-                         "vec_b": group.column("vec_b").slice(0, 1),
-                         "cosine": pa.array([round(cos, 6)], pa.float64())})
+        cos = np.einsum("ij,ij->i", mat[a_rows[i_a]], mat[b_rows[i_b]])
+        keep = cos >= threshold
+        rep = np.flatnonzero(new)[common[keep]]
+        return pa.table({
+            "vec_a": pa.array(va_id[rep], pa.int64()),
+            "vec_b": pa.array(vb_id[rep], pa.int64()),
+            "cosine": pa.array(np.round(cos[keep], 6), pa.float64())})
 
-    return (sides.union(carriers)
-            .groupby("key").map_groups(attach, batch_format="pyarrow")
-            .groupby(["vec_a", "vec_b"]).map_groups(verify, batch_format="pyarrow"))
+    return sorted_groups(
+        sorted_groups(sides.union(carriers), "key", attach),
+        ["vec_a", "vec_b"], verify)
 
 
 # -------------------------------------------------------- cap stats / recall
@@ -1154,37 +1257,57 @@ def connected_components(pairs, *, max_rounds: int = 32):
             "role": pa.array(np.ones(len(k), np.int32), pa.int32()),
         })
 
-    def attach(group: pa.Table) -> pa.Table:
-        """One node's group: its label row(s) + its outgoing edges →
-        candidate (nbr, label) rows."""
-        roles = group.column("role").to_numpy(zero_copy_only=False)
-        own = np.flatnonzero(roles == 1)
-        out = np.flatnonzero(roles == 0)
-        if own.size == 0 or out.size == 0:
+    def attach(batch: pa.Table) -> pa.Table:
+        """ALL node groups of one key-sorted block: each node's min own
+        label broadcast onto its outgoing edges → candidate (nbr, label)
+        rows, vectorized across nodes."""
+        if batch.num_rows == 0:
             return _CC_SCHEMA.empty_table()
-        lbl = int(group.column("label").take(pa.array(own)).to_numpy().min())
-        nbrs = group.column("nbr").take(pa.array(out))
-        n = len(nbrs)
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        roles = batch.column("role").to_numpy(zero_copy_only=False)
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        nbrs = batch.column("nbr").to_numpy(zero_copy_only=False)
+        seg_id = np.cumsum(np.r_[False, key[1:] != key[:-1]])
+        own_min = _seg_min(labels, seg_id, np.flatnonzero(roles == 1),
+                           int(seg_id[-1]) + 1)
+        imax = np.iinfo(np.int64).max
+        take = (roles == 0) & (own_min[seg_id] != imax)
+        n = int(take.sum())
+        if n == 0:
+            return _CC_SCHEMA.empty_table()
         return pa.table({
-            "key": nbrs, "nbr": pa.array(np.full(n, -1), pa.int64()),
-            "label": pa.array(np.full(n, lbl), pa.int64()),
+            "key": pa.array(nbrs[take], pa.int64()),
+            "nbr": pa.array(np.full(n, -1), pa.int64()),
+            "label": pa.array(own_min[seg_id[take]], pa.int64()),
             "role": pa.array(np.zeros(n, np.int32), pa.int32()),
         })
 
-    def minimize(group: pa.Table) -> pa.Table:
-        """One node's group: old label row(s) + neighbor candidates → new
-        label = min, plus a changed flag for convergence detection."""
-        labels = group.column("label").to_numpy(zero_copy_only=False)
-        roles = group.column("role").to_numpy(zero_copy_only=False)
-        own = labels[roles == 1]
-        if own.size == 0:  # node with no label row cannot occur; guard
-            return pa.schema([("key", pa.int64()), ("label", pa.int64()),
-                              ("changed", pa.int64())]).empty_table()
-        old, new = int(own.min()), int(labels.min())
+    def minimize(batch: pa.Table) -> pa.Table:
+        """ALL node groups of one key-sorted block: new label = min over
+        own label row(s) + neighbor candidates, plus a changed flag for
+        convergence detection — vectorized via minimum.reduceat."""
+        empty = pa.schema([("key", pa.int64()), ("label", pa.int64()),
+                           ("changed", pa.int64())]).empty_table()
+        if batch.num_rows == 0:
+            return empty
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        roles = batch.column("role").to_numpy(zero_copy_only=False)
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        boundary = np.r_[True, key[1:] != key[:-1]]
+        seg_id = np.cumsum(boundary) - 1
+        nseg = int(seg_id[-1]) + 1
+        allmin = np.minimum.reduceat(labels, np.flatnonzero(boundary))
+        own_min = _seg_min(labels, seg_id, np.flatnonzero(roles == 1), nseg)
+        has_own = own_min != np.iinfo(np.int64).max
+        if not has_own.any():  # nodes with no label row cannot occur; guard
+            return empty
+        keys = key[np.flatnonzero(boundary)][has_own]
+        new_lbl = allmin[has_own]
         return pa.table({
-            "key": group.column("key").slice(0, 1),
-            "label": pa.array([new], pa.int64()),
-            "changed": pa.array([int(new < old)], pa.int64()),
+            "key": pa.array(keys, pa.int64()),
+            "label": pa.array(new_lbl, pa.int64()),
+            "changed": pa.array((new_lbl < own_min[has_own]).astype(np.int64),
+                                pa.int64()),
         })
 
     def as_label_rows(batch: pa.Table) -> pa.Table:
@@ -1207,11 +1330,9 @@ def connected_components(pairs, *, max_rounds: int = 32):
         edges = edges.repartition(target_blocks).materialize()
     labels = edges.map_batches(init_labels, batch_format="pyarrow")
     for _round in range(max_rounds):
-        cand = (edges.union(labels)
-                .groupby("key").map_groups(attach, batch_format="pyarrow"))
-        new_labels = (cand.union(labels)
-                      .groupby("key").map_groups(minimize, batch_format="pyarrow")
-                      .materialize())
+        cand = sorted_groups(edges.union(labels), "key", attach)
+        new_labels = sorted_groups(cand.union(labels), "key",
+                                   minimize).materialize()
         n_changed = new_labels.sum("changed") or 0
         labels = new_labels.map_batches(as_label_rows, batch_format="pyarrow")
         if n_changed == 0:

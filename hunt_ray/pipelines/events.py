@@ -2,8 +2,10 @@
 
 The reference has no streaming or windowing surface (SURVEY §2.10) — this
 is a driver-mandate operator: gap-based sessionization, the canonical
-keyed-window operation Ray Data lacks natively, expressed as
-``groupby(user_id).map_groups`` with a fully vectorized in-group kernel.
+keyed-window operation Ray Data lacks natively, expressed as a user-keyed
+co-location shuffle (``common.grouped.sorted_groups`` — the same sort
+``map_groups`` uses internally) with a kernel vectorized across every
+user in a block, so there is no per-user Python call at any scale.
 
 Partitioning assumption (documented per the custom-operator rule): all
 events of one user land in one group — the shuffle key is user_id, so
@@ -19,6 +21,8 @@ from __future__ import annotations
 import numpy as np
 import polars as pl
 import pyarrow as pa
+
+from hunt_ray.common.grouped import sorted_groups
 
 
 def session_rows(uid: np.ndarray, ts: np.ndarray, eid: np.ndarray,
@@ -66,27 +70,26 @@ def asof_rows(uid: np.ndarray, ts: np.ndarray, eid: np.ndarray,
     lm, rm = et == left_type, et == right_type
     z = np.empty(0, np.int64)
     empty = {"event_id": z, "user_id": z, "view_event_id": z, "lag_us": z}
+    keep = lm | rm
     if not lm.any() or not rm.any():
         return empty
-    out = []
-    # a map_groups group is one user, but stay correct for any batch
-    for u in np.unique(uid):
-        l = lm & (uid == u)
-        r = rm & (uid == u)
-        if not l.any() or not r.any():
-            continue
-        order = np.lexsort((eid[r], ts[r]))
-        rts, rid = ts[r][order], eid[r][order]
-        idx = np.searchsorted(rts, ts[l], side="right") - 1
-        ok = idx >= 0
-        out.append((eid[l][ok], np.full(int(ok.sum()), u, np.int64),
-                    rid[idx[ok]], ts[l][ok] - rts[idx[ok]]))
-    if not out:
-        return empty
-    return {"event_id": np.concatenate([o[0] for o in out]),
-            "user_id": np.concatenate([o[1] for o in out]),
-            "view_event_id": np.concatenate([o[2] for o in out]),
-            "lag_us": np.concatenate([o[3] for o in out])}
+    uid, ts, eid, isl = uid[keep], ts[keep], eid[keep], lm[keep]
+    # merged-stream forward fill, vectorized across ALL users in the
+    # batch: sort by (uid, ts, rights-before-lefts, eid), so the running
+    # max of right-row indices at each left IS "the right with max
+    # (ts, event_id) ≤ (left ts, ∞)"; a fill that crosses a user
+    # boundary points before the user's first row and is dropped
+    order = np.lexsort((eid, isl, ts, uid))
+    uid, ts, eid, isl = uid[order], ts[order], eid[order], isl[order]
+    n = len(uid)
+    idx = np.arange(n, dtype=np.int64)
+    last_r = np.maximum.accumulate(np.where(~isl, idx, np.int64(-1)))
+    seg = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+    seg_start = np.repeat(seg, np.diff(np.r_[seg, n]))
+    take = isl & (last_r >= seg_start)
+    src = last_r[take]
+    return {"event_id": eid[take], "user_id": uid[take],
+            "view_event_id": eid[src], "lag_us": ts[take] - ts[src]}
 
 
 def sessionize(sf_dir: str, *, gap_minutes: int = 480):
@@ -117,7 +120,9 @@ def sessionize(sf_dir: str, *, gap_minutes: int = 480):
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_id"])
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    # same user-keyed co-location shuffle as map_groups, but the kernel is
+    # multi-user vectorized, so hand it whole blocks — no per-user UDF loop
+    return sorted_groups(ds, "user_id", sessions)
 
 
 def window_agg(sf_dir: str, *, unit: str = "hour"):
@@ -176,9 +181,9 @@ def asof_join(sf_dir: str, *, left_type: str = "click",
     events with no prior match are dropped (inner semantics).
 
     The composition the driver calls out for operators Ray Data lacks:
-    ``groupby(user_id).map_groups`` + an in-group ``searchsorted`` over
-    the time-sorted right side — no per-row Python, per-group memory =
-    one user's events. Same user-keyed partitioning assumption as
+    a user-keyed co-location sort + a merged-stream forward-fill kernel
+    vectorized across every user in the block — no per-row or per-user
+    Python. Same user-keyed partitioning assumption as
     :func:`sessionize`.
     """
     import ray.data as rd
@@ -199,4 +204,4 @@ def asof_join(sf_dir: str, *, left_type: str = "click",
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_id", "event_type"])
-    return ds.groupby("user_id").map_groups(join, batch_format="pyarrow")
+    return sorted_groups(ds, "user_id", join)

@@ -108,12 +108,20 @@ def test_minhash_distributed_verify_multi_batch(tmp_path):
 
 def test_minhash_hot_bucket_capped():
     """An adversarial all-identical-band corpus must stay sub-quadratic."""
-    from hunt_ray.pipelines.dedup import MAX_BUCKET, _capped_pairs
+    import numpy as np
 
-    ids = list(range(MAX_BUCKET + 500))
-    a, b, dropped = _capped_pairs(ids)
-    assert dropped == 500
-    assert len(a) == MAX_BUCKET * (MAX_BUCKET - 1) // 2
+    from hunt_ray.pipelines.dedup import MAX_BUCKET, _segment_pair_indices
+
+    # one hot segment of MAX_BUCKET+500 rows plus a small trailing segment
+    n_hot = MAX_BUCKET + 500
+    new_seg = np.zeros(n_hot + 3, bool)
+    new_seg[0] = new_seg[n_hot] = True
+    ia, ib = _segment_pair_indices(new_seg, n_hot + 3, "test")
+    hot = ia < n_hot
+    assert int(hot.sum()) == MAX_BUCKET * (MAX_BUCKET - 1) // 2
+    assert int((~hot).sum()) == 3  # C(3,2) pairs in the small segment
+    # the cap keeps each segment's FIRST rows (smallest ids when sorted)
+    assert ia[hot].max() < MAX_BUCKET and ib[hot].max() < MAX_BUCKET
 
 
 def test_simhash_near_duplicates(tmp_path):
