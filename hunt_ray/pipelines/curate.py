@@ -278,15 +278,20 @@ def source_cap(sf_dir: str, *, k: int = 20):
         return out.select(["doc_id", "source"]).to_arrow().cast(
             pa.schema([("doc_id", pa.int64()), ("source", pa.string())]))
 
-    def final(group: pa.Table) -> pa.Table:
-        order = np.argsort(group.column("doc_id").to_numpy(zero_copy_only=False),
-                           kind="stable")[:k]
-        return group.take(np.sort(order))
+    def final(batch: pa.Table) -> pa.Table:
+        """ALL source groups of one sorted block: global re-cap to the
+        lowest-k doc_ids per source — the same Rust group_by head as the
+        partial, never one Python call per domain (millions of domains
+        at web scale)."""
+        if batch.num_rows == 0:
+            return batch
+        return partial(batch)
+
+    from ..common.grouped import sorted_groups
 
     ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "source"])
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("source")
-            .map_groups(final, batch_format="pyarrow"))
+    return sorted_groups(ds.map_batches(partial, batch_format="pyarrow"),
+                         "source", final)
 
 
 # ------------------------------------------------------------- sampling
@@ -491,19 +496,29 @@ def source_rollup(sf_dir: str):
     small groupby over (sources × batches) short rows."""
     import ray.data as rd
 
-    def final(group: pa.Table) -> pa.Table:
-        nd = int(np.sum(group.column("n_docs").to_numpy(zero_copy_only=False)))
-        nt = int(np.sum(group.column("n_tokens").to_numpy(zero_copy_only=False)))
-        ns = int(np.sum(group.column("n_stop").to_numpy(zero_copy_only=False)))
-        ratio = round(ns / nt, 6) if nt else 0.0
-        return pa.table({"source": group.column("source").slice(0, 1),
-                         "n_docs": pa.array([nd], pa.int64()),
-                         "n_tokens": pa.array([nt], pa.int64()),
-                         "stopword_ratio": pa.array([ratio], pa.float64())})
+    from ray.data.aggregate import Sum
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        """Fold the native per-source sums into the rollup row — pure
+        vectorized map; the groupby itself is Ray's aggregate (no
+        per-domain Python call at any cardinality)."""
+        nd = batch.column("n_docs").to_numpy(zero_copy_only=False)
+        nt = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        ns = batch.column("n_stop").to_numpy(zero_copy_only=False)
+        r = np.where(nt > 0, np.round(ns / np.maximum(nt, 1), 6), 0.0)
+        return pa.table({
+            "source": batch.column("source"),
+            "n_docs": pa.array(nd.astype(np.int64), pa.int64()),
+            "n_tokens": pa.array(nt.astype(np.int64), pa.int64()),
+            "stopword_ratio": pa.array(r, pa.float64())})
 
     ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text", "source"])
     return (ds.map_batches(_source_partial, batch_format="pyarrow")
-            .groupby("source").map_groups(final, batch_format="pyarrow"))
+            .groupby("source")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="n_tokens"),
+                       Sum("n_stop", alias_name="n_stop"))
+            .map_batches(ratio, batch_format="pyarrow"))
 
 
 def source_filter(sf_dir: str, *, min_docs: int = 1,
@@ -615,20 +630,27 @@ def snapshot_dedup(sf_dir: str):
                      variant_kept=pl.col("variant").first()))
         return df.to_arrow().cast(_SNAP_OUT)
 
-    def final(group: pa.Table) -> pa.Table:
-        df = pl.from_arrow(group).sort("warc_ts_kept", descending=True)
-        return pl.DataFrame({
-            "canonical_url": [df["canonical_url"][0]],
-            "n_snapshots": [int(df["n_snapshots"].sum())],
-            "warc_ts_kept": [int(df["warc_ts_kept"][0])],
-            "variant_kept": [int(df["variant_kept"][0])],
-        }).to_arrow().cast(_SNAP_OUT)
+    def final(batch: pa.Table) -> pa.Table:
+        """ALL canonical urls of one sorted block: keep-newest + snapshot
+        count folded in one Rust hash group_by — no per-url Python call
+        (url cardinality ≈ corpus size at web scale)."""
+        if batch.num_rows == 0:
+            return _SNAP_OUT.empty_table()
+        out = (pl.from_arrow(batch)
+               .sort("warc_ts_kept", descending=True)
+               .group_by("canonical_url")
+               .agg(n_snapshots=pl.col("n_snapshots").sum().cast(pl.Int64),
+                    warc_ts_kept=pl.col("warc_ts_kept").first(),
+                    variant_kept=pl.col("variant_kept").first()))
+        return out.to_arrow().cast(_SNAP_OUT)
+
+    from ..common.grouped import sorted_groups
 
     ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id"])
-    return (ds.map_batches(snapshot_rows, batch_format="pyarrow")
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby("canonical_url")
-            .map_groups(final, batch_format="pyarrow"))
+    return sorted_groups(
+        ds.map_batches(snapshot_rows, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow"),
+        "canonical_url", final)
 
 
 # --------------------------------------------- unicode text normalization

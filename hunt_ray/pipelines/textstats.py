@@ -390,18 +390,35 @@ def corpus_clean(sf_dir: str, *, min_tokens: int = 20,
                .select(["gkey", "doc_id", "lang", "n_tokens", "stopword_ratio"]))
         return out.to_arrow()
 
-    def keep_min(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        i = int(np.argmin(ids))
-        row = group.slice(i, 1).drop_columns(["gkey"])
-        return row.append_column("n_copies",
-                                 pa.array([group.num_rows], pa.int64()))
+    _OUT = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                      ("n_tokens", pa.int64()),
+                      ("stopword_ratio", pa.float64()),
+                      ("n_copies", pa.int64())])
 
-    return (rd.read_parquet(_doc_path(sf_dir),
-                            columns=["doc_id", "text", "lang"])
-            .map_batches(clean_batch, batch_format="pyarrow")
-            .groupby("gkey").map_groups(keep_min, batch_format="pyarrow")
-            .sort("doc_id"))
+    def keep_min(batch: pa.Table) -> pa.Table:
+        """ALL gkey groups of one sorted block: keep each duplicate
+        group's smallest doc_id with its copy count — one Rust hash
+        group_by over the block, no per-fingerprint Python call (the key
+        is near-per-document cardinality at web scale)."""
+        if batch.num_rows == 0:
+            return _OUT.empty_table()
+        out = (pl.from_arrow(batch).sort("doc_id")
+               .group_by("gkey")
+               .agg(doc_id=pl.col("doc_id").first(),
+                    lang=pl.col("lang").first(),
+                    n_tokens=pl.col("n_tokens").first(),
+                    stopword_ratio=pl.col("stopword_ratio").first(),
+                    n_copies=pl.len().cast(pl.Int64))
+               .drop("gkey"))
+        return out.to_arrow().cast(_OUT)
+
+    from ..common.grouped import sorted_groups
+
+    return sorted_groups(
+        rd.read_parquet(_doc_path(sf_dir),
+                        columns=["doc_id", "text", "lang"])
+        .map_batches(clean_batch, batch_format="pyarrow"),
+        "gkey", keep_min).sort("doc_id")
 
 
 # ------------------------------------------------------------------ BPE-ish token counts
