@@ -275,6 +275,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-stage rollup; the oracled md5 siblings are in-window
         "q_multimodal_pipeline": lambda sf: multimodal.pipeline_summary(
             flagship.ensure_pages(sf)),
+        # CCNet-style unigram-LM perplexity (LM trained on the corpus
+        # itself, bounded vocab broadcast, pure-map scoring) — exact
+        # DuckDB oracle, past-cap (round-4 addition)
+        "q_lm_perplexity": textstats.lm_perplexity,
     }
 
 
@@ -867,6 +871,18 @@ j AS (
                             ORDER BY v.ts DESC, v.event_id DESC) AS rn
   FROM c JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts)
 SELECT event_id, user_id, view_event_id, lag_us FROM j WHERE rn = 1
+""",
+        # unigram-LM perplexity: LM = corpus collection frequencies,
+        # per-doc ppl = exp(−avg ln p(token)) — the identical float64
+        # expression (hunt_ray/pipelines/textstats.py lm_perplexity)
+        "q_lm_perplexity": f"""
+WITH toks AS ({_TOKENS}),
+tot AS (SELECT count(*)::DOUBLE AS t FROM toks),
+cf AS (SELECT term, count(*)::DOUBLE AS c FROM toks GROUP BY term)
+SELECT k.doc_id, count(*)::BIGINT AS n_tokens,
+       round(exp(-avg(ln(cf.c / tot.t))), 6) AS ppl
+FROM toks k JOIN cf USING (term) CROSS JOIN tot
+GROUP BY k.doc_id
 """,
         # q_minhash_dedup / q_knn_ivf / q_embedding_dedup_lsh /
         # q_multimodal_pipeline / q_index_search / q_index_metrics /

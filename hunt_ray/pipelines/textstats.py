@@ -450,3 +450,93 @@ def token_count_bpe(sf_dir: str):
 
     return rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"]) \
              .map_batches(counts, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ unigram-LM perplexity
+
+def lm_perplexity(sf_dir: str, *, vocab_top: int | None = None):
+    """Per-doc perplexity under a unigram LM trained on the corpus itself
+    — the CCNet-style LM quality signal (docs whose token distribution is
+    far from the corpus LM score high and get filtered or bucketed; at
+    production scale the LM is usually frozen from a reference corpus,
+    which only changes where the cf table comes from).
+
+    Two streaming passes:
+      1. collection frequencies via the partial+final ``term_df`` pattern
+         (the shuffle moves one short row per (term, batch)); the
+         vocabulary-sized (term, cf) result and the Σcf scalar are
+         broadcast ONCE with ``ray.put`` — never re-shipped per batch.
+         ``vocab_top=K`` keeps only the K most frequent terms and pools
+         the remaining mass into a single OOV bucket (the standard fixed-
+         vocab LM practice; bounds the broadcast at web scale). The
+         default (None) keeps the full vocabulary — the exact-oracle mode.
+      2. a pure map scores each doc: token → ln p lookups through one
+         ``searchsorted`` on the broadcast hash-sorted vocab (hash64 keys,
+         collision-free on real vocabularies for 64-bit), per-doc mean by
+         ``np.add.reduceat`` over the batch's doc-contiguous token runs,
+         ppl = round(exp(−mean lnp), 6) float64 — the exact expression the
+         DuckDB oracle computes.
+
+    Docs with zero tokens produce no row (matching the SQL oracle's
+    GROUP BY over the token stream). Returns (doc_id, n_tokens, ppl).
+    """
+    import ray
+    import ray.data as rd
+
+    cf_rows = term_df(sf_dir).take_all()  # vocabulary-sized, bounded
+    if not cf_rows:
+        return rd.from_arrow(pa.schema([
+            ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+            ("ppl", pa.float64())]).empty_table())
+    terms = np.asarray([r["term"] for r in cf_rows], dtype=object)
+    cf = np.asarray([r["cf"] for r in cf_rows], dtype=np.float64)
+    total = float(cf.sum())
+    if vocab_top is not None and vocab_top < len(cf):
+        keep = np.argsort(-cf, kind="stable")[:vocab_top]
+        oov_mass = total - float(cf[keep].sum())
+        terms, cf = terms[keep], cf[keep]
+    else:
+        oov_mass = 0.0
+    keys = hash64(pa.array(terms.tolist(), pa.string()))
+    order = np.argsort(keys)
+    # ln p per vocab term, same float64 expression as the oracle: ln(c/T)
+    lnp_sorted = np.log(cf[order] / total)
+    # unseen tokens (only possible with vocab_top) share the pooled mass
+    lnp_oov = np.log(max(oov_mass, 1e-12) / total)
+    ref = ray.put((keys[order], lnp_sorted))
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "ppl": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        df = _flat_tokens(batch)
+        if df.height == 0:
+            return empty
+        k, lnp = ray.get(ref)
+        th = hash64(df["term"].to_arrow())
+        pos = np.searchsorted(k, th)
+        pos_c = np.minimum(pos, len(k) - 1)
+        tok_lnp = np.where(k[pos_c] == th, lnp[pos_c], lnp_oov)
+        d = df["doc_id"].to_numpy()  # doc-contiguous by construction
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        n_tok = np.diff(np.r_[starts, len(d)])
+        mean_lnp = np.add.reduceat(tok_lnp, starts) / n_tok
+        return pa.table({
+            "doc_id": pa.array(d[starts], pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "ppl": pa.array(np.round(np.exp(-mean_lnp), 6), pa.float64()),
+        })
+
+    return rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"]) \
+             .map_batches(score, batch_format="pyarrow")
+
+
+def lm_perplexity_filter(sf_dir: str, *, max_ppl: float,
+                         vocab_top: int | None = None):
+    """Keep docs whose unigram-LM perplexity ≤ ``max_ppl`` (the CCNet
+    head/middle cut as a threshold filter — pure map after the bounded
+    LM broadcast, no shuffle)."""
+    ds = lm_perplexity(sf_dir, vocab_top=vocab_top)
+    return ds.filter(expr=f"ppl <= {float(max_ppl)!r}")

@@ -759,3 +759,46 @@ def test_minhash_components_end_to_end():
     got2 = (connected_components(repart).to_pandas()
             .sort_values("doc_id").reset_index(drop=True))
     assert got2.equals(got)
+
+
+def test_lm_perplexity_matches_duckdb_exactly():
+    import duckdb
+    import pandas as pd
+
+    from hunt_ray.pipelines.textstats import lm_perplexity
+
+    got = (lm_perplexity(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    want = con.sql(f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+          FROM read_parquet('{SF}/documents.parquet')),
+        tot AS (SELECT count(*)::DOUBLE AS t FROM toks),
+        cf AS (SELECT term, count(*)::DOUBLE AS c FROM toks GROUP BY term)
+        SELECT k.doc_id, count(*)::BIGINT AS n_tokens,
+               round(exp(-avg(ln(cf.c / tot.t))), 6) AS ppl
+        FROM toks k JOIN cf USING (term) CROSS JOIN tot
+        GROUP BY k.doc_id ORDER BY k.doc_id""").df()
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_exact=True)
+
+
+def test_lm_perplexity_vocab_top_and_filter():
+    from hunt_ray.pipelines.textstats import (lm_perplexity,
+                                              lm_perplexity_filter)
+
+    full = (lm_perplexity(SF).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    # capped vocabulary: same docs, finite scores; rare terms fall into
+    # the pooled OOV bucket so scores may shift but stay well-defined
+    capped = (lm_perplexity(SF, vocab_top=10).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    assert capped["doc_id"].tolist() == full["doc_id"].tolist()
+    assert np.isfinite(capped["ppl"]).all() and (capped["ppl"] > 0).all()
+
+    cut = float(full["ppl"].median())
+    kept = lm_perplexity_filter(SF, max_ppl=cut).to_pandas()
+    assert len(kept) == int((full["ppl"] <= cut).sum())
+    assert (kept["ppl"] <= cut).all()
