@@ -279,6 +279,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # itself, bounded vocab broadcast, pure-map scoring) — exact
         # DuckDB oracle, past-cap (round-4 addition)
         "q_lm_perplexity": textstats.lm_perplexity,
+        # deterministic seeded global shuffle → training shards
+        # (shard, pos) — exact DuckDB oracle, past-cap (round-4 addition)
+        "q_shuffle_shards": lambda sf: curate.shuffle_assign(
+            sf, n_shards=8, seed=13),
     }
 
 
@@ -883,6 +887,19 @@ SELECT k.doc_id, count(*)::BIGINT AS n_tokens,
        round(exp(-avg(ln(cf.c / tot.t))), 6) AS ppl
 FROM toks k JOIN cf USING (term) CROSS JOIN tot
 GROUP BY k.doc_id
+""",
+        # seeded global shuffle: identical md5-derived UBIGINT key,
+        # identical shard mod + within-shard rank
+        # (hunt_ray/pipelines/curate.py shuffle_assign)
+        "q_shuffle_shards": """
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substring(md5('13:' || doc_id), 1, 16))::UBIGINT AS skey
+  FROM documents)
+SELECT doc_id::BIGINT AS doc_id, (skey % 8)::BIGINT AS shard,
+       (row_number() OVER (PARTITION BY skey % 8
+                           ORDER BY skey, doc_id) - 1)::BIGINT AS pos
+FROM k
 """,
         # q_minhash_dedup / q_knn_ivf / q_embedding_dedup_lsh /
         # q_multimodal_pipeline / q_index_search / q_index_metrics /

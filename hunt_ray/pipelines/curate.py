@@ -699,3 +699,185 @@ def normalize_text(sf_dir: str, *, synthesize: bool = True):
     return ds.map_batches(
         lambda b: normalize_text_batch(b, synthesize=synthesize),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ shuffle-export shards
+
+def _shuffle_keys(batch: pa.Table, seed: int, n_shards: int,
+                  hash: str) -> pa.Table:
+    """(doc_id, shard, skey_sortable) rows for one batch.
+
+    ``hash="md5"`` is the oracle mode (DuckDB recomputes the identical
+    key: first 16 hex chars of md5('<seed>:<doc_id>') as UBIGINT) —
+    per-row hashlib like the other md5 oracle siblings. ``hash="fast"``
+    is the production mode: vectorized hash64 over the same key strings.
+    The emitted ``skey`` is the uint64 key with the sign bit flipped and
+    viewed as int64 — order-isomorphic to the unsigned key, so Ray's
+    int64 sort reproduces unsigned (UBIGINT) order without touching the
+    uint64-overflow path in its sort kernels.
+    """
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    strs = [f"{seed}:{i}" for i in ids]
+    if hash == "md5":
+        keys = np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[:16], 16) for s in strs),
+            dtype=np.uint64, count=len(strs))
+    else:
+        keys = hash64(pa.array(strs, pa.string()))
+    shard = (keys % np.uint64(n_shards)).astype(np.int64)
+    sortable = (keys ^ np.uint64(1 << 63)).view(np.int64)
+    return pa.table({
+        "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+        "shard": pa.array(shard, pa.int64()),
+        "skey": pa.array(sortable, pa.int64()),
+    })
+
+
+def shuffle_assign(sf_dir: str, *, n_shards: int = 8, seed: int = 13,
+                   hash: str = "md5"):
+    """Deterministic seeded global shuffle → training-shard assignment:
+    every doc gets (shard, pos) where ``shard`` spreads docs near-evenly
+    by a seeded hash and ``pos`` is the doc's rank inside its shard in
+    shuffle-key order — the canonical last stage before training (a
+    reproducible random order that is independent of the corpus' storage
+    layout, re-derivable for any doc without re-running the shuffle).
+
+    Scale shape: one pure map emits 24-byte rows (never the text), one
+    co-location sort on (shard, skey) — the same single all-to-all any
+    global shuffle pays — then a whole-block kernel enumerates positions
+    vectorized across every shard segment. Nothing corpus-sized lands on
+    the driver.
+    """
+    import ray.data as rd
+
+    from ..common.grouped import sorted_groups
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id"])
+    keyed = ds.map_batches(
+        lambda b: _shuffle_keys(b, seed, n_shards, hash),
+        batch_format="pyarrow")
+
+    def enumerate_pos(batch: pa.Table) -> pa.Table:
+        """Whole shard groups per block (co-location key is ``shard``
+        ALONE — a composite sort key would range-partition on the full
+        tuple and can split a shard across blocks); the shuffle order is
+        established here by one in-block lexsort on (skey, doc_id)."""
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "shard": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        sh = batch.column("shard").to_numpy(zero_copy_only=False)
+        sk = batch.column("skey").to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sk, sh))
+        sh, ids = sh[order], ids[order]
+        n = len(sh)
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "shard": pa.array(sh, pa.int64()),
+                         "pos": pa.array(pos, pa.int64())})
+
+    return sorted_groups(keyed, "shard", enumerate_pos)
+
+
+def shuffle_export(sf_dir: str, out_dir: str, *, n_shards: int = 8,
+                   seed: int = 13, hash: str = "fast"):
+    """Materialize the shuffled shards: ``out_dir/shard=K/part-K.parquet``
+    holds that shard's docs (id + text) in ``pos`` order — resumable
+    layout (one directory per shard, re-derivable assignment) and
+    deterministic bytes for a given (seed, n_shards).
+
+    The text rides exactly one doc-keyed co-location sort (attach) and
+    one (shard, skey) sort — 2 all-to-alls, the floor for a global
+    shuffle that must also co-locate payloads. Returns one manifest row
+    per shard (shard, rows, path).
+    """
+    import os
+
+    import ray.data as rd
+
+    from ..common.grouped import sorted_groups
+
+    os.makedirs(out_dir, exist_ok=True)
+    assign = shuffle_assign(sf_dir, n_shards=n_shards, seed=seed, hash=hash)
+    docs = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+
+    # attach text by doc_id: both sides emit (doc_id, ...) rows, one
+    # co-location sort brings assignment + payload together
+    a = assign.map_batches(
+        lambda b: b.append_column("text", pa.array([None] * b.num_rows,
+                                                   pa.string())),
+        batch_format="pyarrow")
+    d = docs.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "shard": pa.array(np.full(b.num_rows, -1), pa.int64()),
+            "pos": pa.array(np.full(b.num_rows, -1), pa.int64()),
+            "text": b.column("text")}),
+        batch_format="pyarrow")
+
+    def fuse(batch: pa.Table) -> pa.Table:
+        """ALL doc_id groups of one sorted block: each group has one
+        assignment row (-1-free) and one carrier row — fuse vectorized."""
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "shard": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())})
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = batch.column("shard").to_numpy(zero_copy_only=False)
+        po = batch.column("pos").to_numpy(zero_copy_only=False)
+        is_assign = sh >= 0
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        # scatter each group's max(shard)/max(pos) (carrier rows are -1)
+        seg = np.cumsum(np.r_[True, ids[1:] != ids[:-1]]) - 1
+        gsh = np.full(len(starts), -1, np.int64)
+        gpo = np.full(len(starts), -1, np.int64)
+        np.maximum.at(gsh, seg, sh)
+        np.maximum.at(gpo, seg, po)
+        keep = ~is_assign  # carrier rows hold the text
+        kseg = seg[keep]
+        t = batch.column("text")
+        t = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "shard": pa.array(gsh[kseg], pa.int64()),
+            "pos": pa.array(gpo[kseg], pa.int64()),
+            "text": t.filter(pa.array(keep)),
+        })
+
+    fused = sorted_groups(a.union(d), "doc_id", fuse)
+
+    def write_shards(batch: pa.Table) -> pa.Table:
+        """Whole shard groups per block (key = ``shard`` alone — see
+        enumerate_pos): order by pos in-block, write one parquet per
+        shard, emit manifest rows (a per-SHARD loop, not per-row)."""
+        import pyarrow.parquet as pq
+
+        if batch.num_rows == 0:
+            return pa.table({"shard": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64()),
+                             "path": pa.array([], pa.string())})
+        sh = batch.column("shard").to_numpy(zero_copy_only=False)
+        po = batch.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((po, sh))
+        batch = batch.take(pa.array(order))
+        sh = sh[order]
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        ends = np.r_[starts[1:], len(sh)]
+        shards, rows, paths = [], [], []
+        for lo, hi in zip(starts, ends):
+            k = int(sh[lo])
+            sdir = os.path.join(out_dir, f"shard={k}")
+            os.makedirs(sdir, exist_ok=True)
+            path = os.path.join(sdir, f"part-{k}.parquet")
+            pq.write_table(batch.slice(lo, hi - lo)
+                           .select(["doc_id", "pos", "text"]), path)
+            shards.append(k); rows.append(hi - lo); paths.append(path)
+        return pa.table({"shard": pa.array(shards, pa.int64()),
+                         "rows": pa.array(rows, pa.int64()),
+                         "path": pa.array(paths, pa.string())})
+
+    return sorted_groups(fused, "shard", write_shards).sort("shard")

@@ -802,3 +802,54 @@ def test_lm_perplexity_vocab_top_and_filter():
     kept = lm_perplexity_filter(SF, max_ppl=cut).to_pandas()
     assert len(kept) == int((full["ppl"] <= cut).sum())
     assert (kept["ppl"] <= cut).all()
+
+
+def test_shuffle_assign_matches_duckdb_exactly():
+    import duckdb
+    import pandas as pd
+
+    from hunt_ray.pipelines.curate import shuffle_assign
+
+    got = (shuffle_assign(SF, n_shards=8, seed=13).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    want = con.sql(f"""
+        WITH k AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5('13:' || doc_id), 1, 16))::UBIGINT AS skey
+          FROM read_parquet('{SF}/documents.parquet'))
+        SELECT doc_id::BIGINT AS doc_id, (skey % 8)::BIGINT AS shard,
+               (row_number() OVER (PARTITION BY skey % 8
+                                   ORDER BY skey, doc_id) - 1)::BIGINT AS pos
+        FROM k ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_exact=True)
+    # fast mode: same contract (a permutation into near-even shards with
+    # dense 0..n_k-1 positions), different hash family
+    fast = shuffle_assign(SF, n_shards=8, seed=13, hash="fast").to_pandas()
+    assert sorted(fast["doc_id"]) == sorted(got["doc_id"])
+    for _, grp in fast.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
+
+
+def test_shuffle_export_roundtrip(tmp_path):
+    import pyarrow.parquet as pq
+
+    from hunt_ray.pipelines.curate import shuffle_assign, shuffle_export
+
+    out = str(tmp_path / "shards")
+    man = (shuffle_export(SF, out, n_shards=4, seed=13, hash="fast")
+           .to_pandas().sort_values("shard").reset_index(drop=True))
+    assert man["shard"].tolist() == [0, 1, 2, 3]
+    assert int(man["rows"].sum()) == 500
+
+    assign = shuffle_assign(SF, n_shards=4, seed=13, hash="fast").to_pandas()
+    for _, m in man.iterrows():
+        t = pq.read_table(m["path"]).to_pandas()
+        # file rows are in pos order and carry the text payload
+        assert t["pos"].tolist() == list(range(len(t)))
+        assert t["text"].notna().all()
+        # assignment parity: same docs at the same positions
+        want = (assign[assign["shard"] == m["shard"]]
+                .sort_values("pos")["doc_id"].tolist())
+        assert t["doc_id"].tolist() == want
