@@ -332,6 +332,12 @@ def run_bench() -> dict:
     t = time.time()
     graph.pagerank(SF_DIR).count()
     timings["pagerank5"] = round(time.time() - t, 3)
+    t = time.time()
+    textstats.lm_perplexity(SF_DIR).count()
+    timings["lm_perplexity"] = round(time.time() - t, 3)
+    t = time.time()
+    curate.shuffle_assign(SF_DIR, n_shards=64, hash="fast").count()
+    timings["shuffle_assign"] = round(time.time() - t, 3)
 
     out = {
         "metric": "index-build seconds (50k-doc corpus) + query latency",
