@@ -743,10 +743,13 @@ def shuffle_assign(sf_dir: str, *, n_shards: int = 8, seed: int = 13,
     layout, re-derivable for any doc without re-running the shuffle).
 
     Scale shape: one pure map emits 24-byte rows (never the text), one
-    co-location sort on (shard, skey) — the same single all-to-all any
-    global shuffle pays — then a whole-block kernel enumerates positions
+    co-location sort on ``shard`` — the same single all-to-all any global
+    shuffle pays — then a whole-block kernel enumerates positions
     vectorized across every shard segment. Nothing corpus-sized lands on
-    the driver.
+    the driver. A shard group must fit in one worker block, so size
+    ``n_shards`` the way training exports do anyway: one shard ≈ one
+    output file (100–500 MB ⇒ 10⁴–10⁶ shards at web scale), never a
+    handful of corpus-sized shards.
     """
     import ray.data as rd
 
