@@ -160,8 +160,13 @@ def _bounded_column_sample(files: list[str], cols: str | list[str],
                 break
         if want <= 0:
             break
-    sample = pa.Table.from_batches(batches, schema=schema) if batches \
-        else pa.table({c: pa.array([], pa.string()) for c in cols})
+    if schema is not None:
+        # empty files keep the FILE's column types — a string-typed
+        # fallback would make pa.concat_tables fail against non-empty
+        # siblings sampling int/date normalized columns
+        sample = pa.Table.from_batches(batches, schema=schema)
+    else:  # no files at all
+        sample = pa.table({c: pa.array([], pa.string()) for c in cols})
     if sample.num_rows > max_docs:
         sample = sample.slice(0, max_docs)
     return sample, fetched
@@ -569,9 +574,11 @@ def make_part_merger(index_dir: str, gen: int, phash: str, cfg_chunk_docs: int,
                      files: list[str], plan_ref=None):
     """map_batches fn over part-id items: merge runs → encoded partition.
 
-    ``plan_ref`` (fs mode) is a ``ray.put`` handle on the driver's merge
-    plan — broadcast once, read by every task — so tasks re-parse no
-    footers and read exactly their own row groups."""
+    ``plan_ref`` (fs mode) maps part id → ``ray.put`` handle on THAT
+    part's slice of the driver's merge plan, so a one-part task fetches
+    and deserializes only its own assignment (file, row groups, parsed
+    FileMetaData) — not O(parts × files) of everyone else's — and
+    re-parses no footers."""
 
     def merge_part(batch: pa.Table) -> pa.Table:
         out_parts, out_rows, out_terms = [], [], []
@@ -586,8 +593,10 @@ def make_part_merger(index_dir: str, gen: int, phash: str, cfg_chunk_docs: int,
         if plan_ref is not None and todo_parts:
             import ray as _ray
 
-            rg_map = _ray.get(plan_ref) if not isinstance(plan_ref, dict) \
-                else plan_ref
+            for p in todo_parts:
+                ent = plan_ref.get(p)
+                if ent is not None:
+                    rg_map[p] = ent if isinstance(ent, list) else _ray.get(ent)
         for part in todo_parts:
             t_start = time.time()
             assigned = rg_map.get(part)
@@ -879,7 +888,10 @@ def build_index(pages_path: str | list[str], index_dir: str,
         if cfg.shuffle_mode == "fs":
             rg_map, part_rows = plan_merge(index_dir, gen, todo)
             order.sort(key=lambda p: -part_rows.get(p, 0))
-            plan_ref = _ray.put(rg_map)
+            # one ref PER PART: each one-part task deserializes only its
+            # own assignment, not the whole plan (O(P·F) FileMetaData)
+            plan_ref = {p: _ray.put(assigned)
+                        for p, assigned in rg_map.items()}
         merge_stats = rd.from_items([{"part": k} for k in order]).map_batches(
             make_part_merger(index_dir, gen, phash, cfg.chunk_docs, files,
                              plan_ref),

@@ -981,9 +981,18 @@ def embedding_dedup_lsh(sf_dir: str, *, threshold: float = 0.45,
         n_planes = _lsh_n_planes(threshold)
 
     emb_path = f"{sf_dir}/embeddings.parquet"
-    # vector dimension from one row (metadata-only-ish bounded read)
+    # vector dimension from one row (metadata-only-ish bounded read);
+    # empty corpus → empty pair set, like the brute-force sibling
     first = next(pq.ParquetFile(emb_path).iter_batches(batch_size=1,
-                                                       columns=["embedding"]))
+                                                       columns=["embedding"]),
+                 None)
+    if first is None or first.num_rows == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
     dim = len(first.column("embedding")[0].as_py())
 
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
@@ -1324,6 +1333,9 @@ def connected_components(pairs, *, max_rounds: int = 32):
     # verify) hands over hundreds of tiny blocks; every propagation round
     # unions + groupbys the edge set, so per-round fixed cost scales with
     # block count. Target ~64k edge rows per block, floor of 8 blocks.
+    # (Same pattern as graph._state_blocks/_coalesce; constants differ
+    # deliberately — 4-wide edge rows with a union every round vs 2-wide
+    # rank rows — so tune both sites when revisiting block sizing.)
     n_edges = edges.count()
     target_blocks = max(8, n_edges // 65536 + 1)
     if edges.num_blocks() > 4 * target_blocks:

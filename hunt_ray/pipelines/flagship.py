@@ -188,6 +188,15 @@ def completion_probe(sf_dir: str, k: int = 10) -> pa.Table:
             rows["word"].append(w)
             rows["score"].append(float(s))
             rows["identical"].append(same)
+        if not got:
+            # an empty engine ranking must still surface its verdict —
+            # otherwise a total failure (got=[] while the oracle has
+            # words) would emit no row and read as vacuously green
+            rows["prefix"].append(prefix)
+            rows["rank"].append(-1)
+            rows["word"].append("")
+            rows["score"].append(0.0)
+            rows["identical"].append(same)
     return pa.table({
         "prefix": pa.array(rows["prefix"], pa.string()),
         "rank": pa.array(rows["rank"], pa.int32()),

@@ -61,13 +61,17 @@ def n_docs(sf_dir: str) -> int:
     column statistics (still metadata-only)."""
     md = pq.ParquetFile(_doc_path(sf_dir)).metadata
     n = md.num_rows
+    if n == 0 or md.num_row_groups == 0:
+        return n
     idx = next((i for i in range(md.num_columns)
                 if md.row_group(0).column(i).path_in_schema == "doc_id"), None)
-    if idx is not None:
-        lo = min(md.row_group(g).column(idx).statistics.min
-                 for g in range(md.num_row_groups))
-        hi = max(md.row_group(g).column(idx).statistics.max
-                 for g in range(md.num_row_groups))
+    stats = [md.row_group(g).column(idx).statistics
+             for g in range(md.num_row_groups)] if idx is not None else []
+    # foreign writers may omit column statistics — the check is then
+    # unavailable, not failed (plan_merge applies the same rule)
+    if idx is not None and all(s is not None for s in stats):
+        lo = min(s.min for s in stats)
+        hi = max(s.max for s in stats)
         if (lo, hi) != (0, n - 1):
             raise ValueError(
                 f"derived link graph requires contiguous doc_ids 0..{n-1}, "
@@ -214,7 +218,10 @@ def pagerank_edges(edges, *, nodes=None, iterations: int = 5,
     with D = Σ_{sinks u} PR(u).
 
     ``nodes`` (optional Dataset with a ``node`` column) pins the node
-    universe; by default it is the distinct union of src and dst.
+    universe; by default it is the distinct union of src and dst. With an
+    explicit universe the graph is RESTRICTED to it: edges whose dst (or
+    src) lies outside are dropped before degree derivation, so rank mass
+    stays conserved inside the universe (restricted-PageRank semantics).
 
     Physical plan per iteration (attach-shuffle path — edges NOT assumed
     co-partitioned with ranks):
@@ -240,6 +247,7 @@ def pagerank_edges(edges, *, nodes=None, iterations: int = 5,
     edge_tagged = _coalesce(edge_tagged, edge_tagged.count())
 
     # node universe: explicit, or distinct(src ∪ dst)
+    explicit_universe = nodes is not None
     if nodes is None:
         nodes = (edges.map_batches(
             lambda b: pa.table({"node": pa.concat_arrays([
@@ -250,6 +258,41 @@ def pagerank_edges(edges, *, nodes=None, iterations: int = 5,
             .select_columns(["node"]))
     nodes = nodes.materialize()
     n = nodes.count()
+    if explicit_universe and n:
+        # restrict the graph to the pinned universe: edges to a dst
+        # outside it would otherwise materialize phantom rank rows that
+        # receive teleport mass every iteration (mass non-conservation).
+        # Restriction happens BEFORE degree derivation (degrees are
+        # recomputed per attach from the surviving edge rows), matching
+        # the standard restricted-PageRank semantics; srcs outside the
+        # universe are already masked inside _spread_ranks. One dst-keyed
+        # co-location sort, once, outside the iteration loop.
+        markers = nodes.map_batches(
+            lambda b: pa.table({
+                "src": pa.array(np.full(b.num_rows, _RANK_ROW), pa.int64()),
+                "dst": b.column("node").cast(pa.int64()),
+                "rank": pa.array(np.full(b.num_rows, np.nan), pa.float64()),
+            }).cast(_ATT), batch_format="pyarrow")
+
+        def keep_known_dst(batch: pa.Table) -> pa.Table:
+            """ALL dst groups of one sorted block: keep edge rows whose
+            dst group contains a universe marker (src=_RANK_ROW)."""
+            if batch.num_rows == 0:
+                return _ATT.empty_table()
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            seg = np.cumsum(np.r_[True, dst[1:] != dst[:-1]]) - 1
+            is_marker = src == _RANK_ROW
+            known = np.zeros(seg[-1] + 1, dtype=bool)
+            known[seg[is_marker]] = True
+            keep = known[seg] & ~is_marker
+            return batch.filter(pa.array(keep))
+
+        from ..common.grouped import sorted_groups
+
+        edge_tagged = sorted_groups(edge_tagged.union(markers), "dst",
+                                    keep_known_dst).materialize()
+        edge_tagged = _coalesce(edge_tagged, edge_tagged.count())
     if n == 0:
         return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
                                        "rank": pa.array([], pa.float64())}))

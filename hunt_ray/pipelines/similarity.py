@@ -314,7 +314,7 @@ def knn_ivf_indexed(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
 
     src = os.path.abspath(f"{sf_dir}/embeddings.parquet")
     st = os.stat(src)
-    key = hashlib.sha256(f"{src}:{st.st_size}:{int(st.st_mtime)}".encode()
+    key = hashlib.sha256(f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()
                          ).hexdigest()[:12]
     cache = os.environ.get("HUNT_RAY_CACHE", "/tmp/hunt_ray_cache")
     index_dir = os.path.join(cache, f"ivf-{key}-c{n_clusters}-s{seed}")
@@ -402,7 +402,7 @@ def kmeans_fit(sf_dir: str, *, k: int = 8, iters: int = 5,
     import ray.data as rd
 
     st = os.stat(f"{sf_dir}/embeddings.parquet")
-    ckey = (os.path.abspath(sf_dir), st.st_size, int(st.st_mtime), k, iters)
+    ckey = (os.path.abspath(sf_dir), st.st_size, st.st_mtime_ns, k, iters)
     hit = _KMEANS_CACHE.get(ckey)
     if hit is not None:
         cents, history = hit

@@ -201,3 +201,25 @@ def test_spread_ranks_empty_batch():
                         np.empty(0, np.int64), np.empty(0, np.int64))
     assert out.num_rows == 0
     assert out.schema.names == ["node", "rank"]
+
+
+def test_pagerank_edges_restricts_explicit_universe():
+    """Edges to a dst outside an explicit node universe must not create
+    phantom rank rows or leak teleport mass (restricted-PageRank)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hunt_ray.pipelines.graph import pagerank_edges
+
+    edges = rd.from_arrow(pa.table({"src": pa.array([0], pa.int64()),
+                                    "dst": pa.array([2], pa.int64())}))
+    nodes = rd.from_arrow(pa.table({"node": pa.array([0, 1], pa.int64())}))
+    out = (pagerank_edges(edges, nodes=nodes, iterations=1).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    assert out["node"].tolist() == [0, 1]
+    # node 0's only edge is dropped -> both nodes dangle -> uniform ranks
+    assert abs(float(out["rank"].sum()) - 1.0) < 1e-12
+    assert abs(out["rank"][0] - out["rank"][1]) < 1e-12
+    # default universe (no nodes arg) still spans src ∪ dst
+    out2 = pagerank_edges(edges, iterations=1).to_pandas()
+    assert set(out2["node"]) == {0, 2}

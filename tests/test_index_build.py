@@ -204,3 +204,26 @@ def test_bounded_sample_stops_mid_file(tmp_path):
     assert sample2.num_rows == 10
     assert sample2.column("text")[0].as_py() == "a"
     assert sample2.column("text")[3].as_py() == "word0"
+
+
+def test_bounded_sample_empty_file_keeps_types(tmp_path):
+    """An empty parquet file sampled next to non-empty siblings must keep
+    the FILE's column types so pa.concat_tables succeeds (int/date
+    normalized columns are sampled since the cf-weighted boundary fix)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.index.build import _bounded_column_sample
+
+    t = pa.table({"text": pa.array(["x", "y"]),
+                  "stars": pa.array([3, 4], pa.int64())})
+    full = str(tmp_path / "a.parquet")
+    empty = str(tmp_path / "b.parquet")
+    pq.write_table(t, full)
+    pq.write_table(t.slice(0, 0), empty)
+    s_full, _ = _bounded_column_sample([full], ["text", "stars"], 10)
+    s_empty, n = _bounded_column_sample([empty], ["text", "stars"], 10)
+    assert n == 0 and s_empty.num_rows == 0
+    merged = pa.concat_tables([s_full, s_empty])
+    assert merged.num_rows == 2
+    assert merged.schema.field("stars").type == pa.int64()

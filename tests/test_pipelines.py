@@ -853,3 +853,23 @@ def test_shuffle_export_roundtrip(tmp_path):
         want = (assign[assign["shard"] == m["shard"]]
                 .sort_values("pos")["doc_id"].tolist())
         assert t["doc_id"].tolist() == want
+
+
+def test_embedding_dedup_lsh_empty_corpus(tmp_path):
+    """An empty embeddings table must yield an empty pair set (not a
+    StopIteration at plan-construction time)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.pipelines.dedup import embedding_dedup_lsh
+
+    d = tmp_path / "emptyemb"
+    d.mkdir()
+    pq.write_table(pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": pa.array([], pa.list_(pa.float32()))}),
+                   str(d / "embeddings.parquet"))
+    out = embedding_dedup_lsh(str(d)).to_pandas()
+    assert len(out) == 0
+    # Ray may strip the schema from an all-empty dataset; if columns
+    # survive they must be the pair schema
+    assert set(out.columns) in (set(), {"vec_a", "vec_b", "cosine"})
