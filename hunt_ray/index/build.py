@@ -313,13 +313,16 @@ class AnalyzerStage:
             counts = np.bincount(stream.doc_idx, minlength=batch.num_rows)
             nz = np.flatnonzero(counts)
             if nz.size:
+                # native literals for the constant columns — a Python
+                # list-of-empty-lists Series was ~25% of kernel time
                 frames.append(pl.DataFrame({
-                    "term": pl.Series([""] * nz.size, dtype=pl.String),
                     "doc_id": pl.Series(doc_ids[nz], dtype=pl.UInt64),
                     "tf": pl.Series(counts[nz].astype(np.uint32), dtype=pl.UInt32),
-                    "positions": pl.Series([[] for _ in range(nz.size)],
-                                           dtype=pl.List(pl.UInt32)),
-                }).with_columns(context=pl.lit(cx)))
+                }).with_columns(
+                    term=pl.lit("", dtype=pl.String),
+                    positions=pl.lit([], dtype=pl.List(pl.UInt32)),
+                    context=pl.lit(cx),
+                ).select(["term", "doc_id", "tf", "positions", "context"]))
         big = pl.concat(frames) if frames else pl.DataFrame()
         if big.height == 0:
             return pa.table(
