@@ -144,8 +144,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- inverted-index feed + term statistics (SURVEY §2.2/§2.5)
         "q_postings": textstats.postings,
         "q_term_df": textstats.term_df,
-        "q_doc_stats": textstats.doc_stats,
         "q_quality": textstats.quality,
+        # CCNet-style unigram-LM perplexity (LM trained on the corpus
+        # itself, bounded vocab broadcast, pure-map scoring) — exact
+        # DuckDB oracle (round-4 addition)
+        "q_lm_perplexity": textstats.lm_perplexity,
         # --- boolean/phrase/prefix search semantics (SURVEY §2.4/§2.7)
         "q_search_and": lambda sf: docsearch.search_and(sf, "join", "hash"),
         "q_search_andnot": lambda sf: docsearch.search_and_not(sf, "table", "spark"),
@@ -198,9 +201,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PII redaction (synthetic PII injected deterministically — the
         # fixture corpus has none): count-then-replace pure map
         "q_redact_pii": curate.redact_pii,
-        # per-source quality rollup thresholded + semi-joined to the docs
-        # (recomputes the rollup q_source_rollup exposes standalone)
-        "q_source_filter": curate.source_filter,
+        # deterministic seeded global shuffle → training shards
+        # (shard, pos) — exact DuckDB oracle (round-4 addition)
+        "q_shuffle_shards": lambda sf: curate.shuffle_assign(
+            sf, n_shards=8, seed=13),
         # Common-Crawl-style recrawl dedup: canonicalize url variants,
         # keep the newest warc_ts snapshot per canonical url (partial
         # keep-latest per batch, then a small groupby)
@@ -240,6 +244,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ================= entries 51+ (past the driver's 50-query cap):
         # pytest-green redundant variants — each one's verification signal
         # already sits in-window (subset query, exact sibling, or probe)
+        # per-doc doclen/stats map — same tokenizer path the 11k-row
+        # q_postings oracle (in-window) verifies term-by-term
+        "q_doc_stats": textstats.doc_stats,
+        # per-source rollup+filter — recomputes the per-source family
+        # q_source_cap (in-window) / q_source_rollup expose
+        "q_source_filter": curate.source_filter,
         # lang rollup of the oracled per-doc token counts (q_doc_stats)
         "q_token_count_by_lang": textstats.token_count_by_lang,
         # ORDER/LIMIT subset of q_term_df
@@ -275,14 +285,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-stage rollup; the oracled md5 siblings are in-window
         "q_multimodal_pipeline": lambda sf: multimodal.pipeline_summary(
             flagship.ensure_pages(sf)),
-        # CCNet-style unigram-LM perplexity (LM trained on the corpus
-        # itself, bounded vocab broadcast, pure-map scoring) — exact
-        # DuckDB oracle, past-cap (round-4 addition)
-        "q_lm_perplexity": textstats.lm_perplexity,
-        # deterministic seeded global shuffle → training shards
-        # (shard, pos) — exact DuckDB oracle, past-cap (round-4 addition)
-        "q_shuffle_shards": lambda sf: curate.shuffle_assign(
-            sf, n_shards=8, seed=13),
     }
 
 
