@@ -149,6 +149,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # itself, bounded vocab broadcast, pure-map scoring) — exact
         # DuckDB oracle (round-4 addition)
         "q_lm_perplexity": textstats.lm_perplexity,
+        # exact distributed quantiles of per-doc token counts (threshold
+        # calibration): per-batch value-count partials, O(distinct)
+        # histogram to the driver — exact quantile_disc oracle (round-4)
+        "q_token_quantiles": textstats.token_quantiles,
         # --- boolean/phrase/prefix search semantics (SURVEY §2.4/§2.7)
         "q_search_and": lambda sf: docsearch.search_and(sf, "join", "hash"),
         "q_search_andnot": lambda sf: docsearch.search_and_not(sf, "table", "spark"),
@@ -228,8 +232,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pagerank": graph.pagerank,
         # gap-based sessionization over events — keyed-window map_groups
         "q_sessionize": lambda sf: events.sessionize(sf, gap_minutes=480),
-        # tumbling calendar windows — partial+final combine
-        "q_window_agg": events.window_agg,
         # per-user as-of join (click → most recent prior view),
         # deterministic tie-break on (ts, event_id)
         "q_asof_join": events.asof_join,
@@ -247,6 +249,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc doclen/stats map — same tokenizer path the 11k-row
         # q_postings oracle (in-window) verifies term-by-term
         "q_doc_stats": textstats.doc_stats,
+        # tumbling calendar windows — partial+final combine; the keyed
+        # events family keeps sessionize/asof/events_range in-window
+        "q_window_agg": events.window_agg,
         # per-source rollup+filter — recomputes the per-source family
         # q_source_cap (in-window) / q_source_rollup expose
         "q_source_filter": curate.source_filter,
@@ -890,6 +895,20 @@ SELECT k.doc_id, count(*)::BIGINT AS n_tokens,
 FROM toks k JOIN cf USING (term) CROSS JOIN tot
 GROUP BY k.doc_id
 """,
+        # exact distributed quantiles of per-doc token counts; selection
+        # rule = quantile_disc (sorted value at ceil(q*N)-1), same
+        # tokenizer (hunt_ray/pipelines/textstats.py token_quantiles)
+        "q_token_quantiles": f"""
+WITH stats AS (
+  SELECT count(*) AS n_tokens FROM ({_TOKENS}) GROUP BY doc_id
+  UNION ALL
+  SELECT 0 AS n_tokens FROM documents
+  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM ({_TOKENS})))
+"""
+        + " UNION ALL ".join(
+            f"SELECT {q} AS q, quantile_disc(n_tokens, {q}) AS n_tokens_q "
+            "FROM stats"
+            for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)),
         # seeded global shuffle: identical md5-derived UBIGINT key,
         # identical shard mod + within-shard rank
         # (hunt_ray/pipelines/curate.py shuffle_assign)

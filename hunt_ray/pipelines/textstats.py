@@ -540,3 +540,53 @@ def lm_perplexity_filter(sf_dir: str, *, max_ppl: float,
     LM broadcast, no shuffle)."""
     ds = lm_perplexity(sf_dir, vocab_top=vocab_top)
     return ds.filter(expr=f"ppl <= {float(max_ppl)!r}")
+
+
+# ------------------------------------------------------------------ quantiles
+
+def token_quantiles(sf_dir: str,
+                    qs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)):
+    """Exact distributed quantiles of per-doc token counts — the
+    threshold-calibration primitive (Gopher length cuts, quality-score
+    percentile buckets) a 100 TB curation run needs before it can pick
+    filter constants.
+
+    Scale path: each batch collapses its docs to a (n_tokens, n_docs)
+    value-count partial, the groupby moves one short row per (value,
+    batch), and only the O(distinct doclens) histogram — thousands of
+    rows regardless of corpus size — reaches the driver. No sort, no
+    per-doc rows off the workers. Selection matches DuckDB
+    ``quantile_disc``: sorted value at index ceil(q·N)−1 (verified over
+    n∈{3..10} grids; ties collapse into one histogram bucket so the
+    cumsum lookup is exact, not approximate).
+    """
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = _flat_tokens(batch)
+        agg = df.group_by("doc_id").agg(n_tokens=pl.len())
+        all_ids = pl.DataFrame(
+            {"doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False)})
+        j = all_ids.join(agg, on="doc_id", how="left").fill_null(0)
+        out = j.group_by("n_tokens").agg(n_docs=pl.len())
+        return out.to_arrow().cast(pa.schema([
+            ("n_tokens", pa.int64()), ("n_docs", pa.int64())]))
+
+    hist = (rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("n_tokens")
+              .aggregate(Sum("n_docs", alias_name="n_docs"))
+              .to_pandas()
+              .sort_values("n_tokens").reset_index(drop=True))
+    cum = hist["n_docs"].to_numpy().cumsum()
+    vals = hist["n_tokens"].to_numpy()
+    total = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for q in qs:
+        idx = max(0, math.ceil(q * total) - 1)
+        rows.append((float(q), int(vals[np.searchsorted(cum, idx + 1)])))
+    return pd.DataFrame(rows, columns=["q", "n_tokens_q"])

@@ -873,3 +873,41 @@ def test_embedding_dedup_lsh_empty_corpus(tmp_path):
     # Ray may strip the schema from an all-empty dataset; if columns
     # survive they must be the pair schema
     assert set(out.columns) in (set(), {"vec_a", "vec_b", "cosine"})
+
+
+def test_token_quantiles_matches_duckdb_exactly():
+    import duckdb
+    import pandas as pd
+
+    from hunt_ray.pipelines.textstats import token_quantiles
+
+    got = token_quantiles(SF).sort_values("q").reset_index(drop=True)
+    con = duckdb.connect()
+    parts = " UNION ALL ".join(
+        f"""SELECT {q} AS q, quantile_disc(n_tokens, {q}) AS n_tokens_q
+            FROM stats""" for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+    want = con.sql(f"""
+        WITH stats AS (
+          SELECT len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tokens
+          FROM read_parquet('{SF}/documents.parquet'))
+        {parts} ORDER BY q""").df()
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_exact=True)
+
+
+def test_token_quantiles_selection_rule_vs_duckdb_grid():
+    # pin the ceil(q*N)-1 selection rule on adversarial tiny inputs:
+    # ties, single value, n not divisible by quantile denominators
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    for vals in ([3], [5, 5, 5, 7, 7], list(range(1, 8)), [2, 2, 9, 9]):
+        n = len(vals)
+        s = sorted(vals)
+        for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+            want = con.execute(
+                f"SELECT quantile_disc(x, {q}) FROM (SELECT unnest({vals}) AS x)"
+            ).fetchone()[0]
+            assert s[max(0, math.ceil(q * n) - 1)] == want
