@@ -198,10 +198,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_repetition": curate.repetition,
         # per-source (domain) doc cap — partial+final top-k per source
         "q_source_cap": lambda sf: curate.source_cap(sf, k=20),
-        # deterministic per-lang stratified sample (md5 draw, oracle-compat)
-        "q_sample_stratified": curate.sample_stratified,
         # token-budget mixture: greedy per-lang fill in draw order
         "q_quota_by_lang": curate.quota_by_lang,
+        # fixed-length sequence packing over the seeded shuffle order:
+        # per-doc (shard, pos, start_tok, first/last_seq) coordinates —
+        # exact window-function oracle (round-4 addition)
+        "q_pack_sequences": lambda sf: curate.pack_sequences(
+            sf, seq_len=512, n_shards=8, seed=13),
         # PII redaction (synthetic PII injected deterministically — the
         # fixture corpus has none): count-then-replace pure map
         "q_redact_pii": curate.redact_pii,
@@ -249,6 +252,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc doclen/stats map — same tokenizer path the 11k-row
         # q_postings oracle (in-window) verifies term-by-term
         "q_doc_stats": textstats.doc_stats,
+        # per-lang stratified sample — the md5 draw mechanics stay
+        # in-window via q_quota_by_lang (greedy fill in draw order)
+        "q_sample_stratified": curate.sample_stratified,
         # tumbling calendar windows — partial+final combine; the keyed
         # events family keeps sessionize/asof/events_range in-window
         "q_window_agg": events.window_agg,
@@ -909,6 +915,34 @@ WITH stats AS (
             f"SELECT {q} AS q, quantile_disc(n_tokens, {q}) AS n_tokens_q "
             "FROM stats"
             for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)),
+        # sequence packing over the seeded shuffle order: per-shard
+        # running token sum via a window cumsum, seq ids by integer
+        # division (hunt_ray/pipelines/curate.py pack_sequences)
+        "q_pack_sequences": f"""
+WITH nt AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tokens
+  FROM documents),
+k AS (
+  SELECT doc_id,
+         ('0x' || substring(md5('13:' || doc_id), 1, 16))::UBIGINT AS skey
+  FROM documents),
+a AS (
+  SELECT doc_id, (skey % 8)::BIGINT AS shard,
+         (row_number() OVER (PARTITION BY skey % 8
+                             ORDER BY skey, doc_id) - 1)::BIGINT AS pos
+  FROM k),
+c AS (
+  SELECT a.doc_id, a.shard, a.pos, nt.n_tokens,
+         COALESCE(SUM(nt.n_tokens) OVER (
+             PARTITION BY a.shard ORDER BY a.pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS start_tok
+  FROM a JOIN nt USING (doc_id))
+SELECT doc_id::BIGINT AS doc_id, shard, pos, n_tokens::BIGINT AS n_tokens,
+       start_tok, (start_tok // 512)::BIGINT AS first_seq,
+       ((start_tok + greatest(n_tokens, 1) - 1) // 512)::BIGINT AS last_seq
+FROM c
+""",
         # seeded global shuffle: identical md5-derived UBIGINT key,
         # identical shard mod + within-shard rank
         # (hunt_ray/pipelines/curate.py shuffle_assign)

@@ -884,3 +884,68 @@ def shuffle_export(sf_dir: str, out_dir: str, *, n_shards: int = 8,
                          "path": pa.array(paths, pa.string())})
 
     return sorted_groups(fused, "shard", write_shards).sort("shard")
+
+
+def pack_sequences(sf_dir: str, *, seq_len: int = 2048, n_shards: int = 8,
+                   seed: int = 13, hash: str = "md5"):
+    """Fixed-length sequence packing — the last mile of a training-data
+    pipeline: concatenate each shard's docs in the deterministic
+    :func:`shuffle_assign` order and cut the token stream into
+    ``seq_len``-token training rows (no padding; sequences straddle doc
+    boundaries, the packing norm). Emits one row per doc with its packed
+    coordinates — (doc_id, shard, pos, n_tokens, start_tok, first_seq,
+    last_seq) — enough for a loader to place every doc, and for any doc
+    to be located, without re-running the shuffle.
+
+    Scale shape: identical to shuffle_assign — one pure map emits short
+    rows (doc_id, shard, skey, n_tokens; never the text), ONE
+    co-location sort on ``shard``, then a whole-block kernel enumerates
+    positions AND the per-shard exclusive running token sum vectorized
+    (lexsort + cumsum per shard segment). Nothing corpus-sized reaches
+    the driver; the same shard-sizing regime as shuffle_assign applies
+    (a shard group must fit one worker block — shards are output-file
+    sized by construction).
+    """
+    import ray.data as rd
+
+    from ..common.grouped import sorted_groups
+
+    L = int(seq_len)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        keys = _shuffle_keys(batch, seed, n_shards, hash)
+        text = batch.column("text")
+        text = (text.combine_chunks()
+                if isinstance(text, pa.ChunkedArray) else text)
+        import pyarrow.compute as pc
+        low = pl.from_arrow(pc.utf8_lower(text))
+        nt = (low.str.count_matches("[a-z0-9_]+")
+              .cast(pl.Int64).fill_null(0))
+        return keys.append_column("n_tokens", nt.to_arrow())
+
+    def pack(batch: pa.Table) -> pa.Table:
+        cols = ["doc_id", "shard", "pos", "n_tokens", "start_tok",
+                "first_seq", "last_seq"]
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        sh = batch.column("shard").to_numpy(zero_copy_only=False)
+        sk = batch.column("skey").to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nt = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sk, sh))
+        sh, ids, nt = sh[order], ids[order], nt[order].astype(np.int64)
+        n = len(sh)
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        excl = np.cumsum(nt) - nt
+        start_tok = excl - np.repeat(excl[starts], lens)
+        first_seq = start_tok // L
+        last_seq = (start_tok + np.maximum(nt, 1) - 1) // L
+        vals = (ids, sh, pos, nt, start_tok, first_seq, last_seq)
+        return pa.table({c: pa.array(v, pa.int64())
+                         for c, v in zip(cols, vals)})
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+    return sorted_groups(keyed_ds, "shard", pack)

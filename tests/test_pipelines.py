@@ -911,3 +911,63 @@ def test_token_quantiles_selection_rule_vs_duckdb_grid():
                 f"SELECT quantile_disc(x, {q}) FROM (SELECT unnest({vals}) AS x)"
             ).fetchone()[0]
             assert s[max(0, math.ceil(q * n) - 1)] == want
+
+
+def test_pack_sequences_matches_duckdb_exactly():
+    import duckdb
+    import pandas as pd
+
+    from hunt_ray.pipelines.curate import pack_sequences
+
+    got = (pack_sequences(SF, seq_len=512).to_pandas()
+           .sort_values(["shard", "pos"]).reset_index(drop=True))
+    con = duckdb.connect()
+    want = con.sql(f"""
+        WITH nt AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tokens
+          FROM read_parquet('{SF}/documents.parquet')),
+        k AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5('13:' || doc_id), 1, 16))::UBIGINT AS skey
+          FROM read_parquet('{SF}/documents.parquet')),
+        a AS (
+          SELECT doc_id, (skey % 8)::BIGINT AS shard,
+                 (row_number() OVER (PARTITION BY skey % 8
+                                     ORDER BY skey, doc_id) - 1)::BIGINT AS pos
+          FROM k),
+        c AS (
+          SELECT a.doc_id, a.shard, a.pos, nt.n_tokens,
+                 COALESCE(SUM(nt.n_tokens) OVER (
+                     PARTITION BY a.shard ORDER BY a.pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS start_tok
+          FROM a JOIN nt USING (doc_id))
+        SELECT doc_id::BIGINT AS doc_id, shard, pos,
+               n_tokens::BIGINT AS n_tokens, start_tok,
+               (start_tok // 512)::BIGINT AS first_seq,
+               ((start_tok + greatest(n_tokens, 1) - 1) // 512)::BIGINT AS last_seq
+        FROM c ORDER BY shard, pos""").df()
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_exact=True)
+    # packing invariants: positions dense per shard, token stream gapless,
+    # and the fixture actually exercises boundary-straddling docs
+    for _, g in got.groupby("shard"):
+        assert g["pos"].tolist() == list(range(len(g)))
+        assert (g["start_tok"].to_numpy()
+                == np.concatenate(([0], g["n_tokens"].cumsum().to_numpy()[:-1]))).all()
+    assert (got["first_seq"] != got["last_seq"]).sum() > 0
+
+
+def test_pack_sequences_consistent_with_shuffle_assign():
+    # same (seed, n_shards) ⇒ identical (doc_id → shard, pos) mapping
+    import pandas as pd
+
+    from hunt_ray.pipelines.curate import pack_sequences, shuffle_assign
+
+    packed = (pack_sequences(SF, seq_len=2048).to_pandas()
+              [["doc_id", "shard", "pos"]]
+              .sort_values("doc_id").reset_index(drop=True))
+    assigned = (shuffle_assign(SF).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(packed, assigned, check_exact=True)
