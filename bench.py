@@ -338,6 +338,12 @@ def run_bench() -> dict:
     t = time.time()
     curate.shuffle_assign(SF_DIR, n_shards=64, hash="fast").count()
     timings["shuffle_assign"] = round(time.time() - t, 3)
+    t = time.time()
+    textstats.token_quantiles(SF_DIR)
+    timings["token_quantiles"] = round(time.time() - t, 3)
+    t = time.time()
+    curate.pack_sequences(SF_DIR, n_shards=64, hash="fast").count()
+    timings["pack_sequences"] = round(time.time() - t, 3)
 
     out = {
         "metric": "index-build seconds (50k-doc corpus) + query latency",
