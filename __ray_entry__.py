@@ -208,10 +208,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PII redaction (synthetic PII injected deterministically — the
         # fixture corpus has none): count-then-replace pure map
         "q_redact_pii": curate.redact_pii,
-        # deterministic seeded global shuffle → training shards
-        # (shard, pos) — exact DuckDB oracle (round-4 addition)
-        "q_shuffle_shards": lambda sf: curate.shuffle_assign(
-            sf, n_shards=8, seed=13),
+        # THE end-to-end training-data recipe: quality/lang clean →
+        # near-dup cluster-loser removal → eval exclusion + n-gram
+        # decontamination → seeded shuffle → sequence packing, one
+        # composed DuckDB oracle end to end (round-4 addition)
+        "q_training_recipe": curate.training_recipe,
         # Common-Crawl-style recrawl dedup: canonicalize url variants,
         # keep the newest warc_ts snapshot per canonical url (partial
         # keep-latest per batch, then a small groupby)
@@ -255,6 +256,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-lang stratified sample — the md5 draw mechanics stay
         # in-window via q_quota_by_lang (greedy fill in draw order)
         "q_sample_stratified": curate.sample_stratified,
+        # seeded global shuffle → (shard, pos) — the identical code path
+        # runs in-window inside q_pack_sequences / q_training_recipe
+        # (pytest pins the mappings equal)
+        "q_shuffle_shards": lambda sf: curate.shuffle_assign(
+            sf, n_shards=8, seed=13),
         # tumbling calendar windows — partial+final combine; the keyed
         # events family keeps sessionize/asof/events_range in-window
         "q_window_agg": events.window_agg,
@@ -915,6 +921,68 @@ WITH stats AS (
             f"SELECT {q} AS q, quantile_disc(n_tokens, {q}) AS n_tokens_q "
             "FROM stats"
             for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)),
+        # end-to-end training recipe: the q_corpus_clean quality
+        # predicate + the q_dedup_components closure losers + the
+        # q_decontaminate gram probe + eval exclusion, packed with the
+        # q_pack_sequences window cumsum — one composed oracle
+        # (hunt_ray/pipelines/curate.py training_recipe)
+        "q_training_recipe": """
+WITH RECURSIVE
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+         FROM documents),
+flat AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(CASE WHEN term IN ('the','a','of','and','to')
+                   THEN 1 ELSE 0 END)::DOUBLE AS n_stop
+        FROM flat GROUP BY doc_id),
+quality AS (SELECT d.doc_id FROM documents d JOIN agg USING (doc_id)
+            WHERE agg.n_tokens >= 20 AND agg.n_stop / agg.n_tokens <= 0.15
+              AND d.lang IN ('en','es','fr','de')),
+grams3 AS (SELECT DISTINCT d.doc_id, substring(lower(d.text), t.i::INT, 3) AS g
+           FROM documents d,
+                unnest(generate_series(1, greatest(length(d.text)-2, 0))) AS t(i)),
+sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM grams3 GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS i
+          FROM grams3 a JOIN grams3 b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+prs AS (SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.doc_a
+        JOIN sizes sb ON sb.doc_id = inter.doc_b
+        WHERE i / (sa.n + sb.n - i) >= 0.75),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+          UNION SELECT doc_b, doc_a FROM prs),
+reach(u, v) AS (SELECT u, v FROM edges
+                UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+losers AS (SELECT u AS doc_id FROM reach GROUP BY u
+           HAVING least(u, min(v)) <> u),
+wgrams AS (SELECT doc_id, array_to_string(ts[i:i+3], ' ') AS g FROM toks,
+           UNNEST(CASE WHEN len(ts) >= 4 THEN range(1, len(ts)-2)
+                  ELSE [] END) AS t(i)),
+eval_grams AS (SELECT DISTINCT g FROM wgrams WHERE doc_id % 19 = 0),
+cont AS (SELECT DISTINCT w.doc_id FROM wgrams w
+         JOIN eval_grams e ON w.g = e.g WHERE w.doc_id % 19 <> 0),
+surv AS (SELECT doc_id FROM quality
+         WHERE doc_id % 19 <> 0
+           AND doc_id NOT IN (SELECT doc_id FROM losers)
+           AND doc_id NOT IN (SELECT doc_id FROM cont)),
+k AS (SELECT doc_id,
+             ('0x' || substring(md5('13:' || doc_id), 1, 16))::UBIGINT AS skey
+      FROM surv),
+a AS (SELECT doc_id, (skey % 8)::BIGINT AS shard,
+             (row_number() OVER (PARTITION BY skey % 8
+                                 ORDER BY skey, doc_id) - 1)::BIGINT AS pos
+      FROM k),
+c AS (SELECT a.doc_id, a.shard, a.pos, agg.n_tokens,
+             COALESCE(SUM(agg.n_tokens) OVER (
+                 PARTITION BY a.shard ORDER BY a.pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS start_tok
+      FROM a JOIN agg USING (doc_id))
+SELECT doc_id::BIGINT AS doc_id, shard, pos, n_tokens::BIGINT AS n_tokens,
+       start_tok, (start_tok // 512)::BIGINT AS first_seq,
+       ((start_tok + greatest(n_tokens, 1) - 1) // 512)::BIGINT AS last_seq
+FROM c
+""",
         # sequence packing over the seeded shuffle order: per-shard
         # running token sum via a window cumsum, seq ids by integer
         # division (hunt_ray/pipelines/curate.py pack_sequences)

@@ -344,6 +344,10 @@ def run_bench() -> dict:
     t = time.time()
     curate.pack_sequences(SF_DIR, n_shards=64, hash="fast").count()
     timings["pack_sequences"] = round(time.time() - t, 3)
+    t = time.time()
+    curate.training_recipe(SF_DIR, n_shards=64, hash="fast",
+                           pair_source="minhash", dedup_threshold=0.5).count()
+    timings["training_recipe"] = round(time.time() - t, 3)
 
     out = {
         "metric": "index-build seconds (50k-doc corpus) + query latency",

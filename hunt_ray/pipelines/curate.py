@@ -908,6 +908,14 @@ def pack_sequences(sf_dir: str, *, seq_len: int = 2048, n_shards: int = 8,
     """
     import ray.data as rd
 
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    return _pack_docs(ds, seq_len=seq_len, n_shards=n_shards, seed=seed,
+                      hash=hash)
+
+
+def _pack_docs(ds, *, seq_len: int, n_shards: int, seed: int, hash: str):
+    """Packing core over any (doc_id, text) Dataset — see
+    :func:`pack_sequences` for semantics and scale shape."""
     from ..common.grouped import sorted_groups
 
     L = int(seq_len)
@@ -946,6 +954,87 @@ def pack_sequences(sf_dir: str, *, seq_len: int = 2048, n_shards: int = 8,
         return pa.table({c: pa.array(v, pa.int64())
                          for c, v in zip(cols, vals)})
 
-    ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
     return sorted_groups(keyed_ds, "shard", pack)
+
+
+def training_recipe(sf_dir: str, *, min_tokens: int = 20,
+                    max_stopword_ratio: float = 0.15,
+                    langs: tuple[str, ...] = ("en", "es", "fr", "de"),
+                    dedup_threshold: float = 0.75, decontam_n: int = 4,
+                    eval_mod: int = 19, seq_len: int = 512,
+                    n_shards: int = 8, seed: int = 13, hash: str = "md5",
+                    pair_source: str = "exact"):
+    """The end-to-end training-data recipe, composed from this repo's
+    oracled stages: quality/language clean → near-dup cluster-loser
+    removal → eval-set exclusion + n-gram decontamination → seeded
+    global shuffle → fixed-length sequence packing. Returns the packed
+    coordinates (doc_id, shard, pos, n_tokens, start_tok, first_seq,
+    last_seq) of every SURVIVING doc — the manifest a training run
+    loads from.
+
+    Scale shape: the quality/lang predicate prunes in-map (rows die
+    before any shuffle, as in ``textstats.corpus_clean``); the drop
+    sets are bounded — near-dup cluster losers by the duplicate count,
+    contaminated docs by eval-gram hits — so they broadcast once
+    (``ray.put``) and every batch anti-joins with one vectorized
+    ``np.isin``; packing then pays shuffle_assign's single co-location
+    sort. The corpus streams exactly twice (once into the pair finder,
+    once here). ``pair_source="exact"`` (Σ df(g)² shingle Jaccard)
+    keeps the whole recipe DuckDB-oracled end to end;
+    ``pair_source="minhash"`` is the web-scale swap
+    (``dedup.minhash_components`` — same loser-set contract,
+    probabilistic pair recall measured in q_dedup_recall).
+    """
+    import ray
+    import ray.data as rd
+
+    from .dedup import dedup_components, minhash_components
+    from .textstats import STOPWORDS
+
+    if pair_source == "minhash":
+        comp = minhash_components(
+            sf_dir, threshold=dedup_threshold).to_pandas()
+    else:
+        comp = dedup_components(sf_dir, threshold=dedup_threshold).to_pandas()
+    losers = comp.loc[comp["doc_id"] != comp["cluster_id"],
+                      "doc_id"].to_numpy()
+    cont = decontaminate(sf_dir, n=decontam_n, eval_mod=eval_mod) \
+        .to_pandas()["doc_id"].to_numpy()
+    drop = np.unique(np.concatenate([losers, cont]).astype(np.int64))
+    drop_ref = ray.put(np.sort(drop))
+
+    stop = list(STOPWORDS)
+    lang_set = list(langs)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dropped = ray.get(drop_ref)
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = _flat_tokens(batch)
+        agg = (df.group_by("doc_id")
+               .agg(n_tokens=pl.len().cast(pl.Int64),
+                    n_stop=pl.col("term").is_in(stop).sum()
+                    .cast(pl.Float64))
+               .sort("doc_id"))
+        aid = agg["doc_id"].to_numpy()
+        at = agg["n_tokens"].to_numpy()
+        ast = agg["n_stop"].to_numpy()
+        pos = np.searchsorted(aid, ids)
+        pos_c = np.minimum(pos, max(len(aid) - 1, 0))
+        found = (pos < len(aid)) & (aid[pos_c] == ids) if len(aid) \
+            else np.zeros(len(ids), bool)
+        nt = np.where(found, at[pos_c] if len(aid) else 0, 0)
+        nst = np.where(found, ast[pos_c] if len(aid) else 0.0, 0.0)
+        lang = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        ratio = np.divide(nst, nt, out=np.ones_like(nst), where=nt > 0)
+        mask = ((nt >= min_tokens) & (ratio <= max_stopword_ratio)
+                & np.isin(lang, lang_set) & (ids % eval_mod != 0)
+                & ~np.isin(ids, dropped))
+        return batch.filter(pa.array(mask)).select(["doc_id", "text"])
+
+    ds = (rd.read_parquet(_doc_path(sf_dir),
+                          columns=["doc_id", "text", "lang"])
+          .map_batches(keep, batch_format="pyarrow"))
+    return _pack_docs(ds, seq_len=seq_len, n_shards=n_shards, seed=seed,
+                      hash=hash)

@@ -971,3 +971,95 @@ def test_pack_sequences_consistent_with_shuffle_assign():
     assigned = (shuffle_assign(SF).to_pandas()
                 .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(packed, assigned, check_exact=True)
+
+
+def test_training_recipe_matches_composed_duckdb_oracle():
+    # the end-to-end recipe (clean -> near-dup losers -> eval exclusion +
+    # decontamination -> shuffle -> pack) against ONE composed SQL oracle
+    import duckdb
+    import pandas as pd
+
+    from hunt_ray.pipelines.curate import training_recipe
+
+    got = (training_recipe(SF).to_pandas()
+           .sort_values(["shard", "pos"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = (con.execute("""WITH RECURSIVE
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+         FROM documents),
+flat AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(CASE WHEN term IN ('the','a','of','and','to')
+                   THEN 1 ELSE 0 END)::DOUBLE AS n_stop
+        FROM flat GROUP BY doc_id),
+quality AS (SELECT d.doc_id FROM documents d JOIN agg USING (doc_id)
+            WHERE agg.n_tokens >= 20 AND agg.n_stop / agg.n_tokens <= 0.15
+              AND d.lang IN ('en','es','fr','de')),
+grams3 AS (SELECT DISTINCT d.doc_id, substring(lower(d.text), t.i::INT, 3) AS g
+           FROM documents d,
+                unnest(generate_series(1, greatest(length(d.text)-2, 0))) AS t(i)),
+sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM grams3 GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS i
+          FROM grams3 a JOIN grams3 b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+prs AS (SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.doc_a
+        JOIN sizes sb ON sb.doc_id = inter.doc_b
+        WHERE i / (sa.n + sb.n - i) >= 0.75),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+          UNION SELECT doc_b, doc_a FROM prs),
+reach(u, v) AS (SELECT u, v FROM edges
+                UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+losers AS (SELECT u AS doc_id FROM reach GROUP BY u
+           HAVING least(u, min(v)) <> u),
+wgrams AS (SELECT doc_id, array_to_string(ts[i:i+3], ' ') AS g FROM toks,
+           UNNEST(CASE WHEN len(ts) >= 4 THEN range(1, len(ts)-2)
+                  ELSE [] END) AS t(i)),
+eval_grams AS (SELECT DISTINCT g FROM wgrams WHERE doc_id % 19 = 0),
+cont AS (SELECT DISTINCT w.doc_id FROM wgrams w
+         JOIN eval_grams e ON w.g = e.g WHERE w.doc_id % 19 <> 0),
+surv AS (SELECT doc_id FROM quality
+         WHERE doc_id % 19 <> 0
+           AND doc_id NOT IN (SELECT doc_id FROM losers)
+           AND doc_id NOT IN (SELECT doc_id FROM cont)),
+k AS (SELECT doc_id,
+             ('0x' || substring(md5('13:' || doc_id), 1, 16))::UBIGINT AS skey
+      FROM surv),
+a AS (SELECT doc_id, (skey % 8)::BIGINT AS shard,
+             (row_number() OVER (PARTITION BY skey % 8
+                                 ORDER BY skey, doc_id) - 1)::BIGINT AS pos
+      FROM k),
+c AS (SELECT a.doc_id, a.shard, a.pos, agg.n_tokens,
+             COALESCE(SUM(agg.n_tokens) OVER (
+                 PARTITION BY a.shard ORDER BY a.pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS start_tok
+      FROM a JOIN agg USING (doc_id))
+SELECT doc_id::BIGINT AS doc_id, shard, pos, n_tokens::BIGINT AS n_tokens,
+       start_tok, (start_tok // 512)::BIGINT AS first_seq,
+       ((start_tok + greatest(n_tokens, 1) - 1) // 512)::BIGINT AS last_seq
+FROM c""").df()
+            .sort_values(["shard", "pos"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_exact=True)
+    # the recipe must actually filter: quality + dedup + decontam + eval
+    assert 0 < len(got) < 500
+    # survivors exclude the synthetic eval slice entirely
+    assert (got["doc_id"] % 19 != 0).all()
+
+
+def test_training_recipe_minhash_pair_source():
+    # web-scale pair-source swap: verified minhash pairs are a subset of
+    # the exact-Jaccard pairs at the same threshold, so fewer (or equal)
+    # losers drop and the survivor set can only grow
+    from hunt_ray.pipelines.curate import training_recipe
+
+    exact = training_recipe(SF, dedup_threshold=0.5).to_pandas()
+    mh = training_recipe(SF, dedup_threshold=0.5,
+                         pair_source="minhash").to_pandas()
+    assert set(exact["doc_id"]) <= set(mh["doc_id"])
+    # shard assignment is per-doc deterministic, independent of the set
+    j = exact.merge(mh, on="doc_id", suffixes=("_e", "_m"))
+    assert (j["shard_e"] == j["shard_m"]).all()
