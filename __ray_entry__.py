@@ -200,11 +200,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_source_cap": lambda sf: curate.source_cap(sf, k=20),
         # token-budget mixture: greedy per-lang fill in draw order
         "q_quota_by_lang": curate.quota_by_lang,
-        # fixed-length sequence packing over the seeded shuffle order:
-        # per-doc (shard, pos, start_tok, first/last_seq) coordinates —
-        # exact window-function oracle (round-4 addition)
-        "q_pack_sequences": lambda sf: curate.pack_sequences(
-            sf, seq_len=512, n_shards=8, seed=13),
+        # DSIR importance weights (Xie et al. 2023): hashed-unigram
+        # log-ratio vs the eval slice, B-row histogram shuffle + one
+        # broadcast, pure-map scoring — exact oracle (round-4 addition)
+        "q_dsir_weights": textstats.dsir_weights,
         # PII redaction (synthetic PII injected deterministically — the
         # fixture corpus has none): count-then-replace pure map
         "q_redact_pii": curate.redact_pii,
@@ -257,10 +256,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window via q_quota_by_lang (greedy fill in draw order)
         "q_sample_stratified": curate.sample_stratified,
         # seeded global shuffle → (shard, pos) — the identical code path
-        # runs in-window inside q_pack_sequences / q_training_recipe
-        # (pytest pins the mappings equal)
+        # runs in-window inside q_training_recipe (pytest pins the
+        # mappings equal)
         "q_shuffle_shards": lambda sf: curate.shuffle_assign(
             sf, n_shards=8, seed=13),
+        # full-corpus sequence packing — the same _pack_docs core the
+        # in-window q_training_recipe oracle verifies over survivors
+        # (window-cumsum oracle + pytest shuffle_assign-consistency pin)
+        "q_pack_sequences": lambda sf: curate.pack_sequences(
+            sf, seq_len=512, n_shards=8, seed=13),
         # tumbling calendar windows — partial+final combine; the keyed
         # events family keeps sessionize/asof/events_range in-window
         "q_window_agg": events.window_agg,
@@ -906,6 +910,35 @@ SELECT k.doc_id, count(*)::BIGINT AS n_tokens,
        round(exp(-avg(ln(cf.c / tot.t))), 6) AS ppl
 FROM toks k JOIN cf USING (term) CROSS JOIN tot
 GROUP BY k.doc_id
+""",
+        # DSIR importance weights: hashed-unigram (md5 → bucket % 1024)
+        # log-ratio λ = ln p̂_target − ln p̂_raw under add-1 smoothing,
+        # target = the doc_id % 19 = 0 eval slice, per-doc weight =
+        # Σ λ[bucket(token)] (hunt_ray/pipelines/textstats.py dsir_weights)
+        "q_dsir_weights": f"""
+WITH toks AS ({_TOKENS}),
+b AS (SELECT doc_id,
+             (('0x' || substring(md5(term), 1, 16))::UBIGINT % 1024)::BIGINT
+               AS bucket
+      FROM toks),
+tc AS (SELECT bucket, count(*)::DOUBLE AS c FROM b
+       WHERE doc_id % 19 = 0 GROUP BY bucket),
+rc AS (SELECT bucket, count(*)::DOUBLE AS c FROM b
+       WHERE doc_id % 19 <> 0 GROUP BY bucket),
+tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM tc) AS tt,
+               (SELECT coalesce(sum(c), 0) FROM rc) AS tr),
+lam AS (SELECT g.bucket,
+               ln((coalesce(tc.c, 0) + 1.0) / (tot.tt + 1024.0))
+               - ln((coalesce(rc.c, 0) + 1.0) / (tot.tr + 1024.0)) AS lam
+        FROM (SELECT unnest(generate_series(0, 1023)) AS bucket) g
+        LEFT JOIN tc ON tc.bucket = g.bucket
+        LEFT JOIN rc ON rc.bucket = g.bucket
+        CROSS JOIN tot)
+SELECT b.doc_id, count(*)::BIGINT AS n_tokens,
+       round(sum(lam.lam), 6) AS weight
+FROM b JOIN lam USING (bucket)
+WHERE b.doc_id % 19 <> 0
+GROUP BY b.doc_id
 """,
         # exact distributed quantiles of per-doc token counts; selection
         # rule = quantile_disc (sorted value at ceil(q*N)-1), same

@@ -348,6 +348,9 @@ def run_bench() -> dict:
     curate.training_recipe(SF_DIR, n_shards=64, hash="fast",
                            pair_source="minhash", dedup_threshold=0.5).count()
     timings["training_recipe"] = round(time.time() - t, 3)
+    t = time.time()
+    textstats.dsir_weights(SF_DIR, hash="fast").count()
+    timings["dsir_weights"] = round(time.time() - t, 3)
 
     out = {
         "metric": "index-build seconds (50k-doc corpus) + query latency",

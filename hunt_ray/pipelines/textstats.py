@@ -590,3 +590,120 @@ def token_quantiles(sf_dir: str,
         idx = max(0, math.ceil(q * total) - 1)
         rows.append((float(q), int(vals[np.searchsorted(cum, idx + 1)])))
     return pd.DataFrame(rows, columns=["q", "n_tokens_q"])
+
+
+# ------------------------------------------------------------------ DSIR
+
+def _dsir_buckets(terms: pa.Array, n_buckets: int, hash: str) -> np.ndarray:
+    """Hashed-unigram feature bucket per term. ``hash="md5"`` matches the
+    DuckDB oracle byte for byte (``('0x' || substring(md5(term), 1,
+    16))::UBIGINT % B``, the :func:`curate.shuffle_assign` key
+    convention) — md5 runs once per UNIQUE term, so the scalar stage is
+    vocabulary-bounded, not token-bounded. ``hash="fast"`` is the
+    production sibling: vectorized ``hash64 % B``, same distribution,
+    no oracle."""
+    if hash == "fast":
+        return (hash64(terms) % np.uint64(n_buckets)).astype(np.int64)
+    import hashlib
+
+    uniq, inv = np.unique(np.asarray(terms, dtype=object),
+                          return_inverse=True)
+    ub = np.fromiter(
+        (int(hashlib.md5(t.encode()).hexdigest()[:16], 16) % n_buckets
+         for t in uniq),
+        dtype=np.int64, count=len(uniq))
+    return ub[inv]
+
+
+def dsir_weights(sf_dir: str, *, eval_mod: int = 19, n_buckets: int = 1024,
+                 alpha: float = 1.0, hash: str = "md5"):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw doc
+    by how target-like its hashed-unigram distribution is. Target = the
+    synthetic eval slice (``doc_id % eval_mod == 0``, the same slice
+    :func:`curate.decontaminate` excludes); raw = everything else. The
+    per-doc weight is Σ_tokens λ[bucket(token)] with λ[b] =
+    ln p̂_target[b] − ln p̂_raw[b] under add-``alpha`` smoothing — the
+    paper's log importance ratio over a hashed n-gram feature space.
+
+    Scale shape (the :func:`lm_perplexity` recipe): pass 1 collapses each
+    batch to ≤ ``n_buckets`` (bucket, target_cnt, raw_cnt) partial rows,
+    the groupby moves one short row per (bucket, batch), and only the
+    B-row histogram reaches the driver; the B-float λ vector broadcasts
+    ONCE via ``ray.put``; pass 2 is a pure map — bucket lookup is direct
+    indexing, per-doc sums via ``np.add.reduceat`` over doc-contiguous
+    token runs. Nothing corpus-sized touches the driver or re-ships per
+    batch. Returns (doc_id, n_tokens, weight) for raw docs with ≥1 token,
+    weight rounded to 6 decimals (float64, oracle-identical).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    B = int(n_buckets)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = _flat_tokens(batch)
+        if df.height == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "tc": pa.array([], pa.int64()),
+                             "rc": pa.array([], pa.int64())})
+        bk = _dsir_buckets(df["term"].to_arrow(), B, hash)
+        is_t = (df["doc_id"].to_numpy() % eval_mod) == 0
+        out = (pl.DataFrame({"bucket": bk, "t": is_t})
+               .group_by("bucket")
+               .agg(tc=pl.col("t").sum().cast(pl.Int64),
+                    rc=(~pl.col("t")).sum().cast(pl.Int64)))
+        return out.to_arrow().cast(pa.schema([
+            ("bucket", pa.int64()), ("tc", pa.int64()), ("rc", pa.int64())]))
+
+    hist = (rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+            .map_batches(count_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("tc", alias_name="tc"), Sum("rc", alias_name="rc"))
+            .to_pandas())
+    tc = np.zeros(B, np.float64)
+    rc = np.zeros(B, np.float64)
+    if len(hist):
+        tc[hist["bucket"].to_numpy()] = hist["tc"].to_numpy()
+        rc[hist["bucket"].to_numpy()] = hist["rc"].to_numpy()
+    a = float(alpha)
+    lam = (np.log((tc + a) / (tc.sum() + a * B))
+           - np.log((rc + a) / (rc.sum() + a * B)))
+    lam_ref = ray.put(lam)
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "weight": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(ids % eval_mod != 0))
+        df = _flat_tokens(batch)
+        if df.height == 0:
+            return empty
+        lm = ray.get(lam_ref)
+        tok_lam = lm[_dsir_buckets(df["term"].to_arrow(), B, hash)]
+        d = df["doc_id"].to_numpy()  # doc-contiguous by construction
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        n_tok = np.diff(np.r_[starts, len(d)])
+        w = np.add.reduceat(tok_lam, starts)
+        return pa.table({
+            "doc_id": pa.array(d[starts], pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "weight": pa.array(np.round(w, 6), pa.float64()),
+        })
+
+    return rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"]) \
+             .map_batches(score, batch_format="pyarrow")
+
+
+def dsir_select(sf_dir: str, k: int = 100, **kw):
+    """Top-``k`` raw docs by DSIR importance weight (desc, doc_id asc
+    tiebreak) — the deterministic-selection variant of the paper's
+    Gumbel resampling (weight order is the decision boundary either
+    way; seeded-noise resampling is :func:`curate.sample_stratified`'s
+    draw mechanic applied to these weights)."""
+    return dsir_weights(sf_dir, **kw).sort(
+        ["weight", "doc_id"], descending=[True, False]).limit(int(k))

@@ -1063,3 +1063,60 @@ def test_training_recipe_minhash_pair_source():
     # shard assignment is per-doc deterministic, independent of the set
     j = exact.merge(mh, on="doc_id", suffixes=("_e", "_m"))
     assert (j["shard_e"] == j["shard_m"]).all()
+
+
+def test_dsir_weights_match_duckdb_oracle():
+    # DSIR hashed-unigram importance weights (Xie et al. 2023) against
+    # the exact md5-bucket + add-1-smoothed log-ratio SQL
+    import duckdb
+    import pandas as pd
+
+    from hunt_ray.pipelines.textstats import dsir_weights
+
+    got = (dsir_weights(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = (con.execute("""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+              FROM documents),
+b AS (SELECT doc_id,
+             (('0x' || substring(md5(term), 1, 16))::UBIGINT % 1024)::BIGINT AS bucket
+      FROM toks),
+tc AS (SELECT bucket, count(*)::DOUBLE AS c FROM b WHERE doc_id % 19 = 0 GROUP BY bucket),
+rc AS (SELECT bucket, count(*)::DOUBLE AS c FROM b WHERE doc_id % 19 <> 0 GROUP BY bucket),
+tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM tc) AS tt,
+               (SELECT coalesce(sum(c), 0) FROM rc) AS tr),
+lam AS (SELECT g.bucket,
+               ln((coalesce(tc.c, 0) + 1.0) / (tot.tt + 1024.0))
+               - ln((coalesce(rc.c, 0) + 1.0) / (tot.tr + 1024.0)) AS lam
+        FROM (SELECT unnest(generate_series(0, 1023)) AS bucket) g
+        LEFT JOIN tc ON tc.bucket = g.bucket
+        LEFT JOIN rc ON rc.bucket = g.bucket
+        CROSS JOIN tot)
+SELECT b.doc_id, count(*)::BIGINT AS n_tokens, round(sum(lam.lam), 6) AS weight
+FROM b JOIN lam USING (bucket) WHERE b.doc_id % 19 <> 0 GROUP BY b.doc_id
+ORDER BY doc_id""").df())
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_exact=True)
+    # the eval slice never scores (it IS the target distribution)
+    assert (got["doc_id"] % 19 != 0).all()
+
+
+def test_dsir_fast_mode_and_select():
+    # hash64 fast mode scores the same doc set (weights differ only via
+    # bucket assignment); dsir_select returns the weight-desc top-k
+    from hunt_ray.pipelines.textstats import dsir_select, dsir_weights
+
+    md5 = dsir_weights(SF).to_pandas()
+    fast = dsir_weights(SF, hash="fast").to_pandas()
+    assert set(fast["doc_id"]) == set(md5["doc_id"])
+    j = md5.merge(fast, on="doc_id", suffixes=("_m", "_f"))
+    assert (j["n_tokens_m"] == j["n_tokens_f"]).all()
+    sel = dsir_select(SF, k=10).to_pandas()
+    assert len(sel) == 10
+    assert sel["weight"].is_monotonic_decreasing
+    top10 = md5.sort_values(["weight", "doc_id"],
+                            ascending=[False, True]).head(10)
+    assert sel["doc_id"].tolist() == top10["doc_id"].tolist()
