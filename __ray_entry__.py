@@ -155,7 +155,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_token_quantiles": textstats.token_quantiles,
         # --- boolean/phrase/prefix search semantics (SURVEY §2.4/§2.7)
         "q_search_and": lambda sf: docsearch.search_and(sf, "join", "hash"),
-        "q_search_andnot": lambda sf: docsearch.search_and_not(sf, "table", "spark"),
         "q_search_phrase": lambda sf: docsearch.search_phrase(sf, "slow fast"),
         "q_search_prefix": lambda sf: docsearch.search_prefix(sf, "cust"),
         "q_term_doc_count": lambda sf: docsearch.term_doc_count(sf, BM25_TERMS),
@@ -164,6 +163,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family (driver mandate)
         "q_exact_dedup": dedup.exact_dedup_groups,
         "q_ngram_jaccard": lambda sf: dedup.ngram_jaccard_dedup(sf, threshold=0.75),
+        # duplicate-substring exposure (Lee et al. 2022, L-gram form):
+        # per-doc count of length-40 grams occurring in ≥2 docs — one
+        # gram-keyed sort + one doc-keyed sum; the trimmer sibling
+        # (substring_dedup, interval-union byte removal) is
+        # pytest-verified against a brute-force oracle (round-4 addition)
+        "q_substring_stats": lambda sf: dedup.substring_stats(sf, L=40),
         # cluster assignment over the exact near-dup graph (distributed
         # min-label propagation; cluster_id = component-min doc_id)
         "q_dedup_components": lambda sf: dedup.dedup_components(sf, threshold=0.75),
@@ -220,6 +225,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (pure map; deterministic synthetic mess since the fixture is
         # already clean — mirrored via chr() in the oracle)
         "q_normalize_text": curate.normalize_text,
+        # CCNet-style paragraph dedup: drop paragraphs occurring in ≥2
+        # distinct docs (deterministic boilerplate injection — the
+        # fixture text has no newlines — mirrored via chr(10) in the
+        # oracle), reassemble survivors in order (round-4 addition)
+        "q_paragraph_dedup": curate.paragraph_dedup,
         # cross-doc repeated word-n-grams (passage-dedup signal):
         # gram-bucketed df, per-doc sums — two keyed shuffles
         "q_repeated_ngrams": lambda sf: curate.repeated_ngrams(sf, n=6),
@@ -245,13 +255,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value is md5+substr so DuckDB recomputes it exactly (full
         # pass(C) rows for the multimodal plumbing, not just rows-only)
         "q_multimodal_meta": multimodal.decode_meta_md5,
-        "q_multimodal_feature_windows": multimodal.feature_windows_md5,
         # ================= entries 51+ (past the driver's 50-query cap):
         # pytest-green redundant variants — each one's verification signal
         # already sits in-window (subset query, exact sibling, or probe)
         # per-doc doclen/stats map — same tokenizer path the 11k-row
         # q_postings oracle (in-window) verifies term-by-term
         "q_doc_stats": textstats.doc_stats,
+        # boolean AndNot — same evaluator family as the in-window
+        # q_search_and, and the in-window q_rank_identity probe runs
+        # "table AND NOT spark" rank-identically (demoted round 4 to make
+        # room for q_substring_stats; still DuckDB-oracled + pytest)
+        "q_search_andnot": lambda sf: docsearch.search_and_not(sf, "table", "spark"),
+        # multimodal md5 feature windows — same md5+substr oracle
+        # mechanism as the in-window q_multimodal_meta (demoted round 4
+        # to make room for q_paragraph_dedup; still oracled + pytest)
+        "q_multimodal_feature_windows": multimodal.feature_windows_md5,
         # per-lang stratified sample — the md5 draw mechanics stay
         # in-window via q_quota_by_lang (greedy fill in draw order)
         "q_sample_stratified": curate.sample_stratified,
@@ -422,6 +440,20 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = inter.doc_a
 JOIN sizes sb ON sb.doc_id = inter.doc_b
 WHERE i / (sa.n + sb.n - i) >= 0.75
+""",
+        # duplicate-substring exposure: every stride-1 length-40 gram per
+        # doc, df = distinct docs containing the gram, dup_grams = gram
+        # positions whose gram occurs in ≥2 docs (docs shorter than 40
+        # chars carry no grams — inner join drops them on both sides)
+        "q_substring_stats": """
+WITH grams AS (
+  SELECT doc_id, substr(text, i::INT, 40) AS g
+  FROM documents, unnest(range(1, length(text) - 40 + 2)) AS t(i)),
+gdf AS (SELECT g, count(DISTINCT doc_id) AS gdf FROM grams GROUP BY g)
+SELECT g2.doc_id, count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN d.gdf >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_grams
+FROM grams g2 JOIN gdf d USING (g)
+GROUP BY g2.doc_id
 """,
         # connected components of the same pair graph: recursive transitive
         # closure over symmetric edges, cluster = min reachable doc_id
@@ -814,6 +846,32 @@ SELECT doc_id,
             '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
             '[ \t\n\r\f]+', ' ', 'g'), ' ') <> t)::BIGINT AS changed
 FROM deco
+""",
+        # CCNet-style paragraph dedup: boilerplate injection keyed on
+        # doc_id % 3 / % 5 mirrors curate._par_synthesize exactly; drop
+        # every paragraph occurring in ≥2 distinct docs, reassemble the
+        # survivors in order (all-boilerplate docs keep an empty string)
+        "q_paragraph_dedup": """
+WITH injected AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+         THEN 'accept cookies to continue' || chr(10) ELSE '' END
+    || text ||
+    CASE WHEN doc_id % 5 = 0
+         THEN chr(10) || 'subscribe to our newsletter' ELSE '' END AS t
+  FROM documents),
+pars AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS par,
+         unnest(range(1, len(string_split(t, chr(10))) + 1)) AS ord
+  FROM injected),
+pdf AS (SELECT par, count(DISTINCT doc_id) AS pdf FROM pars GROUP BY par)
+SELECT p.doc_id, count(*)::BIGINT AS n_pars,
+       sum(CASE WHEN d.pdf >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       coalesce(string_agg(CASE WHEN d.pdf < 2 THEN p.par END,
+                           chr(10) ORDER BY p.ord), '') AS clean_text
+FROM pars p JOIN pdf d USING (par)
+GROUP BY p.doc_id
 """,
         # derived link graph (same EDGE_MULT derivation as graph.py),
         # exact integer degree rollup

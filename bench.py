@@ -351,6 +351,12 @@ def run_bench() -> dict:
     t = time.time()
     textstats.dsir_weights(SF_DIR, hash="fast").count()
     timings["dsir_weights"] = round(time.time() - t, 3)
+    t = time.time()
+    curate.paragraph_dedup(SF_DIR).count()
+    timings["paragraph_dedup"] = round(time.time() - t, 3)
+    t = time.time()
+    dedup.substring_dedup(SF_DIR).count()
+    timings["substring_dedup"] = round(time.time() - t, 3)
 
     out = {
         "metric": "index-build seconds (50k-doc corpus) + query latency",

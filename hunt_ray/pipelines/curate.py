@@ -701,6 +701,115 @@ def normalize_text(sf_dir: str, *, synthesize: bool = True):
         batch_format="pyarrow")
 
 
+# --------------------------------------------- paragraph-level dedup (CCNet)
+
+# deterministic boilerplate paragraphs for the synthesize mode (the fixture
+# text has no newlines, so without injection every page is one paragraph and
+# the operator would be vacuous — same discipline as redact_pii's synthetic
+# PII); mirrored in the SQL oracle via chr(10) concatenation
+PAR_BOILER_HEAD = "accept cookies to continue"
+PAR_BOILER_TAIL = "subscribe to our newsletter"
+
+
+def _par_synthesize(df: pl.DataFrame) -> pl.DataFrame:
+    return df.with_columns(
+        t=pl.when(pl.col("doc_id") % 3 == 0)
+          .then(pl.lit(PAR_BOILER_HEAD + "\n") + pl.col("t"))
+          .otherwise(pl.col("t"))
+    ).with_columns(
+        t=pl.when(pl.col("doc_id") % 5 == 0)
+          .then(pl.col("t") + pl.lit("\n" + PAR_BOILER_TAIL))
+          .otherwise(pl.col("t")))
+
+
+_PAR_ROW = pa.schema([
+    ("bucket", pa.int64()), ("doc_id", pa.int64()), ("ord", pa.int64()),
+    ("par", pa.large_string()),
+])
+_PAR_MARKED = pa.schema([
+    ("doc_id", pa.int64()), ("ord", pa.int64()),
+    ("par", pa.large_string()), ("keep", pa.bool_()),
+])
+_PAR_OUT = pa.schema([
+    ("doc_id", pa.int64()), ("n_pars", pa.int64()),
+    ("n_removed", pa.int64()), ("clean_text", pa.large_string()),
+])
+
+
+def paragraph_dedup(sf_dir: str, *, min_df: int = 2, num_buckets: int = 32,
+                    synthesize: bool = True):
+    """CCNet-style paragraph-level dedup (Wenzek et al. 2020, §3.1): split
+    each page into paragraphs on newlines, drop every paragraph that occurs
+    in ``min_df``-or-more distinct documents (boilerplate: cookie banners,
+    nav bars, newsletter footers — and whole bodies of exact-dup pages),
+    and reassemble the survivors in original order.
+
+    Output: one row per doc — (doc_id, n_pars, n_removed, clean_text) with
+    ``clean_text = ''`` when everything was boilerplate.
+
+    Scale shape: two keyed co-location sorts with whole-block vectorized
+    kernels (``sorted_groups``), no driver-side state. The first sort keys
+    on hash(par) % num_buckets so all occurrences of a paragraph land in
+    one group and df = n_unique(doc_id) over par is one polars window
+    kernel; the second keys on doc_id to reassemble pages. Paragraph text
+    rides both shuffles (≈2× corpus bytes — inherent to reassembly; at
+    100 TB the first exchange can be thinned to (hash, doc_id, ord) rows
+    plus a doc-keyed attach of dropped ordinals, the df kernel never needs
+    the text). Bucket count scales with the corpus exactly like
+    ``repeated_ngrams``; no bucket ever holds more than its share of
+    *distinct* paragraphs, and df counting is linear in the block.
+
+    The reference has no paragraph surface (documents are opaque to its
+    analyzer chain, `hunt-searchengine/src/Hunt/Analyzer.hs`); this is a
+    driver-mandate training-data operator.
+    """
+    import ray.data as rd
+
+    from ..common.grouped import sorted_groups
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PAR_ROW.empty_table()
+        df = pl.from_arrow(batch).rename({"text": "t"})
+        if synthesize:
+            df = _par_synthesize(df)
+        pars = (df.with_columns(par=pl.col("t").str.split("\n"))
+                  .select(["doc_id", "par"])
+                  .explode("par")
+                  .with_columns(
+                      ord=pl.col("par").cum_count().over("doc_id")
+                            .cast(pl.Int64)))
+        bucket = (hash64(pars["par"].to_arrow())
+                  % np.uint64(num_buckets)).astype(np.int64)
+        return (pars.with_columns(bucket=pl.Series("bucket", bucket))
+                    .select(["bucket", "doc_id", "ord", "par"])
+                    .to_arrow().cast(_PAR_ROW))
+
+    def mark(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PAR_MARKED.empty_table()
+        df = pl.from_arrow(batch).with_columns(
+            keep=pl.col("doc_id").n_unique().over("par") < min_df)
+        return (df.select(["doc_id", "ord", "par", "keep"])
+                  .to_arrow().cast(_PAR_MARKED))
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PAR_OUT.empty_table()
+        df = pl.from_arrow(batch).sort(["doc_id", "ord"])
+        out = (df.group_by("doc_id", maintain_order=True)
+                 .agg(n_pars=pl.len().cast(pl.Int64),
+                      n_removed=(~pl.col("keep")).sum().cast(pl.Int64),
+                      clean_text=pl.col("par").filter(pl.col("keep"))
+                                   .str.join("\n")))
+        return out.to_arrow().cast(_PAR_OUT)
+
+    ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
+    pars = ds.map_batches(explode, batch_format="pyarrow")
+    return sorted_groups(sorted_groups(pars, "bucket", mark),
+                         "doc_id", rebuild)
+
+
 # ------------------------------------------------------------------ shuffle-export shards
 
 def _shuffle_keys(batch: pa.Table, seed: int, n_shards: int,

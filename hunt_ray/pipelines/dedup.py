@@ -1386,3 +1386,222 @@ def minhash_components(sf_dir: str, *, threshold: float = 0.5,
     block layout (pytest asserts equality across repartitionings)."""
     return connected_components(minhash_dedup(sf_dir, threshold=threshold,
                                               seed=seed, k=k))
+
+
+# ------------------------------------- duplicate substrings (Lee et al. 2022)
+
+# "Deduplicating Training Data Makes Language Models Better" (Lee et al.
+# 2022) removes long substrings that recur across a corpus. The exact
+# suffix-array construction is replaced here by its stride-1 L-gram
+# equivalent: a length-≥L duplicated substring exists iff some L-gram is
+# duplicated, and the union of duplicated-L-gram windows is exactly the set
+# of bytes lying inside length-≥L repeats. The reference has no substring
+# surface (docs are opaque past its analyzer, Hunt/Analyzer.hs); this is a
+# driver-mandate training-data operator.
+
+_SSTR_ROW = pa.schema([
+    ("bucket", pa.int64()), ("gram", pa.large_binary()),
+    ("doc_id", pa.int64()), ("pos", pa.int64()),
+])
+_SSTR_PARTIAL = pa.schema([
+    ("doc_id", pa.int64()), ("n_grams", pa.int64()), ("dup_grams", pa.int64()),
+])
+_SSTR_DUPPOS = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+_SSTR_OUT = pa.schema([
+    ("doc_id", pa.int64()), ("n_bytes", pa.int64()),
+    ("removed_bytes", pa.int64()), ("clean_text", pa.large_string()),
+])
+
+
+def _utf8_offsets(col) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, data) views of a string column's Arrow buffers —
+    zero-copy, slice-safe (re-slices by ``arr.offset``)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = arr.cast(pa.large_string())
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset: arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return off, data
+
+
+def _lgram_rows(batch: pa.Table, L: int, num_buckets: int) -> pa.Table:
+    """Explode docs into ALL length-L byte grams (stride 1) — fully
+    vectorized: one sliding_window_view over the column's shared byte
+    buffer, fancy-indexed by per-doc valid starts; no per-row Python.
+    Bytes == characters for this operator's oracle comparisons (the
+    fixture corpus is ASCII; production mode is byte-defined either way).
+    """
+    if batch.num_rows == 0:
+        return _SSTR_ROW.empty_table()
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    off, data = _utf8_offsets(batch.column("text"))
+    cnt = np.maximum((off[1:] - off[:-1]) - (L - 1), 0)
+    tot = int(cnt.sum())
+    if tot == 0:
+        return _SSTR_ROW.empty_table()
+    cum0 = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    pos = np.arange(tot, dtype=np.int64) - np.repeat(cum0, cnt)
+    starts = np.repeat(off[:-1], cnt) + pos
+    grams = np.ascontiguousarray(
+        np.lib.stride_tricks.sliding_window_view(data, L)[starts]
+    ).view(f"S{L}").ravel()
+    gs = pl.Series("g", grams)
+    bucket = (gs.hash(seed=1).to_numpy() % np.uint64(num_buckets)).astype(np.int64)
+    return pa.table({
+        "bucket": pa.array(bucket, pa.int64()),
+        "gram": pa.array(grams).cast(pa.large_binary()),
+        "doc_id": pa.array(np.repeat(ids, cnt).astype(np.int64), pa.int64()),
+        "pos": pa.array(pos, pa.int64()),
+    })
+
+
+def _sstr_num_buckets(sf_dir: str, L: int, num_buckets: int | None) -> int:
+    """Size gram buckets off parquet metadata only: total text bytes from
+    the column-chunk statistics-free path (uncompressed size) — grams ≈
+    bytes, so buckets = bytes / target. Never reads data."""
+    if num_buckets is not None:
+        return max(2, num_buckets)
+    md = pq.read_metadata(f"{sf_dir}/documents.parquet")
+    total = 0
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for c in range(g.num_columns):
+            col = g.column(c)
+            if col.path_in_schema == "text":
+                total += col.total_uncompressed_size
+    return int(np.clip(total // 1_000_000 + 1, 2, 65536))
+
+
+def substring_stats(sf_dir: str, *, L: int = 40, min_df: int = 2,
+                    num_buckets: int | None = None):
+    """Per-doc duplicated-substring exposure: ``n_grams`` = number of
+    length-L grams in the doc, ``dup_grams`` = how many of those occur in
+    ``min_df``-or-more distinct documents. Docs shorter than L carry no
+    grams and emit no row (matches the oracle's inner join).
+
+    Scale shape: one gram-keyed co-location sort (payload = L bytes per
+    position — exact string equality, the oracle mode; at 100 TB swap the
+    gram payload for a 16-byte rolling fingerprint) with a whole-block
+    ``n_unique over gram`` kernel emitting per-(bucket, doc) partial
+    counts, then one doc-keyed sum of short rows. Bucket count auto-sizes
+    from parquet metadata (total text bytes), so a 100× corpus gets 100×
+    partitions without reading data.
+    """
+    import ray.data as rd
+
+    B = _sstr_num_buckets(sf_dir, L, num_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _SSTR_PARTIAL.empty_table()
+        df = pl.from_arrow(batch).with_columns(
+            dup=pl.col("doc_id").n_unique().over("gram") >= min_df)
+        out = df.group_by("doc_id").agg(
+            n_grams=pl.len().cast(pl.Int64),
+            dup_grams=pl.col("dup").sum().cast(pl.Int64))
+        return out.to_arrow().cast(_SSTR_PARTIAL)
+
+    def final(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _SSTR_PARTIAL.empty_table()
+        out = pl.from_arrow(batch).group_by("doc_id").agg(
+            n_grams=pl.col("n_grams").sum().cast(pl.Int64),
+            dup_grams=pl.col("dup_grams").sum().cast(pl.Int64))
+        return out.to_arrow().cast(_SSTR_PARTIAL)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    rows = ds.map_batches(lambda b: _lgram_rows(b, L, B),
+                          batch_format="pyarrow")
+    return sorted_groups(sorted_groups(rows, "bucket", partial),
+                         "doc_id", final)
+
+
+def substring_dedup(sf_dir: str, *, L: int = 40, min_df: int = 2,
+                    num_buckets: int | None = None):
+    """Duplicate-substring trimming: delete every byte covered by a
+    length-L gram that occurs in ``min_df``-or-more distinct docs, then
+    re-join the surviving bytes. NOTE the deliberate semantic deviation
+    from Lee et al. (who keep ONE occurrence): ALL copies are removed —
+    keep-one requires a global occurrence order and buys little for
+    boilerplate, and every removed byte is provably inside a length-≥L
+    cross-doc repeat either way. Output: (doc_id, n_bytes, removed_bytes,
+    clean_text), one row per doc (zero removals included).
+
+    Scale shape: the gram-keyed sort of :func:`substring_stats` emits only
+    duplicated (doc_id, pos) short rows; a doc-keyed union sort attaches
+    them to the text (the minhash-verify carrier pattern) and the rebuild
+    kernel computes the interval union with one +1/−1 diff-cumsum over the
+    block's shared byte buffer — no per-doc Python anywhere.
+    """
+    import ray.data as rd
+
+    B = _sstr_num_buckets(sf_dir, L, num_buckets)
+
+    def dup_positions(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _SSTR_DUPPOS.empty_table()
+        df = pl.from_arrow(batch).filter(
+            pl.col("doc_id").n_unique().over("gram") >= min_df)
+        return df.select(["doc_id", "pos"]).to_arrow().cast(_SSTR_DUPPOS)
+
+    # carrier union: role 0 = the doc's text (pos = -1), role 1 = one
+    # duplicated gram start position; doc-keyed sort co-locates them
+    _CARRIER = pa.schema([
+        ("doc_id", pa.int64()), ("pos", pa.int64()),
+        ("text", pa.large_string()),
+    ])
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "pos": pa.array(np.full(batch.num_rows, -1, np.int64)),
+            "text": batch.column("text").cast(pa.large_string()),
+        })
+
+    def tag_dups(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _CARRIER.empty_table()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "pos": batch.column("pos"),
+            "text": pa.array([""] * batch.num_rows, pa.large_string()),
+        })
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _SSTR_OUT.empty_table()
+        df = pl.from_arrow(batch).sort(["doc_id", "pos"])
+        texts = df.filter(pl.col("pos") < 0)
+        dups = df.filter(pl.col("pos") >= 0)
+        ids = texts["doc_id"].to_numpy()
+        off, data = _utf8_offsets(texts["text"].to_arrow())
+        delta = np.zeros(len(data) + 1, np.int64)
+        if dups.height:
+            di = np.searchsorted(ids, dups["doc_id"].to_numpy())
+            gstart = off[di] + dups["pos"].to_numpy()
+            np.add.at(delta, gstart, 1)
+            np.add.at(delta, gstart + L, -1)
+        kept = np.cumsum(delta[:-1]) == 0
+        kc = np.concatenate([[0], np.cumsum(kept)])
+        kept_counts = kc[off[1:]] - kc[off[:-1]]
+        new_off = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int64)
+        clean = pa.Array.from_buffers(
+            pa.large_string(), len(ids),
+            [None, pa.py_buffer(new_off), pa.py_buffer(data[kept])])
+        n_bytes = off[1:] - off[:-1]
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "removed_bytes": pa.array(n_bytes - kept_counts, pa.int64()),
+            "clean_text": clean,
+        }).cast(_SSTR_OUT)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    rows = ds.map_batches(lambda b: _lgram_rows(b, L, B),
+                          batch_format="pyarrow")
+    dup_pos = sorted_groups(rows, "bucket", dup_positions) \
+        .map_batches(tag_dups, batch_format="pyarrow")
+    docs = ds.map_batches(tag_docs, batch_format="pyarrow")
+    return sorted_groups(docs.union(dup_pos), "doc_id", rebuild)

@@ -1120,3 +1120,118 @@ def test_dsir_fast_mode_and_select():
     top10 = md5.sort_values(["weight", "doc_id"],
                             ascending=[False, True]).head(10)
     assert sel["doc_id"].tolist() == top10["doc_id"].tolist()
+
+
+def test_paragraph_dedup_matches_duckdb():
+    import duckdb
+    import pandas as pd
+
+    from hunt_ray.pipelines.curate import paragraph_dedup
+
+    got = (paragraph_dedup(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute("""
+WITH injected AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+         THEN 'accept cookies to continue' || chr(10) ELSE '' END
+    || text ||
+    CASE WHEN doc_id % 5 = 0
+         THEN chr(10) || 'subscribe to our newsletter' ELSE '' END AS t
+  FROM documents),
+pars AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS par,
+         unnest(range(1, len(string_split(t, chr(10))) + 1)) AS ord
+  FROM injected),
+pdf AS (SELECT par, count(DISTINCT doc_id) AS pdf FROM pars GROUP BY par)
+SELECT p.doc_id, count(*)::BIGINT AS n_pars,
+       sum(CASE WHEN d.pdf >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       coalesce(string_agg(CASE WHEN d.pdf < 2 THEN p.par END,
+                           chr(10) ORDER BY p.ord), '') AS clean_text
+FROM pars p JOIN pdf d USING (par)
+GROUP BY p.doc_id ORDER BY p.doc_id""").df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()),
+                                  check_exact=True)
+    # the injected boilerplate is actually removed (non-vacuous)
+    assert got["n_removed"].sum() > 0
+    # exact-dup bodies dedup too: no clean_text contains the boilerplate
+    assert not got["clean_text"].str.contains("accept cookies").any()
+
+
+def test_paragraph_dedup_partition_invariant():
+    from hunt_ray.pipelines.curate import paragraph_dedup
+
+    a = (paragraph_dedup(SF, num_buckets=2).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (paragraph_dedup(SF, num_buckets=61).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_substring_stats_matches_duckdb():
+    import duckdb
+    import pandas as pd
+
+    from hunt_ray.pipelines.dedup import substring_stats
+
+    got = (substring_stats(SF, L=40).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute("""
+WITH grams AS (
+  SELECT doc_id, substr(text, i::INT, 40) AS g
+  FROM documents, unnest(range(1, length(text) - 40 + 2)) AS t(i)),
+gdf AS (SELECT g, count(DISTINCT doc_id) AS gdf FROM grams GROUP BY g)
+SELECT g2.doc_id, count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN d.gdf >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_grams
+FROM grams g2 JOIN gdf d USING (g)
+GROUP BY g2.doc_id ORDER BY g2.doc_id""").df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()),
+                                  check_exact=True)
+    assert got["dup_grams"].sum() > 0  # exact-dup docs make this non-vacuous
+
+
+def test_substring_dedup_matches_bruteforce():
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from hunt_ray.pipelines.dedup import substring_dedup
+
+    L = 40
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    txt = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    docs_of = collections.defaultdict(set)
+    for d, s in txt.items():
+        for j in range(len(s) - L + 1):
+            docs_of[s[j:j + L]].add(d)
+    got = (substring_dedup(SF, L=L).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == len(txt)  # every doc emits a row, even 0-removal
+    for _, r in got.iterrows():
+        s = txt[r.doc_id]
+        cov = np.zeros(len(s), bool)
+        for j in range(len(s) - L + 1):
+            if len(docs_of[s[j:j + L]]) >= 2:
+                cov[j:j + L] = True
+        assert r.n_bytes == len(s)
+        assert r.removed_bytes == int(cov.sum())
+        assert r.clean_text == "".join(
+            c for c, k in zip(s, cov) if not k)
+    assert got["removed_bytes"].sum() > 0
+
+
+def test_substring_dedup_partition_invariant():
+    from hunt_ray.pipelines.dedup import substring_dedup
+
+    a = (substring_dedup(SF, num_buckets=2).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (substring_dedup(SF, num_buckets=57).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
