@@ -76,7 +76,10 @@ def ensure_bench_corpus() -> str:
     tasks — one chunk per file, urls offset per chunk) and cached."""
     import ray
 
-    pages_dir = os.path.join(BENCH_DIR, f"pages-42q-{BENCH_DOCS}")
+    from hunt_ray.fixtures.pages import FIXTURE_VERSION
+
+    pages_dir = os.path.join(
+        BENCH_DIR, f"pages-42q-v{FIXTURE_VERSION}-{BENCH_DOCS}")
     marker = os.path.join(pages_dir, "_done")
     if os.path.exists(marker):
         return pages_dir
@@ -89,7 +92,8 @@ def ensure_bench_corpus() -> str:
 
         from hunt_ray.fixtures.pages import generate_pages
 
-        t = generate_pages(seed=42 + k, n_rows=n, url_offset=offset)
+        t = generate_pages(seed=42 + k, n_rows=n, url_offset=offset,
+                           n_total=BENCH_DOCS)
         pq.write_table(t, os.path.join(pages_dir, f"pages-{k:05d}.parquet"))
         return n
 
@@ -357,6 +361,9 @@ def run_bench() -> dict:
     t = time.time()
     dedup.substring_dedup(SF_DIR).count()
     timings["substring_dedup"] = round(time.time() - t, 3)
+    t = time.time()
+    graph.pagerank_html(pages_dir, iterations=5).count()
+    timings["pagerank_html5"] = round(time.time() - t, 3)
 
     out = {
         "metric": "index-build seconds (50k-doc corpus) + query latency",

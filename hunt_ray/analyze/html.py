@@ -98,6 +98,30 @@ def extract_headlines(html: pa.Array | pa.ChunkedArray) -> pa.Array:
     return _normalize_ws(_unescape(res)).cast(pa.string())
 
 
+def extract_links(html: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """All <a href="..."> targets per page, document order, duplicates
+    kept (the real web repeats links) → list<large_string>.
+
+    Vectorized: scripts dropped first (script bodies can quote hrefs),
+    then one Rust-regex extract_all over the column and a per-element
+    group extract. The reference's crawler collects links from parsed
+    documents the same way (hunt-crawler/src/Holumbus/Crawler/Html.hs,
+    `getHtmlReferences`); here link extraction is an analysis kernel over
+    the stored html column instead of a fetch loop."""
+    import polars as pl
+
+    arr = _drop_scripts(_as_string_array(html))
+    s = pl.from_arrow(arr)
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    links = (s.str.extract_all(r'<a\s[^>]*?href="([^"]*)"')
+              .list.eval(pl.element().str.extract(r'href="([^"]*)"', 1)))
+    res = links.to_arrow()
+    if isinstance(res, pa.ChunkedArray):
+        res = res.combine_chunks()
+    return res
+
+
 EXTRACTORS = {
     "text": None,  # use the `text` column directly (input_hint invariant)
     "body": extract_body,

@@ -23,7 +23,16 @@ import pyarrow.parquet as pq
 
 # bump when the generated corpus changes shape/content, so external caches
 # (e.g. flagship.rank_identity's /tmp pages dir) invalidate
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
+
+# every page carries three <a href> outlinks to test://{(g*m + c + 1) %
+# n_total} (g = global row index) wrapped around existing body words at
+# these token slots — anchors add only tags, so the byte-identity
+# invariant extract_body(html) == text is untouched (tags → space →
+# whitespace collapse). Dangling/duplicate targets are allowed, like the
+# real web; analyze.html.extract_links recovers the edge list.
+LINK_MULT = (31, 17, 13)
+LINK_SLOTS = (10, 17, 24)
 
 BASE_TS_US = 1356998400000000  # 2013-01-01T00:00:00Z in microseconds
 TS_STEP_US = 37_000_000
@@ -73,7 +82,8 @@ def _escape(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
-def _mk_html(title: str, headline: str, para: str, h2: str | None = None) -> str:
+def _mk_html(title: str, headline: str, para: str, h2: str | None = None,
+             para_html: str | None = None) -> str:
     h2_part = f"<h2>{_escape(h2)}</h2>" if h2 else ""
     return (
         "<html><head>"
@@ -83,10 +93,21 @@ def _mk_html(title: str, headline: str, para: str, h2: str | None = None) -> str
         f"<h1>{_escape(headline)}</h1>"
         f"{h2_part}"
         "<script>console.log('SCRIPTNOISE2');</script>"
-        f"<p>{_escape(para)}</p>"
+        f"<p>{para_html if para_html is not None else _escape(para)}</p>"
         "<noscript>NOSCRIPTNOISE</noscript>"
         "</body></html>"
     )
+
+
+def _para_html_with_links(toks: list[str], hrefs: list[str]) -> str:
+    """Escape tokens and wrap the LINK_SLOTS words in anchors — identical
+    extracted text to ``_escape(" ".join(toks))`` (tags become spaces and
+    collapse), so the byte-identity invariant holds."""
+    esc = [_escape(t) for t in toks]
+    for slot, href in zip(LINK_SLOTS, hrefs):
+        if slot < len(esc):
+            esc[slot] = f'<a href="{href}">{esc[slot]}</a>'
+    return " ".join(esc)
 
 
 def _body_text(headline: str, para: str, h2: str | None = None) -> str:
@@ -95,10 +116,13 @@ def _body_text(headline: str, para: str, h2: str | None = None) -> str:
     return " ".join(" ".join(p.split()) for p in parts if p)
 
 
-def generate_pages(seed: int = 42, n_rows: int = 2000, url_offset: int = 0) -> pa.Table:
+def generate_pages(seed: int = 42, n_rows: int = 2000, url_offset: int = 0,
+                   n_total: int | None = None) -> pa.Table:
     """Deterministic pages chunk; ``url_offset`` shifts urls/timestamps so
     independently-generated chunks form one corpus (canon docs only in the
-    offset-0 chunk)."""
+    offset-0 chunk). ``n_total`` bounds the outlink target space (defaults
+    to ``url_offset + n_rows``; chunked callers pass the full corpus size
+    so link targets span it)."""
     rng = np.random.default_rng(seed + 1)
     vocab = np.asarray(build_vocab(42), dtype=object)
     probs = _zipf_probs(len(vocab))
@@ -140,8 +164,14 @@ def generate_pages(seed: int = 42, n_rows: int = 2000, url_offset: int = 0) -> p
                 toks[int(rng.integers(0, len(toks)))] = "&"  # entity round-trip
         para = " ".join(toks)
         h2 = "notes" if i % 7 == 3 else None
-        urls.append(f"test://{url_offset + i}")
-        htmls.append(_mk_html(title, headline, para, h2).encode("utf-8"))
+        g = url_offset + i
+        n_tot = n_total if n_total is not None else url_offset + n_rows
+        hrefs = [f"test://{(g * m + c + 1) % n_tot}"
+                 for c, m in enumerate(LINK_MULT)]
+        urls.append(f"test://{g}")
+        htmls.append(_mk_html(
+            title, headline, para, h2,
+            para_html=_para_html_with_links(toks, hrefs)).encode("utf-8"))
         texts.append(_body_text(headline, para, h2))
         langs.append("de" if (i % 10) == 9 else "en")
 

@@ -439,3 +439,56 @@ def pagerank(sf_dir: str, *, iterations: int = 5, damping: float = DAMPING):
             "pr_scaled": pa.array(np.round(r * n, 6))})
 
     return ranks.map_batches(scale, batch_format="pyarrow")
+
+
+# ------------------------------------------- html-extracted link graph
+
+def html_link_edges(pages_dir: str):
+    """REAL link-graph edges from the corpus html: extract every
+    ``<a href="test://N">`` target per page (``analyze.html.extract_links``)
+    and emit one ``(src, dst)`` int64 row per link, duplicates kept.
+    Feed to :func:`pagerank_edges` — the end-to-end
+    "Common-Crawl html → link graph → centrality" path over the fixture
+    corpus (urls are ``test://{int}`` by the input_hint fixture shape, so
+    node ids parse from the url suffix; a production corpus would hash
+    urls to ids the way ``common.hashing.mkDocId`` does for documents).
+
+    Scale shape: pure per-batch map (one regex extract_all per block +
+    vectorized suffix parse) — no shuffle; downstream PageRank owns its
+    keyed exchanges.
+    """
+    import ray.data as rd
+
+    from ..analyze.html import extract_links
+
+    _EDGE = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EDGE.empty_table()
+        links = extract_links(batch.column("html"))
+        urls = batch.column("url")
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        df = pl.from_arrow(pa.table({"src_url": urls, "dst_url": links})) \
+               .explode("dst_url").drop_nulls("dst_url")
+        out = df.with_columns(
+            src=pl.col("src_url").str.strip_prefix("test://").cast(pl.Int64),
+            dst=pl.col("dst_url").str.strip_prefix("test://").cast(pl.Int64),
+        ).select(["src", "dst"])
+        return out.to_arrow().cast(_EDGE)
+
+    ds = rd.read_parquet(pages_dir, columns=["url", "html"])
+    return ds.map_batches(edges, batch_format="pyarrow")
+
+
+def pagerank_html(pages_dir: str, *, iterations: int = 5,
+                  damping: float = DAMPING, round_to: int | None = 6):
+    """PageRank over the html-extracted link graph:
+    :func:`html_link_edges` → :func:`pagerank_edges` (generic operator,
+    sinks + dangling mass handled). DuckDB-oracled in
+    tests/test_graph.py against an unrolled-CTE recomputation from the
+    same stored html."""
+    return pagerank_edges(html_link_edges(pages_dir),
+                          iterations=iterations, damping=damping,
+                          round_to=round_to)

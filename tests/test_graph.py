@@ -223,3 +223,91 @@ def test_pagerank_edges_restricts_explicit_universe():
     # default universe (no nodes arg) still spans src ∪ dst
     out2 = pagerank_edges(edges, iterations=1).to_pandas()
     assert set(out2["node"]) == {0, 2}
+
+
+def test_extract_links_matches_duckdb(pages_small):
+    """Link extraction from stored html must equal an independent DuckDB
+    regexp recomputation (same script-strip discipline), per page in
+    document order."""
+    import duckdb
+
+    import pyarrow.parquet as pq
+
+    from hunt_ray.analyze.html import extract_links
+
+    t = pq.read_table(pages_small, columns=["url", "html"])
+    got = dict(zip(t.column("url").to_pylist(),
+                   extract_links(t.column("html")).to_pylist()))
+    con = duckdb.connect()
+    want = con.execute(f"""
+SELECT url, regexp_extract_all(
+         regexp_replace(decode(html),
+                        '<(no)?script[^>]*>.*?</(no)?script>', ' ', 'gs'),
+         '<a [^>]*?href="([^"]*)"', 1) AS links
+FROM read_parquet('{pages_small}/*.parquet') ORDER BY url""").fetchall()
+    assert len(want) == len(got)
+    for url, links in want:
+        assert got[url] == links, url
+    # fixture shape: every page carries exactly LINK_MULT outlinks
+    from hunt_ray.fixtures.pages import LINK_MULT
+    assert all(len(v) == len(LINK_MULT) for v in got.values())
+
+
+def test_html_link_edges_derivation(pages_small):
+    """html_link_edges recovers exactly the deterministic fixture targets
+    (g*m + c + 1) % n for every page."""
+    from hunt_ray.fixtures.pages import LINK_MULT
+    from hunt_ray.pipelines.graph import html_link_edges
+
+    n = 300
+    got = (html_link_edges(pages_small).to_pandas()
+           .sort_values(["src", "dst"]).reset_index(drop=True))
+    assert len(got) == n * len(LINK_MULT)
+    want = sorted((g, (g * m + c + 1) % n)
+                  for g in range(n) for c, m in enumerate(LINK_MULT))
+    assert list(map(tuple, got[["src", "dst"]].to_numpy())) == want
+
+
+def test_pagerank_html_matches_duckdb(pages_small):
+    """End-to-end Common-Crawl path: stored html → extracted link graph →
+    generic PageRank, vs a DuckDB oracle that re-extracts the edges with
+    regexp and unrolls the iterations."""
+    import duckdb
+
+    from hunt_ray.pipelines.graph import pagerank_html
+
+    n, damping, iterations = 300, 0.85, 4
+    got = (pagerank_html(pages_small, iterations=iterations, round_to=None)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"""
+CREATE TABLE edges AS
+SELECT CAST(substr(url, 8) AS BIGINT) AS src,
+       CAST(substr(dst_url, 8) AS BIGINT) AS dst
+FROM (SELECT url, unnest(regexp_extract_all(decode(html),
+             '<a [^>]*?href="([^"]*)"', 1)) AS dst_url
+      FROM read_parquet('{pages_small}/*.parquet'))""")
+    con.execute("CREATE TABLE nodes AS SELECT DISTINCT src AS node FROM edges "
+                "UNION SELECT DISTINCT dst FROM edges")
+    n_nodes = con.execute("SELECT count(*) FROM nodes").fetchone()[0]
+    assert n_nodes == n
+    it = f"SELECT node, 1.0/{n_nodes} AS rank FROM nodes"
+    for _ in range(iterations):
+        it = f"""
+WITH prev AS ({it}),
+od AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY 1),
+dang AS (SELECT coalesce(sum(p.rank), 0) AS mass FROM prev p
+         LEFT JOIN od ON od.src = p.node WHERE od.src IS NULL)
+SELECT n.node,
+       (1-{damping})/{n_nodes}
+       + {damping} * ((SELECT mass FROM dang)/{n_nodes}
+                      + coalesce(sum(p.rank / od.deg), 0)) AS rank
+FROM nodes n
+LEFT JOIN edges e ON e.dst = n.node
+LEFT JOIN prev p ON p.node = e.src
+LEFT JOIN od ON od.src = e.src
+GROUP BY n.node"""
+    want = con.execute(f"SELECT node, rank FROM ({it}) ORDER BY node").df()
+    assert list(got.node) == list(want.node)
+    assert np.allclose(got["rank"], want["rank"], atol=1e-12)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
