@@ -324,6 +324,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-stage rollup; the oracled md5 siblings are in-window
         "q_multimodal_pipeline": lambda sf: multimodal.pipeline_summary(
             flagship.ensure_pages(sf)),
+        # Bloom-filter decontamination (the web-scale broadcast mode):
+        # self-checking audit row vs the in-window exact q_decontaminate —
+        # no-false-negatives verdict + measured doc-level fp rate
+        "q_decontaminate_bloom": curate.decontaminate_bloom_audit,
     }
 
 

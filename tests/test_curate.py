@@ -436,3 +436,40 @@ def test_normalize_text_kernels():
     out = normalize_text_batch(t).to_pandas()
     assert out.text_norm.tolist() == ["café nfd", "abc", "lead in tab"]
     assert out.changed.tolist() == [1, 1, 1]
+
+
+# --------------------------------------- Bloom decontamination (r4 scale mode)
+
+def test_bloom_kernel_rates():
+    """The bit-array kernels: every member hits (no false negatives by
+    construction), random non-members false-positive at ~0.5^k — in
+    particular NOT at n/m, the failure mode of deriving both probe bases
+    from the hash's low bits (see _bloom_bases)."""
+    from hunt_ray.pipelines.curate import bloom_build, bloom_probe
+
+    rng = np.random.default_rng(0)
+    members = rng.integers(0, 2**63, 4000, dtype=np.uint64)
+    arr, m, k = bloom_build(members, 24)
+    assert bloom_probe(arr, m, k, members).all()
+    probes = rng.integers(0, 2**63, 200_000, dtype=np.uint64)
+    fp = bloom_probe(arr, m, k, probes).mean()
+    assert fp < 1e-4, fp  # n/m would be ~0.03
+
+
+def test_decontaminate_bloom_superset_and_audit(entry):
+    """Bloom mode flags every exactly-contaminated doc (no false
+    negatives); the audit row records the comparison."""
+    from hunt_ray.pipelines.curate import (decontaminate,
+                                           decontaminate_bloom,
+                                           decontaminate_bloom_audit)
+
+    exact = decontaminate(SF).to_pandas().set_index("doc_id")
+    bloom = decontaminate_bloom(SF).to_pandas().set_index("doc_id")
+    assert set(exact.index) <= set(bloom.index)
+    # per-doc Bloom hit counts dominate the exact counts
+    j = exact.join(bloom, lsuffix="_e", rsuffix="_b")
+    assert (j["n_hit_grams_b"] >= j["n_hit_grams_e"]).all()
+    audit = decontaminate_bloom_audit(SF).to_pandas()
+    assert bool(audit["no_false_negatives"].iloc[0])
+    assert audit["missed_docs"].iloc[0] == 0
+    assert audit["doc_fp_rate"].iloc[0] < 0.01
