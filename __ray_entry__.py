@@ -328,6 +328,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # self-checking audit row vs the in-window exact q_decontaminate —
         # no-false-negatives verdict + measured doc-level fp rate
         "q_decontaminate_bloom": curate.decontaminate_bloom_audit,
+        # incremental crawl dedup against the persisted fingerprint index
+        # (history = odd doc_ids, new snapshot = even; exact md5 oracle)
+        "q_incremental_dedup": dedup.incremental_dedup,
     }
 
 
@@ -1127,6 +1130,23 @@ FROM k
         # probabilistic recall, float32 score algebra,
         # float-order-dependent iterative fits, index-state probes) →
         # rows-only; the probe entries carry their own boolean verdicts.
+        # incremental crawl dedup (past the cap; exactly oracled — the
+        # local pre-flight runs it): history = odd doc_ids fingerprinted
+        # into the persisted index, new snapshot = even doc_ids probed
+        # against it; boilerplate injection keyed on doc_id % 6 mirrors
+        # dedup._ddx_synthesize exactly
+        "q_incremental_dedup": """
+WITH synth AS (
+  SELECT doc_id, CASE
+    WHEN doc_id % 6 = 0 THEN 'boilerplate page ' || ((doc_id // 6) % 7)
+    WHEN doc_id % 6 = 3 THEN 'boilerplate page ' || (((doc_id - 3) // 6) % 7)
+    ELSE text END AS t
+  FROM documents),
+hist AS (SELECT md5(t) AS h, min(doc_id) AS keeper FROM synth
+         WHERE doc_id % 2 = 1 GROUP BY 1),
+nw AS (SELECT doc_id, md5(t) AS h FROM synth WHERE doc_id % 2 = 0)
+SELECT n.doc_id, h.keeper AS dup_of FROM nw n JOIN hist h USING (h)
+""",
     }
 
 

@@ -18,6 +18,7 @@ import os
 import statistics
 import subprocess
 import sys
+import tempfile
 import time
 
 # keep big numpy temporaries on the reused glibc heap instead of fresh
@@ -364,6 +365,11 @@ def run_bench() -> dict:
     t = time.time()
     graph.pagerank_html(pages_dir, iterations=5).count()
     timings["pagerank_html5"] = round(time.time() - t, 3)
+    t = time.time()
+    with tempfile.TemporaryDirectory() as ddx_dir:
+        dedup.incremental_dedup(SF_DIR, hash="fast",
+                                index_dir=ddx_dir).count()
+    timings["incremental_dedup"] = round(time.time() - t, 3)
 
     out = {
         "metric": "index-build seconds (50k-doc corpus) + query latency",

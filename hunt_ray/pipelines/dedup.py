@@ -1605,3 +1605,216 @@ def substring_dedup(sf_dir: str, *, L: int = 40, min_df: int = 2,
         .map_batches(tag_dups, batch_format="pyarrow")
     docs = ds.map_batches(tag_docs, batch_format="pyarrow")
     return sorted_groups(docs.union(dup_pos), "doc_id", rebuild)
+
+
+# --------------------------- incremental dedup (persisted fingerprint index)
+
+# The 100 TB crawl reality: you dedup each NEW snapshot against the
+# accumulated history, never the whole corpus from scratch. The history
+# lives as a persisted, partitioned, appendable fingerprint index — one
+# short row per distinct content hash — mirroring the index manifest's
+# generation idea (hunt-searchengine's gen_N layout, Index/Manifest
+# analog) for a curation-side artifact.
+
+_DDX_ROW = pa.schema([("key", pa.large_string()), ("keeper", pa.int64())])
+_DDX_FLAG = pa.schema([("doc_id", pa.int64()), ("dup_of", pa.int64())])
+
+
+def _content_key_batch(batch: pa.Table, hash: str) -> pa.Table:
+    """(doc_id, key) content-hash rows — md5 hex (oracle mode) or the
+    vectorized hash64 rendered as hex (production mode)."""
+    if hash == "md5":
+        t = md5_batch(batch)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "key": t.column("text_md5").cast(pa.large_string())})
+    t = fast_hash_batch(batch)
+    keys = [f"{v:016x}" for v in
+            t.column("text_hash").to_numpy(zero_copy_only=False)]
+    return pa.table({"doc_id": t.column("doc_id"),
+                     "key": pa.array(keys, pa.large_string())})
+
+
+def build_dedup_index(ds, index_dir: str, *, hash: str = "md5") -> int:
+    """Persist a corpus's exact-dedup fingerprints: one (key, keeper) row
+    per distinct content hash (keeper = min doc_id), written as
+    partitioned parquet under ``index_dir/gen_0``. Returns the number of
+    distinct keys. Scale shape: hash in a pure map, one key-keyed
+    groupby of short rows, streamed write — the corpus text never lands
+    anywhere whole."""
+    import os
+
+    from ray.data.aggregate import Min
+
+    os.makedirs(index_dir, exist_ok=True)
+    keyed = ds.map_batches(lambda b: _content_key_batch(b, hash),
+                           batch_format="pyarrow")
+    distinct = (keyed.groupby("key").aggregate(Min("doc_id",
+                                                   alias_name="keeper"))
+                .map_batches(lambda b: b.cast(_DDX_ROW),
+                             batch_format="pyarrow"))
+    distinct.write_parquet(os.path.join(index_dir, "gen_0"))
+    n = _ddx_count(index_dir)
+    with open(os.path.join(index_dir, "_built"), "w") as f:
+        f.write(str(n))
+    return n
+
+
+def _ddx_count(index_dir: str) -> int:
+    import glob
+
+    return sum(pq.read_metadata(f).num_rows
+               for g in sorted(glob.glob(f"{index_dir}/gen_*"))
+               for f in sorted(glob.glob(f"{g}/*.parquet")))
+
+
+def _ddx_rows(index_dir: str):
+    """The persisted fingerprint rows as a streaming Dataset."""
+    import glob
+
+    import ray.data as rd
+
+    # glob the parquet files (ray's read_parquet takes a LIST of files, or
+    # ONE directory — a list of directories raises)
+    files = sorted(glob.glob(f"{index_dir}/gen_*/*.parquet"))
+    return rd.read_parquet(files)
+
+
+def dedup_against_index(new_ds, index_dir: str, *, hash: str = "md5"):
+    """Flag new-snapshot docs whose content hash already exists in the
+    persisted index → (doc_id, dup_of = history keeper). Pure probe (no
+    index mutation — see :func:`append_to_dedup_index`).
+
+    Scale shape: the probe is a key-keyed co-location sort of the index
+    rows UNION the new snapshot's (key, doc_id) rows — short rows only —
+    with a whole-block window kernel; nothing is materialized on the
+    driver and the history is streamed from parquet. When
+    new ≪ history, bucket the new side by key prefix and read only the
+    matching index partitions instead (the IVF probed-bucket pattern in
+    ``similarity.py``).
+    """
+    def tag_index(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch.column("key").cast(pa.large_string()),
+            "doc_id": pa.array(np.full(batch.num_rows, -1, np.int64)),
+            "keeper": batch.column("keeper").cast(pa.int64()),
+        })
+
+    def tag_new(batch: pa.Table) -> pa.Table:
+        t = _content_key_batch(batch, hash)
+        return pa.table({
+            "key": t.column("key"),
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "keeper": pa.array(np.full(batch.num_rows, -1, np.int64)),
+        })
+
+    def flag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _DDX_FLAG.empty_table()
+        df = pl.from_arrow(batch).with_columns(
+            hist=pl.col("keeper").max().over("key"))
+        out = df.filter((pl.col("doc_id") >= 0) & (pl.col("hist") >= 0)) \
+                .select(doc_id=pl.col("doc_id"),
+                        dup_of=pl.col("hist"))
+        return out.to_arrow().cast(_DDX_FLAG)
+
+    hist = _ddx_rows(index_dir).map_batches(tag_index, batch_format="pyarrow")
+    new = new_ds.map_batches(tag_new, batch_format="pyarrow")
+    return sorted_groups(hist.union(new), "key", flag)
+
+
+def append_to_dedup_index(new_ds, index_dir: str, *, hash: str = "md5",
+                          generation: int = 1) -> int:
+    """Fold a new snapshot into the index: its distinct content hashes NOT
+    already present are written as ``gen_{generation}`` (keeper = min new
+    doc_id). Idempotent/resumable: a completed generation (marker file)
+    is never rewritten — the manifest-resume discipline applied to the
+    curation artifact. Returns rows appended (-1 if already complete)."""
+    import os
+
+    gen_dir = os.path.join(index_dir, f"gen_{generation}")
+    marker = os.path.join(gen_dir, "_done")
+    if os.path.exists(marker):
+        return -1
+
+    def tag_index(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch.column("key").cast(pa.large_string()),
+            "doc_id": pa.array(np.full(batch.num_rows, -1, np.int64)),
+        })
+
+    def tag_new(batch: pa.Table) -> pa.Table:
+        t = _content_key_batch(batch, hash)
+        return pa.table({"key": t.column("key"),
+                         "doc_id": t.column("doc_id").cast(pa.int64())})
+
+    def fresh_keys(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _DDX_ROW.empty_table()
+        df = pl.from_arrow(batch).with_columns(
+            known=(pl.col("doc_id") < 0).any().over("key"))
+        out = (df.filter((pl.col("doc_id") >= 0) & ~pl.col("known"))
+                 .group_by("key")
+                 .agg(keeper=pl.col("doc_id").min().cast(pl.Int64)))
+        return out.to_arrow().cast(_DDX_ROW)
+
+    hist = _ddx_rows(index_dir).map_batches(tag_index, batch_format="pyarrow")
+    new = new_ds.map_batches(tag_new, batch_format="pyarrow")
+    fresh = sorted_groups(hist.union(new), "key", fresh_keys)
+    fresh.write_parquet(gen_dir)
+    n = sum(pq.read_metadata(f).num_rows for f in
+            __import__("glob").glob(f"{gen_dir}/*.parquet"))
+    with open(marker, "w") as f:
+        f.write(str(n))
+    return n
+
+
+# deterministic recrawl-dup injection for the fixture (the sf corpora have
+# no exact-dup texts): docs with doc_id % 6 == 0 (new slice, even) and
+# doc_id % 6 == 3 (history slice, odd) share 7 boilerplate variants —
+# mirrored in the SQL oracle via the same CASE
+_DDX_VARIANTS = 7
+
+
+def _ddx_synthesize(df: pl.DataFrame) -> pl.DataFrame:
+    v_new = (pl.col("doc_id") // 6) % _DDX_VARIANTS
+    v_hist = ((pl.col("doc_id") - 3) // 6) % _DDX_VARIANTS
+    return df.with_columns(
+        text=pl.when(pl.col("doc_id") % 6 == 0)
+               .then(pl.lit("boilerplate page ") + v_new.cast(pl.String))
+               .when(pl.col("doc_id") % 6 == 3)
+               .then(pl.lit("boilerplate page ") + v_hist.cast(pl.String))
+               .otherwise(pl.col("text")))
+
+
+def incremental_dedup(sf_dir: str, *, hash: str = "md5",
+                      synthesize: bool = True, index_dir: str | None = None):
+    """The incremental crawl-dedup recipe over the fixture: history =
+    odd doc_ids (fingerprint index built once, cached on disk), new
+    snapshot = even doc_ids, probe → (doc_id, dup_of) flags. With
+    ``synthesize`` the deterministic boilerplate injection above makes
+    recrawl dups actually exist (exactly mirrored by the SQL oracle)."""
+    import os
+
+    import ray.data as rd
+
+    def load(parity: int):
+        def prep(batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch)
+            if synthesize:
+                df = _ddx_synthesize(df)
+            df = df.filter(pl.col("doc_id") % 2 == parity)
+            return df.to_arrow().cast(pa.schema([
+                ("doc_id", pa.int64()), ("text", pa.large_string())]))
+        return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]) \
+                 .map_batches(prep, batch_format="pyarrow")
+
+    if index_dir is None:
+        cache = os.environ.get("HUNT_RAY_CACHE", "/tmp/hunt_ray_cache")
+        tag = f"{os.path.getmtime(f'{sf_dir}/documents.parquet'):.0f}"
+        index_dir = os.path.join(
+            cache, f"ddx-{abs(hash64([sf_dir])[0]):x}-{tag}-{hash}"
+            + ("-syn" if synthesize else ""))
+    if not os.path.exists(os.path.join(index_dir, "_built")):
+        build_dedup_index(load(1), index_dir, hash=hash)
+    return dedup_against_index(load(0), index_dir, hash=hash)

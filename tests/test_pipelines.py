@@ -1235,3 +1235,70 @@ def test_substring_dedup_partition_invariant():
     b = (substring_dedup(SF, num_buckets=57).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_incremental_dedup_matches_duckdb(tmp_path):
+    import duckdb
+    import pandas as pd
+
+    from hunt_ray.pipelines.dedup import incremental_dedup
+
+    got = (incremental_dedup(SF, index_dir=str(tmp_path / "ddx"))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute("""
+WITH synth AS (
+  SELECT doc_id, CASE
+    WHEN doc_id % 6 = 0 THEN 'boilerplate page ' || ((doc_id // 6) % 7)
+    WHEN doc_id % 6 = 3 THEN 'boilerplate page ' || (((doc_id - 3) // 6) % 7)
+    ELSE text END AS t
+  FROM documents),
+hist AS (SELECT md5(t) AS h, min(doc_id) AS keeper FROM synth
+         WHERE doc_id % 2 = 1 GROUP BY 1),
+nw AS (SELECT doc_id, md5(t) AS h FROM synth WHERE doc_id % 2 = 0)
+SELECT n.doc_id, h.keeper AS dup_of FROM nw n JOIN hist h USING (h)
+ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()),
+                                  check_exact=True)
+    assert len(got) > 0  # the synthesized recrawl dups actually exist
+
+
+def test_dedup_index_append_resume(tmp_path):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from hunt_ray.pipelines.dedup import (_ddx_count, append_to_dedup_index,
+                                          build_dedup_index,
+                                          dedup_against_index)
+
+    def docs(rows):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.large_string())}))
+
+    idx = str(tmp_path / "ddx")
+    n0 = build_dedup_index(docs([(1, "aa"), (3, "bb"), (5, "aa")]), idx)
+    assert n0 == 2 and _ddx_count(idx) == 2  # keeper = min doc per hash
+    new = docs([(10, "aa"), (12, "cc"), (14, "cc")])
+    flags = dedup_against_index(new, idx).to_pandas()
+    assert dict(zip(flags.doc_id, flags.dup_of)) == {10: 1}
+    n1 = append_to_dedup_index(new, idx, generation=1)
+    assert n1 == 1 and _ddx_count(idx) == 3  # only "cc" is fresh, keeper 12
+    # resumable: a completed generation is never rewritten
+    assert append_to_dedup_index(new, idx, generation=1) == -1
+    assert _ddx_count(idx) == 3
+    # after the append, a recrawl of the same snapshot flags everything
+    flags2 = dedup_against_index(new, idx).to_pandas()
+    assert dict(zip(flags2.doc_id, flags2.dup_of)) == {10: 1, 12: 12, 14: 12}
+
+
+def test_incremental_dedup_fast_mode_same_flags(tmp_path):
+    from hunt_ray.pipelines.dedup import incremental_dedup
+
+    md5 = incremental_dedup(SF, index_dir=str(tmp_path / "a")).to_pandas()
+    fast = incremental_dedup(SF, hash="fast",
+                             index_dir=str(tmp_path / "b")).to_pandas()
+    assert (sorted(zip(md5.doc_id, md5.dup_of))
+            == sorted(zip(fast.doc_id, fast.dup_of)))
