@@ -308,6 +308,9 @@ def run_bench() -> dict:
     curate.decontaminate(SF_DIR).count()
     timings["decontaminate"] = round(time.time() - t, 3)
     t = time.time()
+    curate.decontaminate_bloom(SF_DIR).count()
+    timings["decontaminate_bloom"] = round(time.time() - t, 3)
+    t = time.time()
     curate.repetition(SF_DIR).count()
     timings["repetition"] = round(time.time() - t, 3)
     t = time.time()

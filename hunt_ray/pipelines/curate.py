@@ -1175,7 +1175,7 @@ def bloom_build(grams: np.ndarray, bits_per_gram: int = 24
                 ) -> tuple[np.ndarray, int, int]:
     """Bloom bit array over uint64 gram hashes → (byte array, m bits, k).
 
-    Double hashing (Kirsch–Mitzenhammer): position_i = (h1 + i·h2) mod m
+    Double hashing (Kirsch–Mitzenmacher): position_i = (h1 + i·h2) mod m
     with h1 = the gram hash, h2 = an odd remix — no per-probe rehash. m is
     rounded up to a power of two so the mod is a mask; k = ln2·m/n.
     """
