@@ -331,6 +331,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental crawl dedup against the persisted fingerprint index
         # (history = odd doc_ids, new snapshot = even; exact md5 oracle)
         "q_incremental_dedup": dedup.incremental_dedup,
+        # bucketed Pregel PageRank (edge state object-store-resident, only
+        # pre-combined rank rows move per iteration) over the derived
+        # graph — shares q_pagerank's exact unrolled-CTE oracle
+        "q_pagerank_pregel": graph.pagerank_derived_pregel,
     }
 
 
@@ -1147,6 +1151,10 @@ hist AS (SELECT md5(t) AS h, min(doc_id) AS keeper FROM synth
 nw AS (SELECT doc_id, md5(t) AS h FROM synth WHERE doc_id % 2 = 0)
 SELECT n.doc_id, h.keeper AS dup_of FROM nw n JOIN hist h USING (h)
 """,
+        # same graph, same algebra, different physical plan — the Pregel
+        # mode must reproduce the dataset path's oracle bit-for-bit after
+        # the 1e-6 rounding (drift between summation orders is ~1e-16)
+        "q_pagerank_pregel": _pagerank_oracle_sql(),
     }
 
 

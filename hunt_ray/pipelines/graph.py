@@ -483,12 +483,225 @@ def html_link_edges(pages_dir: str):
 
 
 def pagerank_html(pages_dir: str, *, iterations: int = 5,
-                  damping: float = DAMPING, round_to: int | None = 6):
+                  damping: float = DAMPING, round_to: int | None = 6,
+                  mode: str = "pregel", n_buckets: int | None = None):
     """PageRank over the html-extracted link graph:
-    :func:`html_link_edges` → :func:`pagerank_edges` (generic operator,
-    sinks + dangling mass handled). DuckDB-oracled in
-    tests/test_graph.py against an unrolled-CTE recomputation from the
-    same stored html."""
-    return pagerank_edges(html_link_edges(pages_dir),
-                          iterations=iterations, damping=damping,
+    :func:`html_link_edges` → :func:`pagerank_pregel` (edge state resident
+    in the object store, only rank rows move per iteration) or, with
+    ``mode="dataset"``, the pure-Dataset :func:`pagerank_edges`
+    attach-shuffle path. Both DuckDB-oracled in tests/test_graph.py
+    against an unrolled-CTE recomputation from the same stored html."""
+    edges = html_link_edges(pages_dir)
+    if mode == "pregel":
+        return pagerank_pregel(edges, iterations=iterations,
+                               damping=damping, round_to=round_to,
+                               n_buckets=n_buckets)
+    return pagerank_edges(edges, iterations=iterations, damping=damping,
                           round_to=round_to)
+
+
+def pagerank_derived_pregel(sf_dir: str, *, iterations: int = 5,
+                            damping: float = DAMPING):
+    """The derived fixture link graph through the bucketed Pregel plan —
+    same output shape as :func:`pagerank` ((node, pr_scaled), pr_scaled =
+    rank·n rounded to 6 decimals), so it shares q_pagerank's exact DuckDB
+    oracle. Every derived node has out-degree ≥ 1 and appears as a src,
+    so the src∪dst universe equals the oracle's documents rollup."""
+    n = n_docs(sf_dir)
+    ranks = pagerank_pregel(link_edges(sf_dir), iterations=iterations,
+                            damping=damping)
+
+    def scale(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": batch.column("node"),
+            "pr_scaled": pa.array(np.round(r * n, 6))})
+
+    return ranks.map_batches(scale, batch_format="pyarrow")
+
+
+# ------------------------------------------------ bucketed Pregel mode
+
+# multiply-shift bucket hash (deterministic, balances structured id
+# patterns like 0..n-1 or strided crawls across buckets)
+_HASH_K = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket_of(ids: np.ndarray, n_buckets: int) -> np.ndarray:
+    h = (ids.astype(np.uint64) * _HASH_K) >> np.uint64(33)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def _pregel_remotes():
+    """Remote functions for :func:`pagerank_pregel`, defined lazily so
+    importing this module never touches Ray."""
+    global _PREGEL
+    try:
+        return _PREGEL
+    except NameError:
+        pass
+    import ray
+
+    @ray.remote
+    def partition_block(tbl: pa.Table, n_buckets: int):
+        """One edge block → per-bucket (src,dst by h(src)) + node shards
+        (src∪dst by h(node)). num_returns=n_buckets via .options."""
+        src = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        hb = _bucket_of(src, n_buckets)
+        allnodes = np.unique(np.concatenate([src, dst]))
+        hn = _bucket_of(allnodes, n_buckets)
+        out = []
+        for b in range(n_buckets):
+            m = hb == b
+            out.append((src[m], dst[m], allnodes[hn == b]))
+        return tuple(out) if n_buckets > 1 else out[0]
+
+    @ray.remote(num_returns=2)
+    def build_bucket(*parts):
+        """Fold one bucket's shards into CSR-ish resident state:
+        (usrc, outdeg, dst sorted by src) + the bucket's sorted node set."""
+        src = np.concatenate([p[0] for p in parts])
+        dst = np.concatenate([p[1] for p in parts])
+        nodes = np.unique(np.concatenate([p[2] for p in parts]))
+        if len(src):
+            order = np.argsort(src, kind="stable")
+            src, dst = src[order], dst[order]
+            starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+            usrc = src[starts]
+            outdeg = np.diff(np.r_[starts, len(src)])
+        else:
+            usrc = np.empty(0, np.int64)
+            outdeg = np.empty(0, np.int64)
+        return {"usrc": usrc, "outdeg": outdeg, "dst": dst}, nodes
+
+    @ray.remote
+    def shard_len(nodes: np.ndarray) -> int:
+        return int(len(nodes))
+
+    @ray.remote
+    def init_ranks(nodes: np.ndarray, n_total: int) -> np.ndarray:
+        return np.full(len(nodes), 1.0 / n_total, np.float64)
+
+    @ray.remote
+    def spread(state: dict, nodes: np.ndarray, ranks: np.ndarray,
+               n_buckets: int):
+        """Spread this bucket's ranks over its resident out-edges,
+        pre-summed per dst (map-side combine), partitioned by h(dst).
+        Returns n_buckets (dst, contrib) partials + the dangling-mass
+        partial scalar (num_returns=n_buckets+1 via .options)."""
+        usrc, outdeg, dst = state["usrc"], state["outdeg"], state["dst"]
+        has_out = np.zeros(len(nodes), dtype=bool)
+        if len(usrc):
+            idx = np.searchsorted(nodes, usrc)  # usrc ⊆ nodes by h(src)=b
+            has_out[idx] = True
+            per_edge = np.repeat(ranks[idx] / outdeg, outdeg)
+            o = np.argsort(dst, kind="stable")
+            d, c = dst[o], per_edge[o]
+            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            ud = d[starts]
+            csum = np.add.reduceat(c, starts)
+        else:
+            ud = np.empty(0, np.int64)
+            csum = np.empty(0, np.float64)
+        hb = _bucket_of(ud, n_buckets)
+        parts = [(ud[hb == t], csum[hb == t]) for t in range(n_buckets)]
+        dangling = float(ranks[~has_out].sum())
+        return (*parts, dangling)
+
+    @ray.remote
+    def combine(nodes: np.ndarray, teleport: float, share: float,
+                damping: float, *partials) -> np.ndarray:
+        s = np.zeros(len(nodes), np.float64)
+        for d, c in partials:
+            if len(d):
+                s[np.searchsorted(nodes, d)] += c  # d unique per partial
+        return teleport + share + damping * s
+
+    @ray.remote
+    def emit(nodes: np.ndarray, ranks: np.ndarray,
+             round_to: int | None) -> pa.Table:
+        r = np.round(ranks, round_to) if round_to is not None else ranks
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "rank": pa.array(r, pa.float64())}).cast(_PR)
+
+    _PREGEL = (partition_block, build_bucket, shard_len, init_ranks,
+               spread, combine, emit)
+    return _PREGEL
+
+
+def pagerank_pregel(edges, *, iterations: int = 5, damping: float = DAMPING,
+                    round_to: int | None = None,
+                    n_buckets: int | None = None):
+    """Bucketed Pregel PageRank over an arbitrary ``(src, dst)`` edge
+    ``Dataset`` — same semantics as :func:`pagerank_edges` with the
+    default node universe (distinct src ∪ dst; sinks get uniform
+    dangling-mass redistribution), different physical plan:
+
+    The edge table is hash-partitioned by ``h(src)`` into object-store-
+    resident buckets ONCE (one manual two-stage exchange at setup); node
+    shards live in bucket ``h(node)``, so a bucket holds ALL out-edges of
+    its own nodes, pre-grouped (usrc/outdeg/dst). Each iteration is then
+    2·B short raw-Ray tasks: ``spread`` (rank/outdeg over resident edges,
+    pre-summed per dst — a map-side combine — partitioned by ``h(dst)``)
+    and ``combine`` (searchsorted scatter-add + teleport/dangling terms).
+    Per-iteration network traffic is only the pre-combined short
+    (dst, contrib) rows — the edge table NEVER moves again, which is the
+    whole game at web scale where edges ≫ nodes: the Dataset attach path
+    re-ships every edge row through a sort shuffle each iteration. The
+    driver holds B ObjectRefs and one dangling scalar per iteration.
+
+    This is the documented "raw Ray tasks where the Dataset API can't
+    express the semantics" case (iteration-resident partitioned state);
+    results are asserted equivalent to :func:`pagerank_edges` and the
+    DuckDB unrolled-CTE oracle in tests/test_graph.py.
+
+    ``n_buckets`` defaults to ~1 bucket per 250k edge rows
+    (`_state_blocks`) — at 10^9 edges that is 4000 buckets; a toy graph
+    collapses to one bucket whose whole iteration is two tasks.
+    """
+    import ray
+    import ray.data as rd
+
+    (partition_block, build_bucket, shard_len, init_ranks,
+     spread, combine, emit) = _pregel_remotes()
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("src").cast(pa.int64()),
+                         "dst": batch.column("dst").cast(pa.int64())})
+
+    emat = edges.map_batches(norm, batch_format="pyarrow").materialize()
+    n_edges = emat.count()
+    if n_edges == 0:
+        return rd.from_arrow(_PR.empty_table())
+    B = n_buckets or _state_blocks(n_edges)
+    block_refs = emat.to_arrow_refs()
+
+    # setup exchange: M×B shard objects, then B resident bucket states
+    shard_cols: list[list] = [[] for _ in range(B)]
+    for ref in block_refs:
+        outs = partition_block.options(num_returns=B).remote(ref, B) \
+            if B > 1 else [partition_block.remote(ref, B)]
+        for b in range(B):
+            shard_cols[b].append(outs[b])
+    states, node_refs = [], []
+    for b in range(B):
+        st, nd = build_bucket.remote(*shard_cols[b])
+        states.append(st)
+        node_refs.append(nd)
+    n = int(sum(ray.get([shard_len.remote(nd) for nd in node_refs])))
+    ranks = [init_ranks.remote(nd, n) for nd in node_refs]
+
+    teleport = (1.0 - damping) / n
+    for _ in range(iterations):
+        outs = [spread.options(num_returns=B + 1).remote(
+                    states[b], node_refs[b], ranks[b], B)
+                for b in range(B)]
+        dangling = float(sum(ray.get([outs[b][B] for b in range(B)])))
+        share = damping * dangling / n
+        ranks = [combine.remote(node_refs[b], teleport, share, damping,
+                                *[outs[s][b] for s in range(B)])
+                 for b in range(B)]
+    tables = [emit.remote(node_refs[b], ranks[b], round_to)
+              for b in range(B)]
+    return rd.from_arrow_refs(tables)

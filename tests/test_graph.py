@@ -311,3 +311,47 @@ GROUP BY n.node"""
     assert list(got.node) == list(want.node)
     assert np.allclose(got["rank"], want["rank"], atol=1e-12)
     assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_pregel_matches_dataset_path(pages_small):
+    """The bucketed Pregel plan (edge state resident in the object store,
+    only pre-combined (dst, contrib) rows move per iteration) is
+    numerically equivalent to the pure-Dataset attach-shuffle plan, at
+    one bucket and at several (cross-bucket contribution exchange)."""
+    import ray.data as rd
+
+    from hunt_ray.pipelines.graph import (html_link_edges, pagerank_edges,
+                                          pagerank_pregel)
+
+    want = (pagerank_edges(html_link_edges(pages_small), iterations=3)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    for n_buckets in (1, 5):
+        got = (pagerank_pregel(html_link_edges(pages_small), iterations=3,
+                               n_buckets=n_buckets)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        assert list(got.node) == list(want.node)
+        assert np.allclose(got["rank"], want["rank"], rtol=1e-12, atol=0)
+        assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_pregel_sinks_duplicates_selfloops():
+    """Explicit edge list with a sink, a duplicate edge and a self-loop:
+    pregel == dataset path (duplicate edges weight the spread, sink mass
+    redistributes uniformly)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hunt_ray.pipelines.graph import pagerank_edges, pagerank_pregel
+
+    edges = pa.table({"src": pa.array([0, 0, 0, 1, 1, 2, 2, 4], pa.int64()),
+                      "dst": pa.array([1, 1, 2, 2, 3, 2, 0, 3], pa.int64())})
+    want = (pagerank_edges(rd.from_arrow(edges), iterations=5)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    got = (pagerank_pregel(rd.from_arrow(edges), iterations=5, n_buckets=3)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert list(got.node) == list(want.node)
+    assert np.allclose(got["rank"], want["rank"], rtol=1e-12, atol=0)
+    # empty edge table degrades to an empty result, not a crash
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                    "dst": pa.array([], pa.int64())}))
+    assert pagerank_pregel(empty, iterations=2).count() == 0
