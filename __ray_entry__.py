@@ -335,6 +335,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pre-combined rank rows move per iteration) over the derived
         # graph — shares q_pagerank's exact unrolled-CTE oracle
         "q_pagerank_pregel": graph.pagerank_derived_pregel,
+        # inlink anchor-text rollup over the link-bearing fixture corpus
+        # (rows-only here — the pages view isn't SQL-registered; the exact
+        # DuckDB regexp oracle runs in tests/test_graph.py)
+        "q_anchor_text": lambda sf: graph.anchor_text(
+            flagship.ensure_linked_pages(sf)),
     }
 
 

@@ -372,6 +372,9 @@ def run_bench() -> dict:
     graph.pagerank_html(pages_dir, iterations=5, n_buckets=8).count()
     timings["pagerank_html5_b8"] = round(time.time() - t, 3)
     t = time.time()
+    graph.anchor_text(pages_dir).count()
+    timings["anchor_text"] = round(time.time() - t, 3)
+    t = time.time()
     with tempfile.TemporaryDirectory() as ddx_dir:
         dedup.incremental_dedup(SF_DIR, hash="fast",
                                 index_dir=ddx_dir).count()

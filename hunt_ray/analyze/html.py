@@ -122,6 +122,35 @@ def extract_links(html: pa.Array | pa.ChunkedArray) -> pa.Array:
     return res
 
 
+def extract_anchors(html: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, pa.Array]:
+    """Per page, the (href, anchor-text) of every simple ``<a href>``
+    element, document order, duplicates kept — two ALIGNED
+    ``list<large_string>`` arrays. Anchor text is the classic inlink
+    relevance signal (it describes the TARGET page in the linker's
+    words); aggregate per target with ``graph.anchor_text`` /
+    ``graph.anchor_docs``.
+
+    Heuristic like the reference crawler's tagsoup pass
+    (hunt-crawler/src/Holumbus/Crawler/Html.hs `getHtmlReferences`): only
+    anchors whose inner text contains no nested markup (``[^<]*``) are
+    captured — same rule a DuckDB ``regexp_extract_all`` oracle can
+    replicate exactly."""
+    import polars as pl
+
+    arr = _drop_scripts(_as_string_array(html))
+    s = pl.from_arrow(arr)
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    full = s.str.extract_all(r'<a\s[^>]*?href="[^"]*"[^>]*>[^<]*</a>')
+    hrefs = full.list.eval(pl.element().str.extract(r'href="([^"]*)"', 1))
+    anchors = full.list.eval(pl.element().str.extract(r'>([^<]*)</a>', 1))
+    out = []
+    for col in (hrefs, anchors):
+        a = col.to_arrow()
+        out.append(a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a)
+    return out[0], out[1]
+
+
 EXTRACTORS = {
     "text": None,  # use the `text` column directly (input_hint invariant)
     "body": extract_body,

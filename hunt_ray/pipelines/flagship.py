@@ -47,6 +47,28 @@ def ensure_pages(sf_dir: str) -> str:
     return pages_dir
 
 
+def ensure_linked_pages(sf_dir: str) -> str:
+    """A link-bearing fixture pages corpus sized to the sf's documents
+    table (``generate_pages`` embeds three deterministic ``<a href>``
+    outlinks per page since FIXTURE_VERSION 3) — for the link-graph /
+    anchor-text driver entries, which need stored html with real edges;
+    ``pages_from_documents`` pages carry none."""
+    import pyarrow.parquet as pq_
+
+    from ..fixtures.pages import FIXTURE_VERSION, generate_pages
+
+    n = pq_.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    pages_dir = os.path.join(CACHE_ROOT, f"linked-v{FIXTURE_VERSION}-{n}")
+    marker = os.path.join(pages_dir, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(pages_dir, exist_ok=True)
+        pq_.write_table(generate_pages(seed=42, n_rows=n),
+                        os.path.join(pages_dir, "pages-00000.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return pages_dir
+
+
 def ensure_index(sf_dir: str, *, num_partitions: int = 4) -> str:
     pages_dir = ensure_pages(sf_dir)
     index_dir = os.path.join(CACHE_ROOT, f"index-{_cache_key(sf_dir)}-p{num_partitions}")

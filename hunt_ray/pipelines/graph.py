@@ -500,6 +500,84 @@ def pagerank_html(pages_dir: str, *, iterations: int = 5,
                           round_to=round_to)
 
 
+_ANCH = pa.schema([("dst", pa.int64()), ("anchor", pa.large_string()),
+                   ("n_mentions", pa.int64())])
+
+
+def _anchor_pairs(batch: pa.Table) -> pa.Table:
+    """(dst, anchor) pair per simple <a href="test://N">text</a> element
+    of a pages batch — the per-batch map side of both anchor rollups."""
+    from ..analyze.html import extract_anchors
+
+    if batch.num_rows == 0:
+        return pa.table({"dst": pa.array([], pa.int64()),
+                         "anchor": pa.array([], pa.large_string())})
+    hrefs, anchors = extract_anchors(batch.column("html"))
+    df = (pl.from_arrow(pa.table({"href": hrefs, "anchor": anchors}))
+            .explode(["href", "anchor"]).drop_nulls("href"))
+    df = df.filter(pl.col("href").str.starts_with("test://")).with_columns(
+        dst=pl.col("href").str.strip_prefix("test://").cast(pl.Int64))
+    return df.select(["dst", "anchor"]).to_arrow().cast(
+        pa.schema([("dst", pa.int64()), ("anchor", pa.large_string())]))
+
+
+def anchor_text(pages_dir: str):
+    """Inlink anchor-text rollup: for every link target, how often each
+    anchor string points at it → (dst, anchor, n_mentions). The classic
+    web-search signal (anchor text describes the TARGET page in the
+    linkers' words; search engines index it alongside the page's own
+    text — see :func:`anchor_docs` for the indexable form).
+
+    Scale shape: pure per-batch extract (one regex pass over stored
+    html) emitting short (dst, anchor) rows; ONE keyed groupby count.
+    The html never leaves its read task."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(pages_dir, columns=["html"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"dst": batch.column("dst"),
+                         "anchor": batch.column("anchor"),
+                         "n_mentions": batch.column("count()")}).cast(_ANCH)
+
+    return (ds.map_batches(_anchor_pairs, batch_format="pyarrow")
+            .groupby(["dst", "anchor"]).count()
+            .map_batches(rename, batch_format="pyarrow"))
+
+
+def anchor_docs(pages_dir: str):
+    """Per TARGET page, all inlink anchor text as one space-joined,
+    deterministically sorted string → (url, anchors). Join this back to
+    the pages table and index it as its own context
+    (``ContextSchema(source="column:anchors")``) — the end-to-end
+    "index the inlink anchors" loop is pinned in
+    tests/test_graph.py::test_anchor_context_end_to_end.
+
+    One dst-keyed co-location sort; the whole-block kernel folds every
+    dst group with vectorized polars (no per-group Python)."""
+    import ray.data as rd
+
+    from ..common.grouped import sorted_groups
+
+    ds = rd.read_parquet(pages_dir, columns=["html"])
+    pairs = ds.map_batches(_anchor_pairs, batch_format="pyarrow")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"url": pa.array([], pa.large_string()),
+                             "anchors": pa.array([], pa.large_string())})
+        out = (pl.from_arrow(batch)
+               .sort(["dst", "anchor"])
+               .group_by("dst", maintain_order=True)
+               .agg(anchors=pl.col("anchor").str.join(" "))
+               .with_columns(url="test://" + pl.col("dst").cast(pl.String))
+               .select(["url", "anchors"]))
+        return out.to_arrow().cast(pa.schema([
+            ("url", pa.large_string()), ("anchors", pa.large_string())]))
+
+    return sorted_groups(pairs, "dst", fold)
+
+
 def pagerank_derived_pregel(sf_dir: str, *, iterations: int = 5,
                             damping: float = DAMPING):
     """The derived fixture link graph through the bucketed Pregel plan —

@@ -355,3 +355,87 @@ def test_pagerank_pregel_sinks_duplicates_selfloops():
     empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
                                     "dst": pa.array([], pa.int64())}))
     assert pagerank_pregel(empty, iterations=2).count() == 0
+
+
+def test_anchor_text_matches_duckdb(pages_small):
+    """Inlink anchor-text rollup vs a DuckDB regexp oracle over the same
+    stored html (same simple-anchor heuristic, exact counts)."""
+    import duckdb
+
+    from hunt_ray.pipelines.graph import anchor_text
+
+    got = (anchor_text(pages_small).to_pandas()
+           .sort_values(["dst", "anchor"]).reset_index(drop=True))
+    con = duckdb.connect()
+    want = con.execute(f"""
+WITH atags AS (
+  SELECT unnest(regexp_extract_all(decode(html),
+         '<a\\s[^>]*?href="[^"]*"[^>]*>[^<]*</a>')) AS atag
+  FROM read_parquet('{pages_small}/*.parquet'))
+SELECT CAST(substr(regexp_extract(atag, 'href="([^"]*)"', 1), 8) AS BIGINT) AS dst,
+       regexp_extract(atag, '>([^<]*)</a>', 1) AS anchor,
+       count(*)::BIGINT AS n_mentions
+FROM atags
+WHERE regexp_extract(atag, 'href="([^"]*)"', 1) LIKE 'test://%'
+GROUP BY 1, 2 ORDER BY dst, anchor""").df()
+    assert len(got) == len(want)
+    assert list(got.dst) == list(want.dst)
+    assert list(got.anchor) == list(want.anchor)
+    assert list(got.n_mentions) == list(want.n_mentions)
+
+
+def test_anchor_context_end_to_end(ray_session, pages_small, tmp_path):
+    """The full web-search anchor loop: aggregate inlink anchor text per
+    target (`anchor_docs`), attach it to the pages table, index it as its
+    own context via source="column:anchors", and find a page by a word
+    that appears ONLY in other pages' links to it — never in its own
+    text."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.index.build import BuildConfig, build_index
+    from hunt_ray.analyze.schema import ContextSchema
+    from hunt_ray.pipelines.graph import anchor_docs
+    from hunt_ray.query.engine import SearchEngine
+
+    ad = anchor_docs(pages_small).to_pandas()
+    by_url = dict(zip(ad.url, ad.anchors))
+    pages = pq.read_table(pages_small)
+    texts = {u: t for u, t in zip(pages.column("url").to_pylist(),
+                                  pages.column("text").to_pylist())}
+    # a (target, word) where word ∈ inlink anchors but ∉ target's own text
+    target = word = None
+    for u, anchors in by_url.items():
+        own = set(texts.get(u, "").lower().split())
+        for w in anchors.lower().split():
+            if w.isalpha() and len(w) > 3 and w not in own:
+                target, word = u, w
+                break
+        if target:
+            break
+    assert target is not None, "fixture should yield an anchor-only word"
+
+    aug = pages.append_column(
+        "anchors", pa.array([by_url.get(u, "") for u in
+                             pages.column("url").to_pylist()],
+                            pa.large_string()))
+    d = tmp_path / "pages_anchored"
+    d.mkdir()
+    pq.write_table(aug, str(d / "p.parquet"))
+    schema = {
+        "body": ContextSchema(type="text", weight=1.0, default=True,
+                              source="text"),
+        "anchor": ContextSchema(type="text", weight=2.0, default=True,
+                                source="column:anchors"),
+    }
+    idx = str(tmp_path / "anchor_idx")
+    build_index(str(d), idx, BuildConfig(schema=schema, num_partitions=2,
+                                         batch_size=64,
+                                         analyzer_concurrency=2))
+    eng = SearchEngine(idx)
+    hits = {h.url for h in eng.search(f'anchor:{word}', limit=0).result}
+    assert target in hits
+    # the word is genuinely anchor-only for the target: body-context
+    # search must not return it
+    body_hits = {h.url for h in eng.search(f'body:{word}', limit=0).result}
+    assert target not in body_hits
