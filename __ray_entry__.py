@@ -340,6 +340,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DuckDB regexp oracle runs in tests/test_graph.py)
         "q_anchor_text": lambda sf: graph.anchor_text(
             flagship.ensure_linked_pages(sf)),
+        # HITS hubs/authorities over the same link-bearing corpus
+        # (rows-only — the numpy power-iteration oracle runs in
+        # tests/test_graph.py at one and several buckets)
+        "q_hits": lambda sf: graph.hits_html(
+            flagship.ensure_linked_pages(sf), iterations=5),
     }
 
 

@@ -783,3 +783,187 @@ def pagerank_pregel(edges, *, iterations: int = 5, damping: float = DAMPING,
     tables = [emit.remote(node_refs[b], ranks[b], round_to)
               for b in range(B)]
     return rd.from_arrow_refs(tables)
+
+
+# ------------------------------------------------------ HITS (Kleinberg)
+
+def _hits_remotes():
+    """Remote functions for :func:`hits_pregel` (lazy — importing this
+    module never touches Ray)."""
+    global _HITS
+    try:
+        return _HITS
+    except NameError:
+        pass
+    import ray
+
+    @ray.remote
+    def partition_block(tbl: pa.Table, n_buckets: int):
+        """One edge block → per-bucket forward shard (by h(src)), reverse
+        shard (by h(dst)) and node shard (by h(node))."""
+        src = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        hf, hr = _bucket_of(src, n_buckets), _bucket_of(dst, n_buckets)
+        allnodes = np.unique(np.concatenate([src, dst]))
+        hn = _bucket_of(allnodes, n_buckets)
+        out = []
+        for b in range(n_buckets):
+            f, r = hf == b, hr == b
+            out.append((src[f], dst[f], src[r], dst[r], allnodes[hn == b]))
+        return tuple(out) if n_buckets > 1 else out[0]
+
+    def _csr(key: np.ndarray, val: np.ndarray):
+        """Group val by key: (unique keys, group counts, val sorted by key)."""
+        if not len(key):
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.int64))
+        order = np.argsort(key, kind="stable")
+        key, val = key[order], val[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        return key[starts], np.diff(np.r_[starts, len(key)]), val
+
+    @ray.remote(num_returns=2)
+    def build_bucket(*parts):
+        """Resident per-bucket state: forward CSR keyed by src (spreads hub
+        → auth) and reverse CSR keyed by dst (spreads auth → hub)."""
+        fs = np.concatenate([p[0] for p in parts])
+        fd = np.concatenate([p[1] for p in parts])
+        rs = np.concatenate([p[2] for p in parts])
+        rd_ = np.concatenate([p[3] for p in parts])
+        nodes = np.unique(np.concatenate([p[4] for p in parts]))
+        fkey, fcnt, fneigh = _csr(fs, fd)
+        rkey, rcnt, rneigh = _csr(rd_, rs)
+        return {"fkey": fkey, "fcnt": fcnt, "fneigh": fneigh,
+                "rkey": rkey, "rcnt": rcnt, "rneigh": rneigh}, nodes
+
+    @ray.remote
+    def shard_len(nodes: np.ndarray) -> int:
+        return int(len(nodes))
+
+    @ray.remote
+    def ones(nodes: np.ndarray) -> np.ndarray:
+        return np.ones(len(nodes), np.float64)
+
+    @ray.remote
+    def spread(state: dict, nodes: np.ndarray, values: np.ndarray,
+               direction: str, n_buckets: int):
+        """Each resident edge carries value[key] to its neighbor; pre-sum
+        per neighbor (map-side combine), partition by h(neighbor)."""
+        pre = "f" if direction == "fwd" else "r"
+        key, cnt, neigh = state[pre + "key"], state[pre + "cnt"], state[pre + "neigh"]
+        if len(key):
+            idx = np.searchsorted(nodes, key)   # key ⊆ nodes by h(key)=b
+            per_edge = np.repeat(values[idx], cnt)
+            o = np.argsort(neigh, kind="stable")
+            nb, c = neigh[o], per_edge[o]
+            starts = np.flatnonzero(np.r_[True, nb[1:] != nb[:-1]])
+            un = nb[starts]
+            csum = np.add.reduceat(c, starts)
+        else:
+            un = np.empty(0, np.int64)
+            csum = np.empty(0, np.float64)
+        hb = _bucket_of(un, n_buckets)
+        parts = [(un[hb == t], csum[hb == t]) for t in range(n_buckets)]
+        # num_returns=1 keeps a tuple whole — hand back the bare pair
+        return parts[0] if n_buckets == 1 else tuple(parts)
+
+    @ray.remote(num_returns=2)
+    def combine(nodes: np.ndarray, *partials):
+        raw = np.zeros(len(nodes), np.float64)
+        for d, c in partials:
+            if len(d):
+                raw[np.searchsorted(nodes, d)] += c
+        return raw, float((raw * raw).sum())
+
+    @ray.remote
+    def scale(raw: np.ndarray, norm: float) -> np.ndarray:
+        return raw / norm if norm > 0.0 else raw
+
+    @ray.remote
+    def emit(nodes: np.ndarray, hub: np.ndarray, auth: np.ndarray,
+             round_to: int | None) -> pa.Table:
+        if round_to is not None:
+            hub, auth = np.round(hub, round_to), np.round(auth, round_to)
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "hub": pa.array(hub, pa.float64()),
+                         "auth": pa.array(auth, pa.float64())})
+
+    _HITS = (partition_block, build_bucket, shard_len, ones, spread,
+             combine, scale, emit)
+    return _HITS
+
+
+def hits_pregel(edges, *, iterations: int = 5, round_to: int | None = None,
+                n_buckets: int | None = None):
+    """Kleinberg's HITS over an arbitrary ``(src, dst)`` edge ``Dataset``
+    → (node, hub, auth), L2-normalized per half-step (the standard
+    power-iteration formulation: auth = Aᵀ·hub / ‖·‖₂ then
+    hub = A·auth / ‖·‖₂, hub⁰ = 1).
+
+    Same physical plan as :func:`pagerank_pregel` with BOTH edge
+    orientations resident: setup builds a forward CSR (by h(src), spreads
+    hub → auth) and a reverse CSR (by h(dst), spreads auth → hub) in the
+    object store once; each half-step is B spread + B combine + B scale
+    raw-Ray tasks moving only pre-combined short (node, contrib) rows and
+    one Σx² scalar per bucket. Duplicate edges weight the sums, matching
+    the adjacency-matrix semantics with integer multiplicities."""
+    import ray
+    import ray.data as rd
+
+    (partition_block, build_bucket, shard_len, ones, spread,
+     combine, scale, emit) = _hits_remotes()
+
+    def norm_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("src").cast(pa.int64()),
+                         "dst": batch.column("dst").cast(pa.int64())})
+
+    emat = edges.map_batches(norm_cols, batch_format="pyarrow").materialize()
+    n_edges = emat.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "hub": pa.array([], pa.float64()),
+                                       "auth": pa.array([], pa.float64())}))
+    B = n_buckets or _state_blocks(n_edges)
+    shard_cols: list[list] = [[] for _ in range(B)]
+    for ref in emat.to_arrow_refs():
+        outs = partition_block.options(num_returns=B).remote(ref, B) \
+            if B > 1 else [partition_block.remote(ref, B)]
+        for b in range(B):
+            shard_cols[b].append(outs[b])
+    states, node_refs = [], []
+    for b in range(B):
+        st, nd = build_bucket.remote(*shard_cols[b])
+        states.append(st)
+        node_refs.append(nd)
+    hub = [ones.remote(nd) for nd in node_refs]
+    auth = hub
+
+    def half_step(values, direction):
+        outs = [spread.options(num_returns=B).remote(
+                    states[b], node_refs[b], values[b], direction, B)
+                for b in range(B)]
+        outs = [o if B > 1 else [o] for o in outs]
+        raws, sumsqs = [], []
+        for b in range(B):
+            raw, ss = combine.remote(node_refs[b],
+                                     *[outs[s][b] for s in range(B)])
+            raws.append(raw)
+            sumsqs.append(ss)
+        norm = float(np.sqrt(sum(ray.get(sumsqs))))
+        return [scale.remote(r, norm) for r in raws]
+
+    for _ in range(iterations):
+        auth = half_step(hub, "fwd")
+        hub = half_step(auth, "rev")
+    tables = [emit.remote(node_refs[b], hub[b], auth[b], round_to)
+              for b in range(B)]
+    return rd.from_arrow_refs(tables)
+
+
+def hits_html(pages_dir: str, *, iterations: int = 5,
+              round_to: int | None = None, n_buckets: int | None = None):
+    """HITS hubs/authorities over the html-extracted link graph — the
+    companion centrality to :func:`pagerank_html`, same extraction, same
+    resident-bucket plan."""
+    return hits_pregel(html_link_edges(pages_dir), iterations=iterations,
+                       round_to=round_to, n_buckets=n_buckets)

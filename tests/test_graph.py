@@ -439,3 +439,51 @@ def test_anchor_context_end_to_end(ray_session, pages_small, tmp_path):
     # search must not return it
     body_hits = {h.url for h in eng.search(f'body:{word}', limit=0).result}
     assert target not in body_hits
+
+
+def test_hits_pregel_matches_numpy_oracle(pages_small):
+    """HITS over the extracted link graph vs an independent dense
+    power-iteration oracle (adjacency with duplicate-edge multiplicity,
+    L2 normalize per half-step), at one bucket and several."""
+    import numpy as np
+
+    from hunt_ray.pipelines.graph import hits_html, html_link_edges
+
+    edges = html_link_edges(pages_small).to_pandas()
+    nodes = np.unique(np.concatenate([edges.src.values, edges.dst.values]))
+    pos = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in zip(edges.src.values, edges.dst.values):
+        A[pos[s], pos[d]] += 1.0
+    hub = np.ones(len(nodes))
+    for _ in range(3):
+        auth = A.T @ hub
+        auth /= np.linalg.norm(auth) or 1.0
+        hub = A @ auth
+        hub /= np.linalg.norm(hub) or 1.0
+    for n_buckets in (1, 5):
+        got = (hits_html(pages_small, iterations=3, n_buckets=n_buckets)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        assert list(got.node) == list(nodes)
+        assert np.allclose(got["auth"], auth, rtol=1e-10, atol=1e-14)
+        assert np.allclose(got["hub"], hub, rtol=1e-10, atol=1e-14)
+
+
+def test_hits_pregel_empty_and_sink():
+    """Degenerates: empty edge table → empty result; a pure-sink node
+    gets auth>0, hub=0 and a pure-source the reverse."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hunt_ray.pipelines.graph import hits_pregel
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                    "dst": pa.array([], pa.int64())}))
+    assert hits_pregel(empty, iterations=2).count() == 0
+    # 0 -> 1 -> 2 chain: 0 is pure source (hub only), 2 pure sink (auth only)
+    chain = rd.from_arrow(pa.table({"src": pa.array([0, 1], pa.int64()),
+                                    "dst": pa.array([1, 2], pa.int64())}))
+    df = (hits_pregel(chain, iterations=4, n_buckets=2).to_pandas()
+          .set_index("node"))
+    assert df.loc[0, "auth"] == 0.0 and df.loc[0, "hub"] > 0.0
+    assert df.loc[2, "hub"] == 0.0 and df.loc[2, "auth"] > 0.0
