@@ -6,24 +6,34 @@ signal used to weight or filter training data. The reference indexes
 documents and has no graph surface; these follow the driver mandate for
 training-data pipeline operators.
 
-Two operator layers:
+Operator layers:
 
-- :func:`pagerank_edges` — the GENERIC operator over any ``(src, dst)``
-  edge ``Dataset`` (sinks allowed; dangling mass redistributed
-  uniformly). Each iteration is two keyed shuffles: a src-keyed
-  union+groupby that attaches a node's rank to its out-edges (the same
-  attach pattern as ``dedup.minhash_dedup``'s verify — no driver-side
-  joins, no broadcast of the rank vector, which at 10^12 nodes is
-  itself TB-scale), then a dst-keyed groupby summing contributions.
+- :func:`pagerank_edges` — the GENERIC Dataset operator over any
+  ``(src, dst)`` edge ``Dataset`` (sinks allowed; dangling mass
+  redistributed uniformly). Each iteration is two keyed shuffles: a
+  src-keyed union+groupby that attaches a node's rank to its out-edges
+  (the same attach pattern as ``dedup.minhash_dedup``'s verify — no
+  driver-side joins, no broadcast of the rank vector, which at 10^12
+  nodes is itself TB-scale), then a dst-keyed groupby summing
+  contributions.
+- :func:`pagerank_pregel` / :func:`hits_pregel` — the raw-Ray
+  resident-state plans: the edge table is hash-bucketed into the object
+  store ONCE and each iteration moves only pre-combined short rank
+  rows (2·B tasks per step). The edge table never re-ships — the
+  decisive trade at web scale where edges ≫ nodes, and the documented
+  "raw Ray where the Dataset API can't express it" case
+  (iteration-resident partitioned state).
 - :func:`pagerank` — the fixture wrapper over the derived link graph,
   kept as the exactly-oracled driver entry. Edges derive
   deterministically from doc_id (three pseudo-random out-links per doc,
   distinct-deduped) so the DuckDB oracle recomputes the graph exactly —
   the same derivation trick as ``curate.snapshot_rows``. Because the
   edges are a pure function of the node id, they are derived IN the
-  rank map — the co-partitioned fast path (on a real corpus: an edge
-  table hash-partitioned by src alongside the rank table makes the
-  per-iteration attach partition-local, saving the src shuffle).
+  rank map — the co-partitioned fast path.
+- :func:`html_link_edges` / :func:`anchor_text` / :func:`anchor_docs` —
+  the REAL web-graph surface over stored html: link extraction, inlink
+  anchor-text rollups, and the indexable per-target anchor document
+  (``source="column:anchors"``).
 
 Scale shapes (what matters at 100 TB):
 
