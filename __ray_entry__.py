@@ -237,12 +237,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic md5 hashing makes even the sketch exactly oracled
         "q_distinct_kmv": sketch.distinct_bigrams_kmv,
         # web link graph (edges derived deterministically from doc_id):
-        # degree rollup (count-combine) and 5-iteration PageRank (the
-        # co-partitioned one-shuffle-per-iteration fast path; the generic
-        # attach-shuffle operator with dangling-mass handling is
-        # graph.pagerank_edges, DuckDB-oracled in tests/test_graph.py)
+        # degree rollup (count-combine) and 5-iteration PageRank through
+        # the bucketed Pregel plan — the 100 TB physical plan (edge state
+        # object-store-resident, only pre-combined rank rows move per
+        # iteration), so the flagship graph path gets the driver row; the
+        # co-partitioned Dataset fast path keeps the SAME exact oracle
+        # past the cap as q_pagerank_dataset, and the generic
+        # attach-shuffle pagerank_edges is DuckDB-oracled in
+        # tests/test_graph.py
         "q_link_degree": graph.link_degree,
-        "q_pagerank": graph.pagerank,
+        "q_pagerank": graph.pagerank_derived_pregel,
         # gap-based sessionization over events — keyed-window map_groups
         "q_sessionize": lambda sf: events.sessionize(sf, gap_minutes=480),
         # per-user as-of join (click → most recent prior view),
@@ -331,10 +335,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental crawl dedup against the persisted fingerprint index
         # (history = odd doc_ids, new snapshot = even; exact md5 oracle)
         "q_incremental_dedup": dedup.incremental_dedup,
-        # bucketed Pregel PageRank (edge state object-store-resident, only
-        # pre-combined rank rows move per iteration) over the derived
-        # graph — shares q_pagerank's exact unrolled-CTE oracle
-        "q_pagerank_pregel": graph.pagerank_derived_pregel,
+        # the co-partitioned Dataset fast path (one shuffle/iteration,
+        # edges derived in the rank map) — shares q_pagerank's exact
+        # unrolled-CTE oracle; the in-window q_pagerank now runs the
+        # bucketed Pregel plan
+        "q_pagerank_dataset": graph.pagerank,
         # inlink anchor-text rollup over the link-bearing fixture corpus
         # (rows-only here — the pages view isn't SQL-registered; the exact
         # DuckDB regexp oracle runs in tests/test_graph.py)
@@ -1161,10 +1166,11 @@ hist AS (SELECT md5(t) AS h, min(doc_id) AS keeper FROM synth
 nw AS (SELECT doc_id, md5(t) AS h FROM synth WHERE doc_id % 2 = 0)
 SELECT n.doc_id, h.keeper AS dup_of FROM nw n JOIN hist h USING (h)
 """,
-        # same graph, same algebra, different physical plan — the Pregel
-        # mode must reproduce the dataset path's oracle bit-for-bit after
-        # the 1e-6 rounding (drift between summation orders is ~1e-16)
-        "q_pagerank_pregel": _pagerank_oracle_sql(),
+        # same graph, same algebra, different physical plan — the Dataset
+        # fast path must reproduce the (now in-window Pregel) q_pagerank
+        # oracle bit-for-bit after the 1e-6 rounding (drift between
+        # summation orders is ~1e-16)
+        "q_pagerank_dataset": _pagerank_oracle_sql(),
     }
 
 

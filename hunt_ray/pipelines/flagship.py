@@ -55,15 +55,16 @@ def ensure_linked_pages(sf_dir: str) -> str:
     ``pages_from_documents`` pages carry none."""
     import pyarrow.parquet as pq_
 
-    from ..fixtures.pages import FIXTURE_VERSION, generate_pages
+    from ..fixtures.pages import FIXTURE_VERSION, write_pages
 
     n = pq_.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
     pages_dir = os.path.join(CACHE_ROOT, f"linked-v{FIXTURE_VERSION}-{n}")
     marker = os.path.join(pages_dir, "_done")
     if not os.path.exists(marker):
-        os.makedirs(pages_dir, exist_ok=True)
-        pq_.write_table(generate_pages(seed=42, n_rows=n),
-                        os.path.join(pages_dir, "pages-00000.parquet"))
+        # multiple files → multiple Ray read blocks, so the downstream
+        # extract maps parallelize instead of running on one input block
+        write_pages(pages_dir, seed=42, n_rows=n,
+                    rows_per_file=max(256, -(-n // 32)))
         with open(marker, "w") as f:
             f.write("ok")
     return pages_dir

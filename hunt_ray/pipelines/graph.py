@@ -506,6 +506,11 @@ def pagerank_html(pages_dir: str, *, iterations: int = 5,
         return pagerank_pregel(edges, iterations=iterations,
                                damping=damping, round_to=round_to,
                                n_buckets=n_buckets)
+    if mode != "dataset":
+        raise ValueError(f"unknown pagerank_html mode {mode!r} "
+                         "(expected 'pregel' or 'dataset')")
+    if n_buckets is not None:
+        raise ValueError("n_buckets only applies to mode='pregel'")
     return pagerank_edges(edges, iterations=iterations, damping=damping,
                           round_to=round_to)
 
@@ -718,6 +723,37 @@ def _pregel_remotes():
     return _PREGEL
 
 
+def _bucketed_setup(edges, n_buckets: int | None, partition_block,
+                    build_bucket):
+    """Shared resident-state setup exchange for the Pregel-style graph
+    operators: normalize (src, dst) to int64, materialize, hash-bucket
+    every block via `partition_block` (M×B shard objects) and fold each
+    bucket's shards with `build_bucket` (num_returns=2 → (state, nodes)).
+    Returns (states, node_refs, B); B == 0 means an empty edge table."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("src").cast(pa.int64()),
+                         "dst": batch.column("dst").cast(pa.int64())})
+
+    emat = edges.map_batches(norm, batch_format="pyarrow").materialize()
+    n_edges = emat.count()
+    if n_edges == 0:
+        return [], [], 0
+    B = n_buckets or _state_blocks(n_edges)
+    shard_cols: list[list] = [[] for _ in range(B)]
+    for ref in emat.to_arrow_refs():
+        outs = partition_block.options(num_returns=B).remote(ref, B) \
+            if B > 1 else [partition_block.remote(ref, B)]
+        for b in range(B):
+            shard_cols[b].append(outs[b])
+    states, node_refs = [], []
+    for b in range(B):
+        st, nd = build_bucket.remote(*shard_cols[b])
+        states.append(st)
+        node_refs.append(nd)
+    return states, node_refs, B
+
+
 def pagerank_pregel(edges, *, iterations: int = 5, damping: float = DAMPING,
                     round_to: int | None = None,
                     n_buckets: int | None = None):
@@ -754,29 +790,10 @@ def pagerank_pregel(edges, *, iterations: int = 5, damping: float = DAMPING,
     (partition_block, build_bucket, shard_len, init_ranks,
      spread, combine, emit) = _pregel_remotes()
 
-    def norm(batch: pa.Table) -> pa.Table:
-        return pa.table({"src": batch.column("src").cast(pa.int64()),
-                         "dst": batch.column("dst").cast(pa.int64())})
-
-    emat = edges.map_batches(norm, batch_format="pyarrow").materialize()
-    n_edges = emat.count()
-    if n_edges == 0:
+    states, node_refs, B = _bucketed_setup(edges, n_buckets,
+                                           partition_block, build_bucket)
+    if B == 0:
         return rd.from_arrow(_PR.empty_table())
-    B = n_buckets or _state_blocks(n_edges)
-    block_refs = emat.to_arrow_refs()
-
-    # setup exchange: M×B shard objects, then B resident bucket states
-    shard_cols: list[list] = [[] for _ in range(B)]
-    for ref in block_refs:
-        outs = partition_block.options(num_returns=B).remote(ref, B) \
-            if B > 1 else [partition_block.remote(ref, B)]
-        for b in range(B):
-            shard_cols[b].append(outs[b])
-    states, node_refs = [], []
-    for b in range(B):
-        st, nd = build_bucket.remote(*shard_cols[b])
-        states.append(st)
-        node_refs.append(nd)
     n = int(sum(ray.get([shard_len.remote(nd) for nd in node_refs])))
     ranks = [init_ranks.remote(nd, n) for nd in node_refs]
 
@@ -847,10 +864,6 @@ def _hits_remotes():
                 "rkey": rkey, "rcnt": rcnt, "rneigh": rneigh}, nodes
 
     @ray.remote
-    def shard_len(nodes: np.ndarray) -> int:
-        return int(len(nodes))
-
-    @ray.remote
     def ones(nodes: np.ndarray) -> np.ndarray:
         return np.ones(len(nodes), np.float64)
 
@@ -898,7 +911,7 @@ def _hits_remotes():
                          "hub": pa.array(hub, pa.float64()),
                          "auth": pa.array(auth, pa.float64())})
 
-    _HITS = (partition_block, build_bucket, shard_len, ones, spread,
+    _HITS = (partition_block, build_bucket, ones, spread,
              combine, scale, emit)
     return _HITS
 
@@ -920,31 +933,15 @@ def hits_pregel(edges, *, iterations: int = 5, round_to: int | None = None,
     import ray
     import ray.data as rd
 
-    (partition_block, build_bucket, shard_len, ones, spread,
+    (partition_block, build_bucket, ones, spread,
      combine, scale, emit) = _hits_remotes()
 
-    def norm_cols(batch: pa.Table) -> pa.Table:
-        return pa.table({"src": batch.column("src").cast(pa.int64()),
-                         "dst": batch.column("dst").cast(pa.int64())})
-
-    emat = edges.map_batches(norm_cols, batch_format="pyarrow").materialize()
-    n_edges = emat.count()
-    if n_edges == 0:
+    states, node_refs, B = _bucketed_setup(edges, n_buckets,
+                                           partition_block, build_bucket)
+    if B == 0:
         return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
                                        "hub": pa.array([], pa.float64()),
                                        "auth": pa.array([], pa.float64())}))
-    B = n_buckets or _state_blocks(n_edges)
-    shard_cols: list[list] = [[] for _ in range(B)]
-    for ref in emat.to_arrow_refs():
-        outs = partition_block.options(num_returns=B).remote(ref, B) \
-            if B > 1 else [partition_block.remote(ref, B)]
-        for b in range(B):
-            shard_cols[b].append(outs[b])
-    states, node_refs = [], []
-    for b in range(B):
-        st, nd = build_bucket.remote(*shard_cols[b])
-        states.append(st)
-        node_refs.append(nd)
     hub = [ones.remote(nd) for nd in node_refs]
     auth = hub
 

@@ -369,7 +369,9 @@ def test_anchor_text_matches_duckdb(pages_small):
     con = duckdb.connect()
     want = con.execute(f"""
 WITH atags AS (
-  SELECT unnest(regexp_extract_all(decode(html),
+  SELECT unnest(regexp_extract_all(
+         regexp_replace(decode(html),
+                        '<(no)?script[^>]*>.*?</(no)?script>', ' ', 'gs'),
          '<a\\s[^>]*?href="[^"]*"[^>]*>[^<]*</a>')) AS atag
   FROM read_parquet('{pages_small}/*.parquet'))
 SELECT CAST(substr(regexp_extract(atag, 'href="([^"]*)"', 1), 8) AS BIGINT) AS dst,
