@@ -350,6 +350,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tests/test_graph.py at one and several buckets)
         "q_hits": lambda sf: graph.hits_html(
             flagship.ensure_linked_pages(sf), iterations=5),
+        # personalized PageRank (trusted-seed quality propagation) over
+        # the derived graph, seeds = doc_id ≡ 0 (mod 10) — exact
+        # seeded-teleport unrolled-CTE oracle
+        "q_pagerank_seeded": graph.pagerank_seeded,
     }
 
 
@@ -1171,6 +1175,9 @@ SELECT n.doc_id, h.keeper AS dup_of FROM nw n JOIN hist h USING (h)
         # oracle bit-for-bit after the 1e-6 rounding (drift between
         # summation orders is ~1e-16)
         "q_pagerank_dataset": _pagerank_oracle_sql(),
+        # seeded-teleport unrolled CTE (seeds and edges both derive from
+        # doc_id, so the oracle recomputes the whole setup exactly)
+        "q_pagerank_seeded": _pagerank_seeded_oracle_sql(),
     }
 
 
@@ -1210,6 +1217,31 @@ LEFT JOIN (SELECT src, count(*)::DOUBLE AS out_degree FROM edges GROUP BY 1) od
 GROUP BY d.doc_id"""
     return (f"WITH {_EDGES_CTE} SELECT node, "
             f"round(rank * {_N_DOCS}, 6) AS pr_scaled FROM ({it})")
+
+
+def _pagerank_seeded_oracle_sql(iterations: int = 5, damping: float = 0.85,
+                                seed_mod: int = 10) -> str:
+    # personalized PageRank: teleport goes to the seed distribution
+    # (doc_id ≡ 0 mod seed_mod); the derived graph has out-degree ≥ 1
+    # everywhere so the dangling term is identically zero (as in
+    # _pagerank_oracle_sql)
+    k = f"(SELECT count(*) FROM documents WHERE doc_id % {seed_mod} = 0)"
+    base = f"(CASE WHEN doc_id % {seed_mod} = 0 THEN 1.0/{k} ELSE 0 END)"
+    it = f"SELECT doc_id AS node, {base} AS rank FROM documents"
+    for _ in range(iterations):
+        it = f"""
+SELECT d.doc_id AS node,
+       (1-{damping}) * (CASE WHEN d.doc_id % {seed_mod} = 0
+                             THEN 1.0/{k} ELSE 0 END)
+       + {damping} * coalesce(sum(r.rank / od.out_degree), 0) AS rank
+FROM documents d
+LEFT JOIN edges e ON e.dst = d.doc_id
+LEFT JOIN ({it}) r ON r.node = e.src
+LEFT JOIN (SELECT src, count(*)::DOUBLE AS out_degree FROM edges GROUP BY 1) od
+       ON od.src = e.src
+GROUP BY d.doc_id"""
+    return (f"WITH {_EDGES_CTE} SELECT node, "
+            f"round(rank * {k}, 6) AS ppr_scaled FROM ({it})")
 
 
 def _index_bm25_oracle_sql() -> str:

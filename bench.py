@@ -378,6 +378,9 @@ def run_bench() -> dict:
     graph.hits_html(pages_dir, iterations=5).count()
     timings["hits_html5"] = round(time.time() - t, 3)
     t = time.time()
+    graph.pagerank_seeded(SF_DIR, iterations=5).count()
+    timings["pagerank_seeded5"] = round(time.time() - t, 3)
+    t = time.time()
     with tempfile.TemporaryDirectory() as ddx_dir:
         dedup.incremental_dedup(SF_DIR, hash="fast",
                                 index_dir=ddx_dir).count()

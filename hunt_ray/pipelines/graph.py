@@ -593,6 +593,28 @@ def anchor_docs(pages_dir: str):
     return sorted_groups(pairs, "dst", fold)
 
 
+def pagerank_seeded(sf_dir: str, *, iterations: int = 5,
+                    damping: float = DAMPING, seed_mod: int = 10):
+    """Personalized PageRank over the derived fixture graph with
+    seeds = every doc_id ≡ 0 (mod ``seed_mod``) — exactly oracled (the
+    seed set and graph both derive from doc_id, so DuckDB recomputes
+    them). Returns (node, ppr_scaled), ppr_scaled = rank·|seeds| rounded
+    to 6 decimals (O(1) values at any corpus size)."""
+    n = n_docs(sf_dir)
+    seeds = np.arange(0, n, seed_mod, dtype=np.int64)
+    ranks = pagerank_pregel(link_edges(sf_dir), iterations=iterations,
+                            damping=damping, seeds=seeds)
+    k = len(seeds)
+
+    def scale(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": batch.column("node"),
+            "ppr_scaled": pa.array(np.round(r * k, 6))})
+
+    return ranks.map_batches(scale, batch_format="pyarrow")
+
+
 def pagerank_derived_pregel(sf_dir: str, *, iterations: int = 5,
                             damping: float = DAMPING):
     """The derived fixture link graph through the bucketed Pregel plan —
@@ -718,9 +740,41 @@ def _pregel_remotes():
         return pa.table({"node": pa.array(nodes, pa.int64()),
                          "rank": pa.array(r, pa.float64())}).cast(_PR)
 
+    # --- personalized (seeded) variants: teleport AND dangling mass go to
+    # the seed distribution s(v) = 1/|seeds ∩ universe| instead of 1/n
+    @ray.remote
+    def seed_count(nodes: np.ndarray, seeds_sorted: np.ndarray) -> int:
+        return int(_seed_mask(nodes, seeds_sorted).sum())
+
+    @ray.remote
+    def init_seeded(nodes: np.ndarray, seeds_sorted: np.ndarray,
+                    n_seeds: int) -> np.ndarray:
+        return _seed_mask(nodes, seeds_sorted) / n_seeds
+
+    @ray.remote
+    def combine_seeded(nodes: np.ndarray, seeds_sorted: np.ndarray,
+                       n_seeds: int, dangling: float, damping: float,
+                       *partials) -> np.ndarray:
+        s = np.zeros(len(nodes), np.float64)
+        for d, c in partials:
+            if len(d):
+                s[np.searchsorted(nodes, d)] += c
+        base = _seed_mask(nodes, seeds_sorted) / n_seeds
+        return (1.0 - damping) * base + damping * (s + dangling * base)
+
     _PREGEL = (partition_block, build_bucket, shard_len, init_ranks,
-               spread, combine, emit)
+               spread, combine, emit, seed_count, init_seeded,
+               combine_seeded)
     return _PREGEL
+
+
+def _seed_mask(nodes: np.ndarray, seeds_sorted: np.ndarray) -> np.ndarray:
+    """Float 0/1 membership of each node in the sorted seed array."""
+    if not len(seeds_sorted) or not len(nodes):
+        return np.zeros(len(nodes), np.float64)
+    idx = np.minimum(np.searchsorted(seeds_sorted, nodes),
+                     len(seeds_sorted) - 1)
+    return (seeds_sorted[idx] == nodes).astype(np.float64)
 
 
 def _bucketed_setup(edges, n_buckets: int | None, partition_block,
@@ -756,7 +810,8 @@ def _bucketed_setup(edges, n_buckets: int | None, partition_block,
 
 def pagerank_pregel(edges, *, iterations: int = 5, damping: float = DAMPING,
                     round_to: int | None = None,
-                    n_buckets: int | None = None):
+                    n_buckets: int | None = None,
+                    seeds=None):
     """Bucketed Pregel PageRank over an arbitrary ``(src, dst)`` edge
     ``Dataset`` — same semantics as :func:`pagerank_edges` with the
     default node universe (distinct src ∪ dst; sinks get uniform
@@ -783,19 +838,40 @@ def pagerank_pregel(edges, *, iterations: int = 5, damping: float = DAMPING,
     ``n_buckets`` defaults to ~1 bucket per 250k edge rows
     (`_state_blocks`) — at 10^9 edges that is 4000 buckets; a toy graph
     collapses to one bucket whose whole iteration is two tasks.
+
+    ``seeds`` switches to PERSONALIZED PageRank (trusted-seed quality
+    propagation, the standard web-curation signal): teleport and
+    dangling mass go to the uniform distribution over
+    seeds ∩ universe instead of all nodes —
+    PR'(v) = (1-d)·s(v) + d·(Σ contribs + D·s(v)). Pages unreachable
+    from any seed converge to rank 0. The seed array is broadcast once
+    (it is small — trusted domains, not the corpus).
     """
     import ray
     import ray.data as rd
 
-    (partition_block, build_bucket, shard_len, init_ranks,
-     spread, combine, emit) = _pregel_remotes()
+    (partition_block, build_bucket, shard_len, init_ranks, spread,
+     combine, emit, seed_count, init_seeded,
+     combine_seeded) = _pregel_remotes()
 
     states, node_refs, B = _bucketed_setup(edges, n_buckets,
                                            partition_block, build_bucket)
     if B == 0:
         return rd.from_arrow(_PR.empty_table())
     n = int(sum(ray.get([shard_len.remote(nd) for nd in node_refs])))
-    ranks = [init_ranks.remote(nd, n) for nd in node_refs]
+    if seeds is not None:
+        # personalized PageRank: teleport AND dangling mass go to the
+        # seed distribution (1/|seeds ∩ universe| on seeds, 0 elsewhere);
+        # out-of-universe seeds carry no mass, by normalization
+        seeds_sorted = np.unique(np.asarray(seeds, dtype=np.int64))
+        n_seeds = int(sum(ray.get([seed_count.remote(nd, seeds_sorted)
+                                   for nd in node_refs])))
+        if n_seeds == 0:
+            raise ValueError("no seed node is in the graph's node universe")
+        ranks = [init_seeded.remote(nd, seeds_sorted, n_seeds)
+                 for nd in node_refs]
+    else:
+        ranks = [init_ranks.remote(nd, n) for nd in node_refs]
 
     teleport = (1.0 - damping) / n
     for _ in range(iterations):
@@ -803,10 +879,16 @@ def pagerank_pregel(edges, *, iterations: int = 5, damping: float = DAMPING,
                     states[b], node_refs[b], ranks[b], B)
                 for b in range(B)]
         dangling = float(sum(ray.get([outs[b][B] for b in range(B)])))
-        share = damping * dangling / n
-        ranks = [combine.remote(node_refs[b], teleport, share, damping,
-                                *[outs[s][b] for s in range(B)])
-                 for b in range(B)]
+        if seeds is not None:
+            ranks = [combine_seeded.remote(node_refs[b], seeds_sorted,
+                                           n_seeds, dangling, damping,
+                                           *[outs[s][b] for s in range(B)])
+                     for b in range(B)]
+        else:
+            share = damping * dangling / n
+            ranks = [combine.remote(node_refs[b], teleport, share, damping,
+                                    *[outs[s][b] for s in range(B)])
+                     for b in range(B)]
     tables = [emit.remote(node_refs[b], ranks[b], round_to)
               for b in range(B)]
     return rd.from_arrow_refs(tables)

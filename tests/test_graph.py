@@ -489,3 +489,52 @@ def test_hits_pregel_empty_and_sink():
           .set_index("node"))
     assert df.loc[0, "auth"] == 0.0 and df.loc[0, "hub"] > 0.0
     assert df.loc[2, "hub"] == 0.0 and df.loc[2, "auth"] > 0.0
+
+
+def test_pagerank_seeded_personalization():
+    """Personalized PageRank: teleport + dangling mass go to the seeds;
+    nodes unreachable from any seed converge to 0; seeds = ALL nodes
+    reproduces uniform PageRank; seeds outside the universe raise."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hunt_ray.pipelines.graph import pagerank_edges, pagerank_pregel
+
+    # 0 -> 1 -> 2, and an isolated pair 3 -> 4 unreachable from seed 0
+    edges = pa.table({"src": pa.array([0, 1, 3], pa.int64()),
+                      "dst": pa.array([1, 2, 4], pa.int64())})
+    seeded = (pagerank_pregel(rd.from_arrow(edges), iterations=8,
+                              seeds=np.array([0]), n_buckets=2)
+              .to_pandas().set_index("node"))
+    assert abs(seeded["rank"].sum() - 1.0) < 1e-9     # mass conserved
+    # the seed-reachable chain 0→1→2 carries all the mass...
+    assert (seeded.loc[[0, 1, 2], "rank"] > 0).all()
+    # ...and the component unreachable from the seed carries exactly none
+    # (3 has no teleport and no inlinks → 0 from iteration 1; 4's only
+    # inflow is d·rank(3) → 0 from iteration 2)
+    assert seeded.loc[3, "rank"] == 0.0
+    assert seeded.loc[4, "rank"] == 0.0
+    # seeds = every node ≡ the uniform operator
+    allseed = (pagerank_pregel(rd.from_arrow(edges), iterations=4,
+                               seeds=np.arange(5), n_buckets=2)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+    uniform = (pagerank_edges(rd.from_arrow(edges), iterations=4)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+    assert np.allclose(allseed["rank"], uniform["rank"], rtol=1e-12)
+    # a seed set disjoint from the universe is an error, not silence
+    with pytest.raises(ValueError, match="universe"):
+        pagerank_pregel(rd.from_arrow(edges), iterations=1,
+                        seeds=np.array([99]))
+
+
+def test_pagerank_seeded_matches_duckdb(entry):
+    """Driver entry q_pagerank_seeded vs its seeded-teleport unrolled-CTE
+    oracle (exact after the 1e-6 rounding of k-scaled values)."""
+    got = _assert_matches(entry, "q_pagerank_seeded")
+    # Σ rank = 1 ⇒ Σ (rank·k) = k = |{doc_id ≡ 0 mod 10}|
+    k = -(-len(got) // 10)
+    assert abs(got.ppr_scaled.sum() - k) < 1e-3
+    seeds = set(range(0, len(got), 10))
+    top = got.nlargest(10, "ppr_scaled").node
+    # seeds dominate the top ranks under seed-restricted teleport
+    assert sum(1 for v in top if v in seeds) >= 5
