@@ -141,8 +141,11 @@ def extract_anchors(html: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, pa.Arra
     s = pl.from_arrow(arr)
     if isinstance(s, pl.DataFrame):
         s = s.to_series()
-    full = s.str.extract_all(r'<a\s[^>]*?href="[^"]*"[^>]*>[^<]*</a>')
-    hrefs = full.list.eval(pl.element().str.extract(r'href="([^"]*)"', 1))
+    # '>' is disallowed inside the href value ([^">]*): with [^"]* an
+    # href like test://5>x would make the outer [^>]*> close early and
+    # the anchor capture swallow the attribute tail ('x">real text').
+    full = s.str.extract_all(r'<a\s[^>]*?href="[^">]*"[^>]*>[^<]*</a>')
+    hrefs = full.list.eval(pl.element().str.extract(r'href="([^">]*)"', 1))
     anchors = full.list.eval(pl.element().str.extract(r'>([^<]*)</a>', 1))
     out = []
     for col in (hrefs, anchors):

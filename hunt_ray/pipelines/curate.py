@@ -1022,23 +1022,38 @@ def pack_sequences(sf_dir: str, *, seq_len: int = 2048, n_shards: int = 8,
                       hash=hash)
 
 
+def _keyed_for_pack(batch: pa.Table, seed: int, n_shards: int,
+                    hash: str) -> pa.Table:
+    """One (doc_id, text) batch → the short packing rows
+    (doc_id, shard, skey, n_tokens); the text dies here, before any
+    exchange."""
+    keys = _shuffle_keys(batch, seed, n_shards, hash)
+    text = batch.column("text")
+    text = (text.combine_chunks()
+            if isinstance(text, pa.ChunkedArray) else text)
+    import pyarrow.compute as pc
+    low = pl.from_arrow(pc.utf8_lower(text))
+    nt = (low.str.count_matches("[a-z0-9_]+")
+          .cast(pl.Int64).fill_null(0))
+    return keys.append_column("n_tokens", nt.to_arrow())
+
+
 def _pack_docs(ds, *, seq_len: int, n_shards: int, seed: int, hash: str):
     """Packing core over any (doc_id, text) Dataset — see
     :func:`pack_sequences` for semantics and scale shape."""
+    keyed_ds = ds.map_batches(
+        lambda b: _keyed_for_pack(b, seed, n_shards, hash),
+        batch_format="pyarrow")
+    return _pack_keyed(keyed_ds, seq_len=seq_len)
+
+
+def _pack_keyed(keyed_ds, *, seq_len: int):
+    """The pack stage proper: one shard-keyed co-location sort of the
+    short (doc_id, shard, skey, n_tokens) rows, then the whole-block
+    position/token-cumsum kernel."""
     from ..common.grouped import sorted_groups
 
     L = int(seq_len)
-
-    def keyed(batch: pa.Table) -> pa.Table:
-        keys = _shuffle_keys(batch, seed, n_shards, hash)
-        text = batch.column("text")
-        text = (text.combine_chunks()
-                if isinstance(text, pa.ChunkedArray) else text)
-        import pyarrow.compute as pc
-        low = pl.from_arrow(pc.utf8_lower(text))
-        nt = (low.str.count_matches("[a-z0-9_]+")
-              .cast(pl.Int64).fill_null(0))
-        return keys.append_column("n_tokens", nt.to_arrow())
 
     def pack(batch: pa.Table) -> pa.Table:
         cols = ["doc_id", "shard", "pos", "n_tokens", "start_tok",
@@ -1063,7 +1078,6 @@ def _pack_docs(ds, *, seq_len: int, n_shards: int, seed: int, hash: str):
         return pa.table({c: pa.array(v, pa.int64())
                          for c, v in zip(cols, vals)})
 
-    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
     return sorted_groups(keyed_ds, "shard", pack)
 
 
@@ -1083,41 +1097,53 @@ def training_recipe(sf_dir: str, *, min_tokens: int = 20,
     loads from.
 
     Scale shape: the quality/lang predicate prunes in-map (rows die
-    before any shuffle, as in ``textstats.corpus_clean``); the drop
-    sets are bounded — near-dup cluster losers by the duplicate count,
-    contaminated docs by eval-gram hits — so they broadcast once
-    (``ray.put``) and every batch anti-joins with one vectorized
-    ``np.isin``; packing then pays shuffle_assign's single co-location
-    sort. The corpus streams exactly twice (once into the pair finder,
-    once here). ``pair_source="exact"`` (Σ df(g)² shingle Jaccard)
-    keeps the whole recipe DuckDB-oracled end to end;
-    ``pair_source="minhash"`` is the web-scale swap
-    (``dedup.minhash_components`` — same loser-set contract,
-    probabilistic pair recall measured in q_dedup_recall).
+    before any shuffle, as in ``textstats.corpus_clean``) and the text
+    dies in the same map — survivors leave it as short
+    (doc_id, shard, skey, n_tokens) rows; the drop sets (near-dup
+    cluster losers, contaminated docs) stay DATASETS of bare doc_id
+    rows and are removed by a distributed doc_id-keyed co-location
+    anti-join — nothing corpus-proportional ever lands on the driver
+    (at 100 TB the loser set is billions of ids; the former
+    ``to_pandas()``→``ray.put`` broadcast was the last driver-sized
+    object in the tree). Packing then pays shuffle_assign's single
+    shard-keyed sort; both exchanges move ≤40-byte rows. The corpus
+    streams exactly twice (once into the pair finder, once here).
+    ``pair_source="exact"`` (Σ df(g)² shingle Jaccard) keeps the whole
+    recipe DuckDB-oracled end to end; ``pair_source="minhash"`` is the
+    web-scale swap (``dedup.minhash_components`` — same loser-set
+    contract, probabilistic pair recall measured in q_dedup_recall).
     """
-    import ray
     import ray.data as rd
 
+    from ..common.grouped import sorted_groups
     from .dedup import dedup_components, minhash_components
     from .textstats import STOPWORDS
 
-    if pair_source == "minhash":
-        comp = minhash_components(
-            sf_dir, threshold=dedup_threshold).to_pandas()
-    else:
-        comp = dedup_components(sf_dir, threshold=dedup_threshold).to_pandas()
-    losers = comp.loc[comp["doc_id"] != comp["cluster_id"],
-                      "doc_id"].to_numpy()
-    cont = decontaminate(sf_dir, n=decontam_n, eval_mod=eval_mod) \
-        .to_pandas()["doc_id"].to_numpy()
-    drop = np.unique(np.concatenate([losers, cont]).astype(np.int64))
-    drop_ref = ray.put(np.sort(drop))
+    comp = (minhash_components(sf_dir, threshold=dedup_threshold)
+            if pair_source == "minhash"
+            else dedup_components(sf_dir, threshold=dedup_threshold))
+
+    def _drop_rows(ids: np.ndarray) -> pa.Table:
+        z = pa.array(np.zeros(len(ids), np.int64))
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "shard": z, "skey": z, "n_tokens": z,
+            "role": pa.array(np.ones(len(ids), np.int64)),
+        })
+
+    def tag_losers(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        cl = batch.column("cluster_id").to_numpy(zero_copy_only=False)
+        return _drop_rows(ids[ids != cl])
+
+    def tag_cont(batch: pa.Table) -> pa.Table:
+        return _drop_rows(
+            batch.column("doc_id").to_numpy(zero_copy_only=False))
 
     stop = list(STOPWORDS)
     lang_set = list(langs)
 
-    def keep(batch: pa.Table) -> pa.Table:
-        dropped = ray.get(drop_ref)
+    def keep_keyed(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(
             zero_copy_only=False).astype(np.int64)
         df = _flat_tokens(batch)
@@ -1138,15 +1164,35 @@ def training_recipe(sf_dir: str, *, min_tokens: int = 20,
         lang = np.asarray(batch.column("lang").to_pylist(), dtype=object)
         ratio = np.divide(nst, nt, out=np.ones_like(nst), where=nt > 0)
         mask = ((nt >= min_tokens) & (ratio <= max_stopword_ratio)
-                & np.isin(lang, lang_set) & (ids % eval_mod != 0)
-                & ~np.isin(ids, dropped))
-        return batch.filter(pa.array(mask)).select(["doc_id", "text"])
+                & np.isin(lang, lang_set) & (ids % eval_mod != 0))
+        kept = batch.filter(pa.array(mask))
+        keys = _keyed_for_pack(kept, seed, n_shards, hash)
+        return keys.append_column(
+            "role", pa.array(np.zeros(keys.num_rows, np.int64)))
 
-    ds = (rd.read_parquet(_doc_path(sf_dir),
-                          columns=["doc_id", "text", "lang"])
-          .map_batches(keep, batch_format="pyarrow"))
-    return _pack_docs(ds, seq_len=seq_len, n_shards=n_shards, seed=seed,
-                      hash=hash)
+    def anti(batch: pa.Table) -> pa.Table:
+        """doc_id-sorted block of complete groups: drop every group
+        containing a role-1 (loser/contaminated) row, keep the role-0
+        survivors."""
+        if batch.num_rows == 0:
+            return batch.drop_columns(["role"])
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        role = batch.column("role").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        lens = np.diff(np.r_[starts, len(ids)])
+        gmax = np.repeat(np.maximum.reduceat(role, starts), lens)
+        return batch.filter(pa.array((gmax == 0) & (role == 0))) \
+            .drop_columns(["role"])
+
+    drops = (comp.map_batches(tag_losers, batch_format="pyarrow")
+             .union(decontaminate(sf_dir, n=decontam_n,
+                                  eval_mod=eval_mod)
+                    .map_batches(tag_cont, batch_format="pyarrow")))
+    corpus = (rd.read_parquet(_doc_path(sf_dir),
+                              columns=["doc_id", "text", "lang"])
+              .map_batches(keep_keyed, batch_format="pyarrow"))
+    survivors = sorted_groups(corpus.union(drops), "doc_id", anti)
+    return _pack_keyed(survivors, seq_len=seq_len)
 
 
 # ----------------------------------- Bloom decontamination (the scale mode)

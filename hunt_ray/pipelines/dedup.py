@@ -1356,7 +1356,15 @@ def connected_components(pairs, *, max_rounds: int = 32):
         return pa.table({"doc_id": batch.column("key"),
                          "cluster_id": batch.column("label")})
 
-    return labels.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+    # coalesce before the final sort: the per-round materializes hand over
+    # rounds×blocks tiny label blocks, and every downstream consumer
+    # (training_recipe's anti-join union included) pays per-block fixed
+    # cost through its own exchanges — same rationale as the edge
+    # coalesce above, same target sizing.
+    out = labels.map_batches(finish, batch_format="pyarrow")
+    if new_labels.num_blocks() > 4 * target_blocks:
+        out = out.repartition(target_blocks)
+    return out.sort("doc_id")
 
 
 def dedup_components(sf_dir: str, *, threshold: float = 0.75, n: int = 3):

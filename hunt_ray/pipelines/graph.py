@@ -482,10 +482,14 @@ def html_link_edges(pages_dir: str):
             urls = urls.combine_chunks()
         df = pl.from_arrow(pa.table({"src_url": urls, "dst_url": links})) \
                .explode("dst_url").drop_nulls("dst_url")
+        # tolerant suffix parse: malformed urls/hrefs drop their edge
+        # instead of failing the job (oracle mirrors with TRY_CAST)
         out = df.with_columns(
-            src=pl.col("src_url").str.strip_prefix("test://").cast(pl.Int64),
-            dst=pl.col("dst_url").str.strip_prefix("test://").cast(pl.Int64),
-        ).select(["src", "dst"])
+            src=pl.col("src_url").str.strip_prefix("test://")
+                  .cast(pl.Int64, strict=False),
+            dst=pl.col("dst_url").str.strip_prefix("test://")
+                  .cast(pl.Int64, strict=False),
+        ).select(["src", "dst"]).drop_nulls(["src", "dst"])
         return out.to_arrow().cast(_EDGE)
 
     ds = rd.read_parquet(pages_dir, columns=["url", "html"])
@@ -530,8 +534,12 @@ def _anchor_pairs(batch: pa.Table) -> pa.Table:
     hrefs, anchors = extract_anchors(batch.column("html"))
     df = (pl.from_arrow(pa.table({"href": hrefs, "anchor": anchors}))
             .explode(["href", "anchor"]).drop_nulls("href"))
+    # tolerant suffix parse: a malformed href (e.g. test://about) is
+    # dropped, not fatal — this is the real web-graph surface (the
+    # DuckDB oracle mirrors with TRY_CAST)
     df = df.filter(pl.col("href").str.starts_with("test://")).with_columns(
-        dst=pl.col("href").str.strip_prefix("test://").cast(pl.Int64))
+        dst=pl.col("href").str.strip_prefix("test://")
+              .cast(pl.Int64, strict=False)).drop_nulls("dst")
     return df.select(["dst", "anchor"]).to_arrow().cast(
         pa.schema([("dst", pa.int64()), ("anchor", pa.large_string())]))
 
@@ -673,9 +681,15 @@ def _pregel_remotes():
         return tuple(out) if n_buckets > 1 else out[0]
 
     @ray.remote(num_returns=2)
-    def build_bucket(*parts):
-        """Fold one bucket's shards into CSR-ish resident state:
-        (usrc, outdeg, dst sorted by src) + the bucket's sorted node set."""
+    def build_bucket(n_buckets, *parts):
+        """Fold one bucket's shards into CSR-ish resident state + the
+        bucket's sorted node set. Everything iteration-invariant is
+        precomputed here so ``spread`` is gather + reduceat only:
+        the src CSR (usrc/outdeg), the dst-sort permutation and its
+        group starts (dperm/dstarts/ud — a second, dst-sorted view of
+        the same edges), the per-target-bucket index lists over ud
+        (dst_sel), the rank-slot index of each usrc (src_idx) and the
+        dangling slots (no_out)."""
         src = np.concatenate([p[0] for p in parts])
         dst = np.concatenate([p[1] for p in parts])
         nodes = np.unique(np.concatenate([p[2] for p in parts]))
@@ -685,10 +699,26 @@ def _pregel_remotes():
             starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
             usrc = src[starts]
             outdeg = np.diff(np.r_[starts, len(src)])
+            dperm = np.argsort(dst, kind="stable")
+            d_sorted = dst[dperm]
+            dstarts = np.flatnonzero(
+                np.r_[True, d_sorted[1:] != d_sorted[:-1]])
+            ud = d_sorted[dstarts]
         else:
             usrc = np.empty(0, np.int64)
             outdeg = np.empty(0, np.int64)
-        return {"usrc": usrc, "outdeg": outdeg, "dst": dst}, nodes
+            dperm = np.empty(0, np.int64)
+            dstarts = np.empty(0, np.int64)
+            ud = np.empty(0, np.int64)
+        src_idx = np.searchsorted(nodes, usrc)  # usrc ⊆ nodes by h(src)=b
+        has_out = np.zeros(len(nodes), dtype=bool)
+        has_out[src_idx] = True
+        hb = _bucket_of(ud, n_buckets)
+        dst_sel = [np.flatnonzero(hb == t) for t in range(n_buckets)]
+        return {"usrc": usrc, "outdeg": outdeg, "dperm": dperm,
+                "dstarts": dstarts, "ud": ud, "dst_sel": dst_sel,
+                "src_idx": src_idx,
+                "no_out": np.flatnonzero(~has_out)}, nodes
 
     @ray.remote
     def shard_len(nodes: np.ndarray) -> int:
@@ -699,29 +729,22 @@ def _pregel_remotes():
         return np.full(len(nodes), 1.0 / n_total, np.float64)
 
     @ray.remote
-    def spread(state: dict, nodes: np.ndarray, ranks: np.ndarray,
-               n_buckets: int):
+    def spread(state: dict, nodes: np.ndarray, ranks: np.ndarray):
         """Spread this bucket's ranks over its resident out-edges,
         pre-summed per dst (map-side combine), partitioned by h(dst).
-        Returns n_buckets (dst, contrib) partials + the dangling-mass
-        partial scalar (num_returns=n_buckets+1 via .options)."""
-        usrc, outdeg, dst = state["usrc"], state["outdeg"], state["dst"]
-        has_out = np.zeros(len(nodes), dtype=bool)
+        Returns len(dst_sel) (dst, contrib) partials + the dangling-mass
+        partial scalar (num_returns=n_buckets+1 via .options). All the
+        sort/searchsorted work is iteration-invariant and precomputed in
+        ``build_bucket`` — this is gather + reduceat + slicing only."""
+        usrc, outdeg, ud = state["usrc"], state["outdeg"], state["ud"]
         if len(usrc):
-            idx = np.searchsorted(nodes, usrc)  # usrc ⊆ nodes by h(src)=b
-            has_out[idx] = True
-            per_edge = np.repeat(ranks[idx] / outdeg, outdeg)
-            o = np.argsort(dst, kind="stable")
-            d, c = dst[o], per_edge[o]
-            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
-            ud = d[starts]
-            csum = np.add.reduceat(c, starts)
+            per_edge = np.repeat(ranks[state["src_idx"]] / outdeg, outdeg)
+            csum = np.add.reduceat(per_edge[state["dperm"]],
+                                   state["dstarts"])
         else:
-            ud = np.empty(0, np.int64)
             csum = np.empty(0, np.float64)
-        hb = _bucket_of(ud, n_buckets)
-        parts = [(ud[hb == t], csum[hb == t]) for t in range(n_buckets)]
-        dangling = float(ranks[~has_out].sum())
+        parts = [(ud[sel], csum[sel]) for sel in state["dst_sel"]]
+        dangling = float(ranks[state["no_out"]].sum())
         return (*parts, dangling)
 
     @ray.remote
@@ -741,29 +764,35 @@ def _pregel_remotes():
                          "rank": pa.array(r, pa.float64())}).cast(_PR)
 
     # --- personalized (seeded) variants: teleport AND dangling mass go to
-    # the seed distribution s(v) = 1/|seeds ∩ universe| instead of 1/n
+    # the seed distribution s(v) = 1/|seeds ∩ universe| instead of 1/n.
+    # The seed array is ray.put ONCE and turned into a per-bucket
+    # 0/1 membership mask resident in the object store — per iteration
+    # only the mask's ObjectRef travels, never the seed array itself.
     @ray.remote
-    def seed_count(nodes: np.ndarray, seeds_sorted: np.ndarray) -> int:
-        return int(_seed_mask(nodes, seeds_sorted).sum())
+    def seed_base(nodes: np.ndarray, seeds_sorted: np.ndarray) -> np.ndarray:
+        return _seed_mask(nodes, seeds_sorted)
 
     @ray.remote
-    def init_seeded(nodes: np.ndarray, seeds_sorted: np.ndarray,
-                    n_seeds: int) -> np.ndarray:
-        return _seed_mask(nodes, seeds_sorted) / n_seeds
+    def mask_sum(mask: np.ndarray) -> float:
+        return float(mask.sum())
 
     @ray.remote
-    def combine_seeded(nodes: np.ndarray, seeds_sorted: np.ndarray,
+    def init_seeded(mask: np.ndarray, n_seeds: int) -> np.ndarray:
+        return mask / n_seeds
+
+    @ray.remote
+    def combine_seeded(nodes: np.ndarray, mask: np.ndarray,
                        n_seeds: int, dangling: float, damping: float,
                        *partials) -> np.ndarray:
         s = np.zeros(len(nodes), np.float64)
         for d, c in partials:
             if len(d):
                 s[np.searchsorted(nodes, d)] += c
-        base = _seed_mask(nodes, seeds_sorted) / n_seeds
+        base = mask / n_seeds
         return (1.0 - damping) * base + damping * (s + dangling * base)
 
     _PREGEL = (partition_block, build_bucket, shard_len, init_ranks,
-               spread, combine, emit, seed_count, init_seeded,
+               spread, combine, emit, seed_base, mask_sum, init_seeded,
                combine_seeded)
     return _PREGEL
 
@@ -802,7 +831,7 @@ def _bucketed_setup(edges, n_buckets: int | None, partition_block,
             shard_cols[b].append(outs[b])
     states, node_refs = [], []
     for b in range(B):
-        st, nd = build_bucket.remote(*shard_cols[b])
+        st, nd = build_bucket.remote(B, *shard_cols[b])
         states.append(st)
         node_refs.append(nd)
     return states, node_refs, B
@@ -851,7 +880,7 @@ def pagerank_pregel(edges, *, iterations: int = 5, damping: float = DAMPING,
     import ray.data as rd
 
     (partition_block, build_bucket, shard_len, init_ranks, spread,
-     combine, emit, seed_count, init_seeded,
+     combine, emit, seed_base, mask_sum, init_seeded,
      combine_seeded) = _pregel_remotes()
 
     states, node_refs, B = _bucketed_setup(edges, n_buckets,
@@ -862,25 +891,27 @@ def pagerank_pregel(edges, *, iterations: int = 5, damping: float = DAMPING,
     if seeds is not None:
         # personalized PageRank: teleport AND dangling mass go to the
         # seed distribution (1/|seeds ∩ universe| on seeds, 0 elsewhere);
-        # out-of-universe seeds carry no mass, by normalization
+        # out-of-universe seeds carry no mass, by normalization. The
+        # seed array is put in the object store ONCE; each bucket folds
+        # it into a resident membership mask reused every iteration.
         seeds_sorted = np.unique(np.asarray(seeds, dtype=np.int64))
-        n_seeds = int(sum(ray.get([seed_count.remote(nd, seeds_sorted)
-                                   for nd in node_refs])))
+        seeds_ref = ray.put(seeds_sorted)
+        masks = [seed_base.remote(nd, seeds_ref) for nd in node_refs]
+        n_seeds = int(sum(ray.get([mask_sum.remote(m) for m in masks])))
         if n_seeds == 0:
             raise ValueError("no seed node is in the graph's node universe")
-        ranks = [init_seeded.remote(nd, seeds_sorted, n_seeds)
-                 for nd in node_refs]
+        ranks = [init_seeded.remote(m, n_seeds) for m in masks]
     else:
         ranks = [init_ranks.remote(nd, n) for nd in node_refs]
 
     teleport = (1.0 - damping) / n
     for _ in range(iterations):
         outs = [spread.options(num_returns=B + 1).remote(
-                    states[b], node_refs[b], ranks[b], B)
+                    states[b], node_refs[b], ranks[b])
                 for b in range(B)]
         dangling = float(sum(ray.get([outs[b][B] for b in range(B)])))
         if seeds is not None:
-            ranks = [combine_seeded.remote(node_refs[b], seeds_sorted,
+            ranks = [combine_seeded.remote(node_refs[b], masks[b],
                                            n_seeds, dangling, damping,
                                            *[outs[s][b] for s in range(B)])
                      for b in range(B)]
@@ -921,29 +952,48 @@ def _hits_remotes():
             out.append((src[f], dst[f], src[r], dst[r], allnodes[hn == b]))
         return tuple(out) if n_buckets > 1 else out[0]
 
-    def _csr(key: np.ndarray, val: np.ndarray):
-        """Group val by key: (unique keys, group counts, val sorted by key)."""
-        if not len(key):
-            return (np.empty(0, np.int64), np.empty(0, np.int64),
-                    np.empty(0, np.int64))
-        order = np.argsort(key, kind="stable")
-        key, val = key[order], val[order]
-        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
-        return key[starts], np.diff(np.r_[starts, len(key)]), val
+    def _csr(key: np.ndarray, val: np.ndarray, nodes: np.ndarray,
+             n_buckets: int) -> dict:
+        """One orientation's iteration-invariant spread state: the key
+        CSR (ukey/cnt + rank-slot index into nodes), the neighbor-sort
+        permutation and its group starts (perm/nstarts/un — the
+        reduceat plan), and per-target-bucket index lists over un."""
+        if len(key):
+            order = np.argsort(key, kind="stable")
+            key, val = key[order], val[order]
+            starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+            ukey = key[starts]
+            cnt = np.diff(np.r_[starts, len(key)])
+            perm = np.argsort(val, kind="stable")
+            v_sorted = val[perm]
+            nstarts = np.flatnonzero(
+                np.r_[True, v_sorted[1:] != v_sorted[:-1]])
+            un = v_sorted[nstarts]
+        else:
+            ukey = np.empty(0, np.int64)
+            cnt = np.empty(0, np.int64)
+            perm = np.empty(0, np.int64)
+            nstarts = np.empty(0, np.int64)
+            un = np.empty(0, np.int64)
+        hb = _bucket_of(un, n_buckets)
+        return {"ukey": ukey, "cnt": cnt,
+                "kidx": np.searchsorted(nodes, ukey),  # ukey ⊆ nodes
+                "perm": perm, "nstarts": nstarts, "un": un,
+                "sel": [np.flatnonzero(hb == t) for t in range(n_buckets)]}
 
     @ray.remote(num_returns=2)
-    def build_bucket(*parts):
-        """Resident per-bucket state: forward CSR keyed by src (spreads hub
-        → auth) and reverse CSR keyed by dst (spreads auth → hub)."""
+    def build_bucket(n_buckets, *parts):
+        """Resident per-bucket state: forward plan keyed by src (spreads
+        hub → auth) and reverse plan keyed by dst (spreads auth → hub),
+        each with its sort/searchsorted work precomputed so ``spread``
+        is gather + reduceat only."""
         fs = np.concatenate([p[0] for p in parts])
         fd = np.concatenate([p[1] for p in parts])
         rs = np.concatenate([p[2] for p in parts])
         rd_ = np.concatenate([p[3] for p in parts])
         nodes = np.unique(np.concatenate([p[4] for p in parts]))
-        fkey, fcnt, fneigh = _csr(fs, fd)
-        rkey, rcnt, rneigh = _csr(rd_, rs)
-        return {"fkey": fkey, "fcnt": fcnt, "fneigh": fneigh,
-                "rkey": rkey, "rcnt": rcnt, "rneigh": rneigh}, nodes
+        return {"f": _csr(fs, fd, nodes, n_buckets),
+                "r": _csr(rd_, rs, nodes, n_buckets)}, nodes
 
     @ray.remote
     def ones(nodes: np.ndarray) -> np.ndarray:
@@ -953,22 +1003,17 @@ def _hits_remotes():
     def spread(state: dict, nodes: np.ndarray, values: np.ndarray,
                direction: str, n_buckets: int):
         """Each resident edge carries value[key] to its neighbor; pre-sum
-        per neighbor (map-side combine), partition by h(neighbor)."""
-        pre = "f" if direction == "fwd" else "r"
-        key, cnt, neigh = state[pre + "key"], state[pre + "cnt"], state[pre + "neigh"]
-        if len(key):
-            idx = np.searchsorted(nodes, key)   # key ⊆ nodes by h(key)=b
-            per_edge = np.repeat(values[idx], cnt)
-            o = np.argsort(neigh, kind="stable")
-            nb, c = neigh[o], per_edge[o]
-            starts = np.flatnonzero(np.r_[True, nb[1:] != nb[:-1]])
-            un = nb[starts]
-            csum = np.add.reduceat(c, starts)
+        per neighbor (map-side combine), partition by h(neighbor). The
+        sort/searchsorted plan is precomputed in ``build_bucket`` —
+        gather + reduceat + slicing only."""
+        plan = state["f" if direction == "fwd" else "r"]
+        un = plan["un"]
+        if len(plan["ukey"]):
+            per_edge = np.repeat(values[plan["kidx"]], plan["cnt"])
+            csum = np.add.reduceat(per_edge[plan["perm"]], plan["nstarts"])
         else:
-            un = np.empty(0, np.int64)
             csum = np.empty(0, np.float64)
-        hb = _bucket_of(un, n_buckets)
-        parts = [(un[hb == t], csum[hb == t]) for t in range(n_buckets)]
+        parts = [(un[sel], csum[sel]) for sel in plan["sel"]]
         # num_returns=1 keeps a tuple whole — hand back the bare pair
         return parts[0] if n_buckets == 1 else tuple(parts)
 

@@ -1,16 +1,22 @@
 """Multimodal column plumbing: opaque binary payloads through actor pools.
 
-Images/audio/video are opaque ``binary`` columns with typed metadata. The
-decode step is STUBBED (no imaging/audio libraries in this container):
-``FakeDecoder`` parses a deterministic pseudo-header and hashes payload
-windows into a fixed-size feature vector, so the Ray-side plumbing —
-schema, small-batch actor-pool ``map_batches`` over wide binary rows,
-list<float32> feature output layout — is real and tested. Swap
-``FakeDecoder._decode`` for a PIL/ffmpeg call on a real cluster; the
-``NotImplementedError`` path marks the boundary.
+Images/audio/video are opaque ``binary`` columns with typed metadata.
+Two codec tiers:
 
-We exercise the plumbing with the ``pages.html`` binary column (the only
-binary payload in the sandbox corpus).
+* REAL: ``RealDecoder`` / ``RealResizer`` decode actual PNG bytes —
+  via PIL when importable, else the dependency-free pure-numpy codec in
+  :mod:`hunt_ray.pipelines.png` (8-bit gray/RGB/RGBA, all five scanline
+  filters) — extract band-mean features, and emit genuine PNG
+  thumbnails. ``png.synth_png`` generates deterministic real-PNG
+  fixtures so the whole loop is testable in this container. Non-PNG
+  formats (JPEG/audio/video) still raise ``NotImplementedError`` at the
+  clearly-marked boundary — decode what we claim, fail loudly on what
+  we don't.
+* STUB: ``FakeDecoder`` (deterministic pseudo-header + hashed windows)
+  remains the documented fallback for payloads that are not images at
+  all — it exercises the identical plumbing (schema, small-batch
+  actor-pool ``map_batches`` over wide binary rows, list<float32>
+  feature layout) over the ``pages.html`` binary column.
 """
 
 from __future__ import annotations
@@ -78,6 +84,197 @@ class FakeDecoder:
             "feature": pa.array([f.tolist() for f in feats],
                                 pa.list_(pa.float32(), FEATURE_DIM)),
         })
+
+
+class RealDecoder:
+    """Actor-pool stage: REAL image decode → metadata + band-mean
+    features. Uses PIL when importable (the production path on a real
+    cluster); otherwise the built-in pure-numpy PNG codec
+    (:mod:`hunt_ray.pipelines.png`) — genuine pixel decode either way.
+    Payloads that are not a supported image format raise
+    ``NotImplementedError`` (``on_error="raise"``, the default) or are
+    emitted with format='error' and zeroed fields
+    (``on_error="flag"``).
+
+    Codec/import state is resolved ONCE per actor in ``__init__``;
+    batches stay small because binary rows are wide.
+    """
+
+    def __init__(self, feature_dim: int = FEATURE_DIM,
+                 on_error: str = "raise"):
+        if on_error not in ("raise", "flag"):
+            raise ValueError(f"on_error must be 'raise'|'flag', "
+                             f"got {on_error!r}")
+        self.feature_dim = feature_dim
+        self.on_error = on_error
+        try:  # pragma: no cover — PIL absent in this container
+            from PIL import Image
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def _decode(self, payload: bytes):
+        from . import png as _png
+
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            if self._pil is not None:  # pragma: no cover
+                import io
+                im = self._pil.open(io.BytesIO(payload))
+                arr = np.asarray(im)
+                fmt = {"L": "gray", "RGB": "rgb",
+                       "RGBA": "rgba"}.get(im.mode, im.mode.lower())
+                return arr, {"width": im.width, "height": im.height,
+                             "format": fmt}
+            return _png.decode_png(payload)
+        raise NotImplementedError(
+            "unsupported image format (PNG only without PIL; install "
+            "PIL/ffmpeg on a real cluster for JPEG/audio/video)")
+
+    def _features(self, arr: np.ndarray) -> np.ndarray:
+        """feature_dim horizontal band means in [0,1] — a real, exactly
+        recomputable pooled-luminance descriptor."""
+        flat = arr.reshape(arr.shape[0], -1).astype(np.float64)
+        bands = np.array_split(flat, self.feature_dim, axis=0)
+        return np.array([b.mean() / 255.0 if b.size else 0.0
+                         for b in bands], np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column("key").to_pylist()
+        widths, heights, fmts, feats, sizes, psums = [], [], [], [], [], []
+        for p in batch.column("payload").to_pylist():
+            p = p or b""
+            try:
+                arr, meta = self._decode(p)
+            except (NotImplementedError, ValueError):
+                if self.on_error == "raise":
+                    raise
+                widths.append(0); heights.append(0); fmts.append("error")
+                sizes.append(len(p)); psums.append(0)
+                feats.append(np.zeros(self.feature_dim, np.float32))
+                continue
+            widths.append(meta["width"]); heights.append(meta["height"])
+            fmts.append(meta["format"]); sizes.append(len(p))
+            psums.append(int(arr.astype(np.int64).sum()))
+            feats.append(self._features(arr))
+        return pa.table({
+            "key": pa.array(keys, pa.string()),
+            "n_bytes": pa.array(sizes, pa.int64()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "format": pa.array(fmts, pa.string()),
+            "pixel_sum": pa.array(psums, pa.int64()),
+            "feature": pa.array([f.tolist() for f in feats],
+                                pa.list_(pa.float32(), self.feature_dim)),
+        })
+
+
+class RealResizer:
+    """Actor-pool stage: real thumbnailing — decode PNG, nearest-neighbor
+    resample to (thumb_w, thumb_h), re-encode as a genuine PNG. Output
+    rows are bounded (thumb bytes) regardless of input size."""
+
+    def __init__(self, thumb_w: int = 16, thumb_h: int = 16):
+        self.thumb_w, self.thumb_h = thumb_w, thumb_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from . import png as _png
+
+        keys = batch.column("key")
+        outs = []
+        for p in batch.column("payload").to_pylist():
+            arr, _ = _png.decode_png(p or b"")
+            thumb = _png.resize_nearest(arr, self.thumb_w, self.thumb_h)
+            outs.append(_png.encode_png(thumb))
+        return pa.table({
+            "key": keys,
+            "thumb_w": pa.array([self.thumb_w] * batch.num_rows, pa.int32()),
+            "thumb_h": pa.array([self.thumb_h] * batch.num_rows, pa.int32()),
+            "thumb": pa.array(outs, pa.binary()),
+        })
+
+
+def ensure_images(images_dir: str, *, n: int = 200,
+                  shards: int = 4) -> str:
+    """Deterministic real-PNG fixture table: (key, payload, width,
+    height, format, pixel_sum) rows where payload is genuine PNG bytes
+    (``png.synth_png``) and the remaining columns are the expected
+    decode results — written once as partitioned parquet, reused on
+    re-entry (the ensure_linked_pages pattern)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .png import synth_png
+
+    done = os.path.join(images_dir, "_done")
+    if os.path.exists(done):
+        return images_dir
+    os.makedirs(images_dir, exist_ok=True)
+    per = (n + shards - 1) // shards
+    for s in range(shards):
+        keys = list(range(s * per, min((s + 1) * per, n)))
+        rows = [synth_png(k) for k in keys]
+        pq.write_table(pa.table({
+            "key": pa.array([f"img://{k}" for k in keys], pa.string()),
+            "payload": pa.array([r[0] for r in rows], pa.binary()),
+            "width": pa.array([r[1]["width"] for r in rows], pa.int32()),
+            "height": pa.array([r[1]["height"] for r in rows], pa.int32()),
+            "format": pa.array([r[1]["format"] for r in rows], pa.string()),
+            "pixel_sum": pa.array([r[1]["pixel_sum"] for r in rows],
+                                  pa.int64()),
+        }), os.path.join(images_dir, f"part-{s}.parquet"))
+    with open(done, "w") as f:
+        f.write(str(n))
+    return images_dir
+
+
+def decode_images(images_dir: str, *, batch_size: int = 32,
+                  concurrency: tuple[int, int] | int = (1, 4)):
+    """Real-codec actor-pool decode over an images table
+    ((key, payload) parquet; see :func:`ensure_images` for the
+    deterministic fixture): one metadata + band-feature row per image."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(images_dir, columns=["key", "payload"])
+    return ds.map_batches(RealDecoder, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def thumbnail_images(images_dir: str, *, thumb: tuple[int, int] = (16, 16),
+                     batch_size: int = 32,
+                     concurrency: tuple[int, int] | int = (1, 4)):
+    """Real-codec actor-pool thumbnailing: PNG in → smaller PNG out."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(images_dir, columns=["key", "payload"])
+    return ds.map_batches(RealResizer, fn_constructor_args=thumb,
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def image_decode_probe(images_dir: str):
+    """Self-checking end-to-end probe for the REAL codec path: decode
+    every fixture PNG through the actor pool and verify width, height,
+    format AND the full pixel checksum against the values recorded at
+    synthesis time — a wrong byte anywhere in unfiltering flips
+    pixel_sum. Raises on any mismatch; returns the per-image decoded
+    metadata (key, n_bytes, width, height, format, pixel_sum)."""
+    import ray.data as rd
+
+    decoded = decode_images(images_dir).to_pandas()
+    expect = (rd.read_parquet(
+        images_dir, columns=["key", "width", "height", "format",
+                             "pixel_sum"]).to_pandas())
+    j = decoded.merge(expect, on="key", suffixes=("", "_want"))
+    if len(j) != len(expect) or len(decoded) != len(expect):
+        raise AssertionError(
+            f"decode row mismatch: {len(decoded)} vs {len(expect)}")
+    for c in ("width", "height", "format", "pixel_sum"):
+        bad = j[j[c] != j[f"{c}_want"]]
+        if len(bad):
+            raise AssertionError(
+                f"real decode mismatch on {c}: {bad.head(3)}")
+    return decoded.sort_values("key").reset_index(drop=True)
 
 
 def decode_features(pages_dir: str, *, batch_size: int = 64,

@@ -282,11 +282,13 @@ def test_pagerank_html_matches_duckdb(pages_small):
     con = duckdb.connect()
     con.execute(f"""
 CREATE TABLE edges AS
-SELECT CAST(substr(url, 8) AS BIGINT) AS src,
-       CAST(substr(dst_url, 8) AS BIGINT) AS dst
+SELECT TRY_CAST(substr(url, 8) AS BIGINT) AS src,
+       TRY_CAST(substr(dst_url, 8) AS BIGINT) AS dst
 FROM (SELECT url, unnest(regexp_extract_all(decode(html),
              '<a [^>]*?href="([^"]*)"', 1)) AS dst_url
-      FROM read_parquet('{pages_small}/*.parquet'))""")
+      FROM read_parquet('{pages_small}/*.parquet'))
+WHERE TRY_CAST(substr(url, 8) AS BIGINT) IS NOT NULL
+  AND TRY_CAST(substr(dst_url, 8) AS BIGINT) IS NOT NULL""")
     con.execute("CREATE TABLE nodes AS SELECT DISTINCT src AS node FROM edges "
                 "UNION SELECT DISTINCT dst FROM edges")
     n_nodes = con.execute("SELECT count(*) FROM nodes").fetchone()[0]
@@ -372,13 +374,14 @@ WITH atags AS (
   SELECT unnest(regexp_extract_all(
          regexp_replace(decode(html),
                         '<(no)?script[^>]*>.*?</(no)?script>', ' ', 'gs'),
-         '<a\\s[^>]*?href="[^"]*"[^>]*>[^<]*</a>')) AS atag
+         '<a\\s[^>]*?href="[^">]*"[^>]*>[^<]*</a>')) AS atag
   FROM read_parquet('{pages_small}/*.parquet'))
-SELECT CAST(substr(regexp_extract(atag, 'href="([^"]*)"', 1), 8) AS BIGINT) AS dst,
+SELECT TRY_CAST(substr(regexp_extract(atag, 'href="([^">]*)"', 1), 8) AS BIGINT) AS dst,
        regexp_extract(atag, '>([^<]*)</a>', 1) AS anchor,
        count(*)::BIGINT AS n_mentions
 FROM atags
-WHERE regexp_extract(atag, 'href="([^"]*)"', 1) LIKE 'test://%'
+WHERE regexp_extract(atag, 'href="([^">]*)"', 1) LIKE 'test://%'
+  AND TRY_CAST(substr(regexp_extract(atag, 'href="([^">]*)"', 1), 8) AS BIGINT) IS NOT NULL
 GROUP BY 1, 2 ORDER BY dst, anchor""").df()
     assert len(got) == len(want)
     assert list(got.dst) == list(want.dst)

@@ -1050,6 +1050,25 @@ FROM c""").df()
     assert (got["doc_id"] % 19 != 0).all()
 
 
+def test_training_recipe_stays_off_the_driver(ray_session, monkeypatch):
+    """The recipe's drop sets (near-dup losers, contaminated docs) are
+    removed by a distributed doc_id-keyed anti-join — NOTHING in the
+    recipe may materialize a Dataset onto the driver. Enforced by
+    banning Dataset.to_pandas() for the whole build+run and consuming
+    the result with count() only."""
+    import ray.data
+
+    from hunt_ray.pipelines.curate import training_recipe
+
+    def boom(self, *a, **k):  # pragma: no cover — the assertion itself
+        raise AssertionError(
+            "training_recipe materialized a Dataset on the driver")
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", boom)
+    ds = training_recipe(SF)
+    assert ds.count() > 0
+
+
 def test_training_recipe_minhash_pair_source():
     # web-scale pair-source swap: verified minhash pairs are a subset of
     # the exact-Jaccard pairs at the same threshold, so fewer (or equal)
