@@ -723,12 +723,11 @@ def _par_synthesize(df: pl.DataFrame) -> pl.DataFrame:
 
 
 _PAR_ROW = pa.schema([
-    ("bucket", pa.int64()), ("doc_id", pa.int64()), ("ord", pa.int64()),
-    ("par", pa.large_string()),
-])
-_PAR_MARKED = pa.schema([
+    ("bucket", pa.int64()), ("phash", pa.int64()),
     ("doc_id", pa.int64()), ("ord", pa.int64()),
-    ("par", pa.large_string()), ("keep", pa.bool_()),
+])
+_PAR_UNION = pa.schema([
+    ("doc_id", pa.int64()), ("ord", pa.int64()), ("t", pa.large_string()),
 ])
 _PAR_OUT = pa.schema([
     ("doc_id", pa.int64()), ("n_pars", pa.int64()),
@@ -747,15 +746,17 @@ def paragraph_dedup(sf_dir: str, *, min_df: int = 2, num_buckets: int = 32,
     Output: one row per doc — (doc_id, n_pars, n_removed, clean_text) with
     ``clean_text = ''`` when everything was boilerplate.
 
-    Scale shape: two keyed co-location sorts with whole-block vectorized
-    kernels (``sorted_groups``), no driver-side state. The first sort keys
-    on hash(par) % num_buckets so all occurrences of a paragraph land in
-    one group and df = n_unique(doc_id) over par is one polars window
-    kernel; the second keys on doc_id to reassemble pages. Paragraph text
-    rides both shuffles (≈2× corpus bytes — inherent to reassembly; at
-    100 TB the first exchange can be thinned to (hash, doc_id, ord) rows
-    plus a doc-keyed attach of dropped ordinals, the df kernel never needs
-    the text). Bucket count scales with the corpus exactly like
+    Scale shape: the df exchange is THIN — the first co-location sort
+    moves only (bucket, hash64(par), doc_id, ord) rows (~32 B/paragraph;
+    the df kernel never needs the text), and only the *dropped* ordinals
+    come back out of it. Reassembly is a second doc_id-keyed co-location
+    sort of the union {doc text rows (ord = -1)} ∪ {dropped (doc_id, ord)
+    rows}, so the text rides exactly ONE exchange (1× corpus bytes —
+    inherent to reassembly) instead of two. df groups on the 64-bit
+    paragraph hash, not the string — same collision caveat as
+    ``repeated_ngrams``/``decontaminate`` (P(any collision) ≈ n²/2⁶⁵,
+    negligible even at 10⁹ distinct paragraphs; a collision can only
+    over-drop). Bucket count scales with the corpus exactly like
     ``repeated_ngrams``; no bucket ever holds more than its share of
     *distinct* paragraphs, and df counting is linear in the block.
 
@@ -767,47 +768,78 @@ def paragraph_dedup(sf_dir: str, *, min_df: int = 2, num_buckets: int = 32,
 
     from ..common.grouped import sorted_groups
 
+    def _split_pars(docs: pl.DataFrame) -> pl.DataFrame:
+        """(doc_id, t) → exploded (doc_id, ord, par), ord 1-based —
+        shared by both sides so the ordinals always line up."""
+        if synthesize:
+            docs = _par_synthesize(docs)
+        return (docs.with_columns(par=pl.col("t").str.split("\n"))
+                    .select(["doc_id", "par"])
+                    .explode("par")
+                    .with_columns(
+                        ord=pl.col("par").cum_count().over("doc_id")
+                              .cast(pl.Int64)))
+
     def explode(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _PAR_ROW.empty_table()
-        df = pl.from_arrow(batch).rename({"text": "t"})
-        if synthesize:
-            df = _par_synthesize(df)
-        pars = (df.with_columns(par=pl.col("t").str.split("\n"))
-                  .select(["doc_id", "par"])
-                  .explode("par")
-                  .with_columns(
-                      ord=pl.col("par").cum_count().over("doc_id")
-                            .cast(pl.Int64)))
-        bucket = (hash64(pars["par"].to_arrow())
-                  % np.uint64(num_buckets)).astype(np.int64)
-        return (pars.with_columns(bucket=pl.Series("bucket", bucket))
-                    .select(["bucket", "doc_id", "ord", "par"])
-                    .to_arrow().cast(_PAR_ROW))
+        pars = _split_pars(pl.from_arrow(batch).rename({"text": "t"}))
+        ph = hash64(pars["par"].to_arrow())
+        bucket = (ph % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(bucket, pa.int64()),
+            "phash": pa.array(ph.view(np.int64), pa.int64()),
+            "doc_id": pars["doc_id"].to_arrow(),
+            "ord": pars["ord"].to_arrow(),
+        }).cast(_PAR_ROW)
 
-    def mark(batch: pa.Table) -> pa.Table:
+    def drops(batch: pa.Table) -> pa.Table:
+        """Whole hash groups per block: emit ONLY the dropped ordinals."""
         if batch.num_rows == 0:
-            return _PAR_MARKED.empty_table()
-        df = pl.from_arrow(batch).with_columns(
-            keep=pl.col("doc_id").n_unique().over("par") < min_df)
-        return (df.select(["doc_id", "ord", "par", "keep"])
-                  .to_arrow().cast(_PAR_MARKED))
+            return _PAR_UNION.empty_table()
+        df = (pl.from_arrow(batch)
+                .filter(pl.col("doc_id").n_unique().over("phash")
+                        >= min_df)
+                .select(["doc_id", "ord"])
+                .with_columns(t=pl.lit(None, dtype=pl.String)))
+        return df.to_arrow().cast(_PAR_UNION)
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PAR_UNION.empty_table()
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "ord": pa.array(np.full(batch.num_rows, -1), pa.int64()),
+            "t": batch.column("text").cast(pa.large_string()),
+        }).cast(_PAR_UNION)
 
     def rebuild(batch: pa.Table) -> pa.Table:
+        """Doc groups whole per block: re-split each doc's text (cheap,
+        local) and filter out the attached dropped ordinals."""
         if batch.num_rows == 0:
             return _PAR_OUT.empty_table()
-        df = pl.from_arrow(batch).sort(["doc_id", "ord"])
-        out = (df.group_by("doc_id", maintain_order=True)
-                 .agg(n_pars=pl.len().cast(pl.Int64),
-                      n_removed=(~pl.col("keep")).sum().cast(pl.Int64),
-                      clean_text=pl.col("par").filter(pl.col("keep"))
-                                   .str.join("\n")))
+        df = pl.from_arrow(batch)
+        pars = _split_pars(df.filter(pl.col("ord") == -1)
+                             .select(["doc_id", "t"]))
+        dropped = (df.filter(pl.col("ord") >= 0)
+                     .select(["doc_id", "ord"])
+                     .with_columns(dropped=pl.lit(True)))
+        out = (pars.join(dropped, on=["doc_id", "ord"], how="left")
+                   .sort(["doc_id", "ord"])
+                   .group_by("doc_id", maintain_order=True)
+                   .agg(n_pars=pl.len().cast(pl.Int64),
+                        n_removed=pl.col("dropped").fill_null(False)
+                                    .sum().cast(pl.Int64),
+                        clean_text=pl.col("par")
+                                     .filter(pl.col("dropped").is_null())
+                                     .str.join("\n")))
         return out.to_arrow().cast(_PAR_OUT)
 
     ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
-    pars = ds.map_batches(explode, batch_format="pyarrow")
-    return sorted_groups(sorted_groups(pars, "bucket", mark),
-                         "doc_id", rebuild)
+    thin = ds.map_batches(explode, batch_format="pyarrow")
+    drop_rows = sorted_groups(thin, "bucket", drops)
+    text_rows = ds.map_batches(doc_rows, batch_format="pyarrow")
+    return sorted_groups(text_rows.union(drop_rows), "doc_id", rebuild)
 
 
 # ------------------------------------------------------------------ shuffle-export shards
