@@ -138,10 +138,22 @@ def _boost(b: float, x: ScoredDocs) -> ScoredDocs:
 @dataclass
 class ProcessConfig:
     """ProcessConfig (Processor.hs:79-90); defaults word=100/doc=500,
-    rank-identity tests pin both to 0 (= no limit)."""
+    rank-identity tests pin both to 0 (= no limit).
+
+    ``fuzzy_mode`` extends the reference: ``"nocase"`` (default) mirrors
+    the reference quirk of evaluating ``QFuzzy`` as a nocase search
+    (Processor.hs:606-616, the `Query/Fuzzy.hs` generator is never
+    consumed by the processor); ``"expand"`` additionally ORs in a nocase
+    lookup of every variant in ``fuzzy.fuzz(word)``, the variant's
+    entries weighted by ``1/(1+fuzz_score)`` in float32 (closer variants
+    score higher; the base word keeps weight 1). Expansion only ADDS
+    entries, so expanded results are always a superset of nocase results.
+    """
 
     word_limit: int = 100
     doc_limit: int = 500
+    fuzzy_mode: str = "nocase"          # "nocase" (reference) | "expand"
+    fuzzy_config: "object | None" = None  # fuzzy.FuzzyConfig override
 
 
 @dataclass
@@ -208,6 +220,16 @@ class Processor:
                          post.pos_flat, post.pos_offsets)
         return Entry((word,), score, occ)
 
+    def _fuzzy_variants(self, word: str) -> list[tuple[str, np.float32]]:
+        """Deterministic (variant, weight) list for fuzzy_mode="expand":
+        ``fuzzy.fuzz`` output sorted by word, weight = 1/(1+score) f32."""
+        from .fuzzy import fuzz
+
+        fs = fuzz(word, self.config.fuzzy_config)
+        one = F32(1.0)
+        return [(w, F32(one / (one + F32(sc))))
+                for w, sc in sorted(fs.items())]
+
     def _search_cx(self, prefix: bool, tst: str, word: str, cx: str) -> list[Entry]:
         key = self._norm_query_key(cx, word)
         if key is None:
@@ -215,6 +237,16 @@ class Processor:
         op = self._OPMAP[(prefix, tst)]
         raw = self.reader.search_sc(op, cx, key)
         entries = [self._entry_from_postings(cx, w, s, p) for (w, s, p) in raw]
+        if tst == A.FUZZY and self.config.fuzzy_mode == "expand":
+            seen_keys = {key}
+            for w2, weight in self._fuzzy_variants(word):
+                k2 = self._norm_query_key(cx, w2)
+                if k2 is None or k2 in seen_keys:
+                    continue
+                seen_keys.add(k2)
+                for (w, s, p) in self.reader.search_sc(op, cx, k2):
+                    entries.append(self._entry_from_postings(
+                        cx, w, F32(s * weight), p))
         # NB: wordLimit is declared in the reference ProcessConfig but unused
         # by the current query processor (Processor.hs:83) — only docLimit
         # shapes results; we mirror that
@@ -269,10 +301,14 @@ class Processor:
         cxs = self.default_contexts if contexts is None else contexts
         if isinstance(q, (A.QWord, A.QFullWord)):
             prefix = isinstance(q, A.QWord)
+            words = [q.word]
+            if q.op == A.FUZZY and self.config.fuzzy_mode == "expand":
+                words += [w for w, _ in self._fuzzy_variants(q.word)]
             for cx in cxs:
-                key = self._norm_query_key(cx, q.word)
-                if key is not None:
-                    searches.add((self._OPMAP[(prefix, q.op)], cx, key))
+                for w in words:
+                    key = self._norm_query_key(cx, w)
+                    if key is not None:
+                        searches.add((self._OPMAP[(prefix, q.op)], cx, key))
         elif isinstance(q, A.QRange):
             for cx in cxs:
                 nlb = self._norm_query_key(cx, q.lower)

@@ -106,3 +106,77 @@ def test_min_score_kept_on_duplicate_generation():
 def test_tables_match_reference_counts(table):
     # en: 16 pairs (Fuzzy.hs:91-110); de: 18 pairs (113-134)
     assert len(table) in (16, 18)
+
+
+# ------------------------------------------------- fuzzy_mode="expand"
+# (extension beyond the reference: ProcessConfig(fuzzy_mode="expand") ORs
+# the fuzz set into QFuzzy evaluation; default stays the reference's
+# nocase quirk — see ProcessConfig docstring)
+
+
+@pytest.fixture(scope="module")
+def fuzzy_engines(ray_session, pages_small, tmp_path_factory):
+    from hunt_ray.analyze.schema import fixture_schema
+    from hunt_ray.index.build import BuildConfig, build_index
+    from hunt_ray.query.engine import SearchEngine
+    from hunt_ray.query.processor import ProcessConfig
+
+    idx = str(tmp_path_factory.mktemp("fuzzidx"))
+    build_index(pages_small, idx,
+                BuildConfig(schema=fixture_schema(), num_partitions=2,
+                            salt_buckets=2, batch_size=64,
+                            analyzer_concurrency=2))
+    default = SearchEngine(idx)
+    expand = SearchEngine(idx, ProcessConfig(word_limit=0, doc_limit=0,
+                                             fuzzy_mode="expand"))
+    return default, expand
+
+
+def _urls_scores(engine, q):
+    return {h.url: h.score for h in engine.search(q, limit=0).result}
+
+
+def test_fuzzy_expand_non_fuzzy_queries_identical(fuzzy_engines):
+    """Parity: the expand mode only touches QFuzzy; every other query
+    evaluates bit-identically to the default (reference) config."""
+    default, expand = fuzzy_engines
+    for q in ("brain", "!mission", "title:pinky", "brain OR mission",
+              '"take over the world"'):
+        assert _urls_scores(default, q) == _urls_scores(expand, q), q
+
+
+def test_fuzzy_expand_is_superset_of_nocase(fuzzy_engines):
+    """Expansion only ADDS entries (union-max), so the expanded doc set
+    contains the nocase doc set and no common doc's score decreases."""
+    default, expand = fuzzy_engines
+    for q in ("~brain", "~mission", "~take"):
+        d, e = _urls_scores(default, q), _urls_scores(expand, q)
+        assert set(d) <= set(e), q
+        for url, sc in d.items():
+            assert e[url] >= sc, (q, url)
+
+
+def test_fuzzy_expand_recovers_misspelling(fuzzy_engines):
+    """'brrain' is not in the corpus: default (reference quirk) finds
+    nothing, expand finds exactly the '~brain' docs via the rr→r
+    replacement (weight 1/(1+0.2778…) < 1 ⇒ strictly lower scores)."""
+    default, expand = fuzzy_engines
+    assert _urls_scores(default, "~brrain") == {}
+    got = _urls_scores(expand, "~brrain")
+    want = _urls_scores(default, "~brain")
+    assert set(got) == set(want) and got
+    for url, sc in got.items():
+        assert 0 < sc < want[url]
+
+
+def test_fuzzy_expand_serve_prefetch_covers_variants(fuzzy_engines):
+    """collect_lookups (the serve-mode batched prefetch) must include the
+    expansion keys, or remote evaluation would re-issue per-key RPCs."""
+    from hunt_ray.query.parser import parse_query
+
+    default, expand = fuzzy_engines
+    q = parse_query("~brrain")
+    searches_d, _ = default.processor.collect_lookups(q)
+    searches_e, _ = expand.processor.collect_lookups(q)
+    assert searches_d < searches_e
+    assert any(key == "brain" for (_op, _cx, key) in searches_e)
