@@ -9,10 +9,16 @@ postings. Both scorers consume the same partitioned index.
 - idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))   (Lucene/Robertson variant —
   non-negative, so WAND upper bounds are valid)
 - score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
-- term upper bound: ub(t) = idf(t) · max_tf·(k1+1) / (max_tf + k1·(1−b))
-  (dl → 0 bound, max_tf from the dictionary)
-- block-max: per 128-doc block max tf computed at postings load, used to
-  skip pivots whose block-level bound can't beat the current threshold
+- local mode precomputes the per-posting score at postings load (it is
+  static given tf, dl, df), so ub(t) and the per-128-doc block bounds are
+  the EXACT maxima of realized scores — the tightest valid WAND bounds —
+  and query-time scoring is searchsorted + gather + add. All pruning
+  rules drop strictly-below-θ only (exact bounds can tie).
+- serve mode keeps the analytic dl→0 bound
+  ub(t) = idf(t) · max_tf·(k1+1) / (max_tf + k1·(1−b)) — doclens live on
+  shard actors and are fetched lazily per scoring batch.
+- block-max: interval-merged block skipping (see search_block_max), used
+  to drop whole posting blocks that can't beat the current threshold
 
 Arithmetic is float64 with a fixed per-doc term-summation order (dictionary
 term order), so the exhaustive scorer, the WAND scorer and the DuckDB SQL
@@ -41,6 +47,13 @@ class _TermPostings:
     tfs: np.ndarray        # float64
     block_last: np.ndarray  # last doc id per block
     block_ub: np.ndarray    # per-block score upper bound
+    scores: np.ndarray | None = None  # precomputed per-posting BM25
+    # (local mode: the per-posting score idf·tf·(k1+1)/(tf+norm(dl)) is
+    # static, so it is computed ONCE at postings load — queries reduce to
+    # searchsorted + gather + add, and ub/block_ub are the EXACT maxima
+    # of realized scores, i.e. the tightest valid WAND bounds. Serve mode
+    # keeps the analytic dl→0 bounds: doclens live on shard actors and
+    # are fetched lazily per scoring batch.)
 
 
 class BM25Engine:
@@ -126,15 +139,31 @@ class BM25Engine:
         df = len(doc_ids)
         idf = math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
         k1, b = self.k1, self.b
-        max_tf = float(tfs.max()) if df else 0.0
-        ub = idf * (max_tf * (k1 + 1.0)) / (max_tf + k1 * (1.0 - b)) if df else 0.0
-        # per-block metadata for block-max pruning
-        nblocks = (df + BLOCK - 1) // BLOCK
         starts = np.arange(0, df, BLOCK)
         block_last = doc_ids[np.minimum(starts + BLOCK - 1, df - 1)]
-        bmax = np.maximum.reduceat(tfs, starts)
-        block_ub = idf * (bmax * (k1 + 1.0)) / (bmax + k1 * (1.0 - b))
-        tp = _TermPostings(term_lc, idf, ub, doc_ids, tfs, block_last, block_ub)
+        if self._doclen is not None:
+            # local mode: precompute per-posting scores (identical
+            # expression and element order to _tf_score's on-the-fly path,
+            # so every mode stays bit-identical to the SQL oracle); bounds
+            # become the exact maxima of realized scores
+            dl = self._doclen[np.searchsorted(self._doc_id_sorted, doc_ids)]
+            scores = idf * (tfs * (k1 + 1.0)) / (
+                tfs + k1 * (1.0 - b + b * dl / self.avgdl))
+            ub = float(scores.max()) if df else 0.0
+            block_ub = np.maximum.reduceat(scores, starts) if df else \
+                np.empty(0, dtype=np.float64)
+        else:
+            # serve mode: analytic dl→0 bounds (strictly above any
+            # realized score for dl>0), scores computed lazily per batch
+            scores = None
+            max_tf = float(tfs.max()) if df else 0.0
+            ub = idf * (max_tf * (k1 + 1.0)) / (max_tf + k1 * (1.0 - b)) \
+                if df else 0.0
+            bmax = np.maximum.reduceat(tfs, starts) if df else \
+                np.empty(0, dtype=np.float64)
+            block_ub = idf * (bmax * (k1 + 1.0)) / (bmax + k1 * (1.0 - b))
+        tp = _TermPostings(term_lc, idf, ub, doc_ids, tfs, block_last,
+                           block_ub, scores)
         self._term_cache[term_lc] = tp
         return tp
 
@@ -172,6 +201,8 @@ class BM25Engine:
         return tfs + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
 
     def _tf_score(self, tp: _TermPostings, sel: np.ndarray | slice) -> np.ndarray:
+        if tp.scores is not None:
+            return tp.scores[sel]
         tfs = tp.tfs[sel]
         dids = tp.doc_ids[sel]
         return tp.idf * (tfs * (self.k1 + 1.0)) / self._norm_denominator(tfs, dids)
@@ -195,9 +226,15 @@ class BM25Engine:
         n = len(doc_ids)
         if n == 0:
             return []
-        # full (score desc, doc_id asc) sort so boundary ties are
-        # deterministic and match the WAND heap's tie-breaking
-        order = np.lexsort((doc_ids, -scores))[: min(k, n)]
+        kk = min(k, n)
+        if n > 4 * kk:
+            # O(n) select of the kth-largest score, then sort only the
+            # ≥-threshold docs — keeping EVERY tie at the threshold, so the
+            # (score desc, doc_id asc) result is identical to a full sort
+            thresh = np.partition(scores, n - kk)[n - kk]
+            keep = scores >= thresh
+            doc_ids, scores = doc_ids[keep], scores[keep]
+        order = np.lexsort((doc_ids, -scores))[:kk]
         return [(int(doc_ids[i]), float(scores[i])) for i in order]
 
     # -- WAND -------------------------------------------------------
@@ -269,7 +306,10 @@ class BM25Engine:
             pivot_idx = None
             for pos, i in enumerate(live):
                 acc += terms[i].ub
-                if acc > threshold:
+                # >= (not >): local-mode ubs are exact maxima, so a doc
+                # can realize acc exactly and still win the doc_id
+                # tie-break against the heap's kth entry
+                if acc >= threshold:
                     pivot_idx = pos
                     break
             if pivot_idx is None:
@@ -278,17 +318,24 @@ class BM25Engine:
             if pivot_doc >= INF:
                 break
             if cur_doc(live[0]) == pivot_doc:
+                # every live term whose cursor sits AT the pivot contributes
+                # to its score — the refinement bound (and the skip-advance)
+                # must cover them all, not just the Σub prefix
+                last = pivot_idx
+                while last + 1 < len(live) and cur_doc(live[last + 1]) == pivot_doc:
+                    last += 1
                 # block-max refinement: tighter per-block bound at the pivot
                 if block_max and len(heap) >= k:
                     bub = 0.0
-                    for i in live[: pivot_idx + 1]:
+                    for i in live[: last + 1]:
                         tp = terms[i]
                         bi = int(np.searchsorted(tp.block_last, np.uint64(pivot_doc)))
                         if bi < len(tp.block_ub):
                             bub += float(tp.block_ub[bi])
-                    if bub <= threshold:
-                        # this block can't beat the threshold → skip the doc
-                        for i in live[: pivot_idx + 1]:
+                    if bub < threshold:
+                        # this block can't beat (or tie) the threshold →
+                        # skip the doc; strict < for exact local-mode bounds
+                        for i in live[: last + 1]:
                             advance_to(i, pivot_doc + 1)
                         continue
                 # all cursors up to pivot aligned → score it
@@ -327,77 +374,132 @@ class BM25Engine:
         the per-doc Python loop of classic WAND would dominate latency.
         """
         terms = [tp for t in self._query_terms_prefetched(query) if (tp := self._load_term(t))]
-        pruned = self._maxscore_candidates(terms, k)
-        if pruned is None:
+        if not terms:
             return []
-        cand, _theta, _full = pruned
+        theta, binding = self._theta_seed(terms, k)
+        essential = self._essential_terms(terms, theta, binding)
+        cand = self._union_ids([tp.doc_ids for tp in essential])
         scores = self._score_docs(terms, cand)
         return self._top_k(cand, scores, k)
 
-    def _maxscore_candidates(self, terms: list[_TermPostings], k: int
-                             ) -> tuple[np.ndarray, float, bool] | None:
-        """MaxScore candidate generation shared by the pruned scorers.
+    _SEED = 256
 
-        Returns (candidate doc ids, threshold θ, θ_is_binding) or None for
-        an empty result. θ_is_binding is True when ≥k docs provably score
-        ≥ θ (the seed supplied k full scores), so stricter filters may
-        drop candidates bounded below θ without losing exactness.
+    def _theta_seed(self, terms: list[_TermPostings], k: int
+                    ) -> tuple[float, bool]:
+        """Threshold seeding: (θ, binding) where binding means ≥k docs
+        PROVABLY score ≥ θ, so pruning below θ is exact (with strict-<
+        drop rules everywhere, since local-mode bounds are exact maxima).
+
+        Local mode seeds from the precomputed per-posting scores:
+        θ₁ = max over terms of the term's kth-largest single-term score
+        (a doc's full score ≥ any of its single-term scores — O(df)
+        selects, no scoring), tightened by θ₂ = kth-largest FULL score
+        over the rarest term's top-_SEED postings (a gather per term over
+        ≤_SEED ids). Serve mode (no precomputed scores) falls back to
+        full-scoring the rarest term's postings — the pre-round-5 seed.
         """
-        if not terms:
-            return None
+        if any(tp.scores is None for tp in terms):
+            rarest = min(terms, key=lambda tp: len(tp.doc_ids))
+            seed_ids = rarest.doc_ids
+            if len(seed_ids) == 0:
+                return -math.inf, False
+            seed_scores = self._score_docs(terms, seed_ids)
+            kk = min(k, len(seed_ids))
+            theta = float(np.partition(seed_scores, len(seed_scores) - kk)
+                          [len(seed_scores) - kk]) \
+                if len(seed_scores) > kk else float(seed_scores.min())
+            return theta, len(seed_ids) >= k
+        theta, binding = -math.inf, False
+        for tp in terms:
+            n = len(tp.scores)
+            if n >= k:
+                t = float(np.partition(tp.scores, n - k)[n - k])
+                theta, binding = max(theta, t), True
+        rarest = min(terms, key=lambda tp: len(tp.doc_ids))
+        n = len(rarest.doc_ids)
+        if n and len(terms) > 1:
+            m = min(self._SEED, n)
+            idx = np.argpartition(rarest.scores, n - m)[n - m:]
+            seed_ids = np.sort(rarest.doc_ids[idx])
+            totals = self._score_docs(terms, seed_ids)
+            if m >= k:
+                t2 = float(np.partition(totals, m - k)[m - k])
+                theta, binding = max(theta, t2), True
+        return theta, binding
+
+    @staticmethod
+    def _essential_terms(terms: list[_TermPostings], theta: float,
+                         binding: bool) -> list[_TermPostings]:
+        """MaxScore split: the longest low-ub suffix with Σ ub < θ is
+        non-essential (docs containing only those terms provably score
+        below the kth result; STRICT < so an exact-bound tie stays a
+        candidate and can win the doc_id tie-break)."""
         order_ub = sorted(range(len(terms)), key=lambda i: -terms[i].ub)
-        rarest = min(range(len(terms)), key=lambda i: len(terms[i].doc_ids))
-        seed_ids = terms[rarest].doc_ids
-        if len(seed_ids) == 0:
-            return None
-        seed_scores = self._score_docs(terms, seed_ids)
-        kk = min(k, len(seed_ids))
-        theta = float(np.partition(seed_scores, len(seed_scores) - kk)[len(seed_scores) - kk]) \
-            if len(seed_scores) > kk else float(seed_scores.min())
-        theta_binding = len(seed_ids) >= k
         n_essential = len(terms)
-        if theta_binding:
-            # longest low-ub suffix with Σ ub ≤ θ is non-essential. Only
-            # valid when the seed supplied k full scores: with an unfilled
-            # top-k, docs scoring below θ still belong in the result, so
-            # dropping their only terms would lose them.
-            ubs_sorted = [terms[i].ub for i in order_ub]
+        if binding:
             suffix = 0.0
             for j in range(len(terms) - 1, -1, -1):
-                if suffix + ubs_sorted[j] <= theta:
-                    suffix += ubs_sorted[j]
+                if suffix + terms[order_ub[j]].ub < theta:
+                    suffix += terms[order_ub[j]].ub
                     n_essential = j
                 else:
                     break
-        essential = [terms[i] for i in order_ub[:max(1, n_essential)]]
-        cand = np.union1d(np.concatenate([tp.doc_ids for tp in essential]), seed_ids)
-        return cand, theta, theta_binding
+        return [terms[i] for i in order_ub[:max(1, n_essential)]]
+
+    @staticmethod
+    def _union_ids(id_arrays: list[np.ndarray]) -> np.ndarray:
+        if len(id_arrays) == 1:
+            return id_arrays[0]
+        return np.unique(np.concatenate(id_arrays))
 
     def search_block_max(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Vectorized block-max WAND — exact top-k, numpy throughout.
 
-        On top of the MaxScore candidate set, each candidate is bounded by
-        Σ_t block_ub(t, block that could contain d) via one searchsorted
-        per term over the per-block metadata (BLOCK-doc blocks built at
-        postings load; the on-disk analog is the per-chunk max_tf /
-        last_doc_id columns in POSTINGS_SCHEMA). Candidates bounded below
-        θ are dropped before full scoring — valid because the bound is an
-        upper bound on the true score and θ is only treated as binding
-        when ≥k docs provably score ≥ θ. Results are bit-identical to the
-        exhaustive scorer (same _score_docs, same tie-break)."""
+        Block skipping at INTERVAL granularity: merge every term's
+        per-block last-doc-id boundaries into one sorted array B (interval
+        i = (B[i-1], B[i]]; ~Σdf/128 entries), bound each interval by
+        Σ_t block_ub(t, covering block) — one searchsorted per term over
+        B, not over the candidate docs — and drop whole posting blocks of
+        the essential terms whose every interval is bounded strictly below
+        θ. Only surviving blocks' doc ids are unioned and fully scored.
+        Because every term's boundaries are in B, no block straddles an
+        interval, so the covering block per interval is exact. (The
+        on-disk analog of block_last/block_ub is the per-chunk max_tf /
+        last_doc_id columns in POSTINGS_SCHEMA.) Dropped docs are bounded
+        strictly below θ with ≥k docs provably ≥ θ, so results stay
+        bit-identical to the exhaustive scorer (same _score_docs, same
+        tie-break)."""
         terms = [tp for t in self._query_terms_prefetched(query) if (tp := self._load_term(t))]
-        pruned = self._maxscore_candidates(terms, k)
-        if pruned is None:
+        if not terms:
             return []
-        cand, theta, theta_binding = pruned
-        if theta_binding and len(cand) > k:
-            bound = np.zeros(len(cand), dtype=np.float64)
+        theta, binding = self._theta_seed(terms, k)
+        essential = self._essential_terms(terms, theta, binding)
+        if binding and any(len(tp.block_ub) > 1 for tp in essential):
+            B = np.unique(np.concatenate([tp.block_last for tp in terms]))
+            ubi = np.zeros(len(B), dtype=np.float64)
             for tp in terms:
-                bi = np.searchsorted(tp.block_last, cand, side="left")
+                bi = np.searchsorted(tp.block_last, B, side="left")
                 valid = bi < len(tp.block_ub)
-                if valid.any():
-                    bound[valid] += tp.block_ub[bi[valid]]
-            cand = cand[bound >= theta]
+                ubi[valid] += tp.block_ub[bi[valid]]
+            keep = ubi >= theta
+            ckeep = np.concatenate(([0], np.cumsum(keep)))
+            parts = []
+            for tp in essential:
+                # interval span of block j: (prev block_last, block_last]
+                hi = np.searchsorted(B, tp.block_last, side="left")
+                lo = np.empty_like(hi)
+                lo[0] = 0
+                lo[1:] = np.searchsorted(B, tp.block_last[:-1], side="right")
+                blk_keep = (ckeep[hi + 1] - ckeep[lo]) > 0
+                if blk_keep.all():
+                    parts.append(tp.doc_ids)
+                    continue
+                sizes = np.full(len(tp.block_last), BLOCK, dtype=np.int64)
+                sizes[-1] = len(tp.doc_ids) - BLOCK * (len(sizes) - 1)
+                parts.append(tp.doc_ids[np.repeat(blk_keep, sizes)])
+            cand = self._union_ids(parts)
+        else:
+            cand = self._union_ids([tp.doc_ids for tp in essential])
         scores = self._score_docs(terms, cand)
         return self._top_k(cand, scores, k)
 
@@ -410,9 +512,7 @@ class BM25Engine:
             hit = tp.doc_ids[pos_c] == doc_ids
             if hit.any():
                 idx = pos_c[hit]
-                tfs = tp.tfs[idx]
-                sc = tp.idf * (tfs * (self.k1 + 1.0)) / self._norm_denominator(tfs, tp.doc_ids[idx])
-                totals[hit] += sc
+                totals[hit] += self._tf_score(tp, idx)
         return totals
 
     _MODES = ("maxscore", "wand", "exhaustive")
