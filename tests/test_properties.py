@@ -289,15 +289,28 @@ def test_bm25_scorers_identical_on_random_postings(term_models, k):
                                    block_last, block_ub))
     if not terms:
         return
+    # the same models with local-mode precomputed per-posting scores and
+    # EXACT (tie-capable) ub/block_ub — the strict-< pruning rules must
+    # keep every mode identical on adversarial ties in both variants
+    terms_exact = []
     for tp in terms:
-        eng._term_cache[tp.term] = tp
-    eng._query_terms = lambda q: [tp.term for tp in terms]
+        starts = np.arange(0, len(tp.doc_ids), BLOCK)
+        dl = doclen[tp.doc_ids.astype(np.int64)]
+        scores = tp.idf * (tp.tfs * 2.2) / (
+            tp.tfs + 1.2 * (0.25 + 0.75 * dl / eng.avgdl))
+        terms_exact.append(_TermPostings(
+            tp.term, tp.idf, float(scores.max()), tp.doc_ids, tp.tfs,
+            tp.block_last, np.maximum.reduceat(scores, starts), scores))
 
-    ex = eng.search_exhaustive("q", k)
-    assert eng.search_maxscore("q", k) == ex
-    assert eng.search_block_max("q", k) == ex
-    assert eng.search_wand_daat("q", k, block_max=True) == ex
-    assert eng.search_wand_daat("q", k, block_max=False) == ex
+    for variant in (terms, terms_exact):
+        eng._term_cache = {tp.term: tp for tp in variant}
+        eng._query_terms = lambda q, v=variant: [tp.term for tp in v]
+
+        ex = eng.search_exhaustive("q", k)
+        assert eng.search_maxscore("q", k) == ex
+        assert eng.search_block_max("q", k) == ex
+        assert eng.search_wand_daat("q", k, block_max=True) == ex
+        assert eng.search_wand_daat("q", k, block_max=False) == ex
 
 
 u32 = st.integers(min_value=0, max_value=2**32 - 1)
