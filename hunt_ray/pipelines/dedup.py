@@ -1341,6 +1341,7 @@ def connected_components(pairs, *, max_rounds: int = 32):
     if edges.num_blocks() > 4 * target_blocks:
         edges = edges.repartition(target_blocks).materialize()
     labels = edges.map_batches(init_labels, batch_format="pyarrow")
+    new_labels = None  # set per round; None ⇒ zero rounds ran (no coalesce)
     for _round in range(max_rounds):
         cand = sorted_groups(edges.union(labels), "key", attach)
         new_labels = sorted_groups(cand.union(labels), "key",
@@ -1362,7 +1363,7 @@ def connected_components(pairs, *, max_rounds: int = 32):
     # cost through its own exchanges — same rationale as the edge
     # coalesce above, same target sizing.
     out = labels.map_batches(finish, batch_format="pyarrow")
-    if new_labels.num_blocks() > 4 * target_blocks:
+    if new_labels is not None and new_labels.num_blocks() > 4 * target_blocks:
         out = out.repartition(target_blocks)
     return out.sort("doc_id")
 

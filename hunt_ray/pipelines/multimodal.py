@@ -22,6 +22,8 @@ Two codec tiers:
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -145,7 +147,11 @@ class RealDecoder:
             p = p or b""
             try:
                 arr, meta = self._decode(p)
-            except (NotImplementedError, ValueError):
+            except (NotImplementedError, ValueError, zlib.error,
+                    struct.error, OSError):
+                # the full corrupt-payload surface: ValueError from our
+                # codec's explicit checks, zlib/struct errors from torn
+                # IDAT/IHDR bytes, OSError from PIL (UnidentifiedImageError)
                 if self.on_error == "raise":
                     raise
                 widths.append(0); heights.append(0); fmts.append("error")

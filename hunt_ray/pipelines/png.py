@@ -164,7 +164,7 @@ def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     h, w = arr.shape[:2]
     ys = (np.arange(out_h) * h) // out_h
     xs = (np.arange(out_w) * w) // out_w
-    return arr[np.ix_(ys, xs)] if arr.ndim == 2 else arr[np.ix_(ys, xs)]
+    return arr[np.ix_(ys, xs)]
 
 
 def synth_png(key: int, *, max_dim: int = 48) -> tuple[bytes, dict]:

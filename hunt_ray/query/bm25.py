@@ -210,7 +210,7 @@ class BM25Engine:
     def search_exhaustive(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Vectorized term-at-a-time full scoring (the correctness baseline)."""
         terms = [tp for t in self._query_terms_prefetched(query) if (tp := self._load_term(t))]
-        if not terms:
+        if not terms or k <= 0:
             return []
         uniq = np.unique(np.concatenate([tp.doc_ids for tp in terms]))
         totals = np.zeros(len(uniq), dtype=np.float64)
@@ -224,7 +224,7 @@ class BM25Engine:
     @staticmethod
     def _top_k(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[int, float]]:
         n = len(doc_ids)
-        if n == 0:
+        if n == 0 or k <= 0:
             return []
         kk = min(k, n)
         if n > 4 * kk:
@@ -262,7 +262,7 @@ class BM25Engine:
         same fixed term order, ties broken by doc_id ascending.
         """
         terms = [tp for t in self._query_terms_prefetched(query) if (tp := self._load_term(t))]
-        if not terms:
+        if not terms or k <= 0:
             return []
         nt = len(terms)
         ptr = [0] * nt
@@ -374,7 +374,7 @@ class BM25Engine:
         the per-doc Python loop of classic WAND would dominate latency.
         """
         terms = [tp for t in self._query_terms_prefetched(query) if (tp := self._load_term(t))]
-        if not terms:
+        if not terms or k <= 0:
             return []
         theta, binding = self._theta_seed(terms, k)
         essential = self._essential_terms(terms, theta, binding)
@@ -470,7 +470,7 @@ class BM25Engine:
         bit-identical to the exhaustive scorer (same _score_docs, same
         tie-break)."""
         terms = [tp for t in self._query_terms_prefetched(query) if (tp := self._load_term(t))]
-        if not terms:
+        if not terms or k <= 0:
             return []
         theta, binding = self._theta_seed(terms, k)
         essential = self._essential_terms(terms, theta, binding)

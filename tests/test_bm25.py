@@ -81,3 +81,13 @@ def test_maxscore_equals_exhaustive(bm25, q):
         ex = bm25.search_exhaustive(q, k)
         ms = bm25.search_maxscore(q, k)
         assert ex == ms, f"{q!r} k={k}"
+
+
+def test_k_zero_returns_empty(bm25):
+    """k=0 must return [] on every scorer path (the O(n) partition
+    select in _top_k and the theta seeds need kk >= 1 internally)."""
+    q = QUERIES[0]
+    assert bm25.search_exhaustive(q, 0) == []
+    assert bm25.search_maxscore(q, 0) == []
+    assert bm25.search_block_max(q, 0) == []
+    assert bm25.search_wand_daat(q, 0) == []

@@ -1321,3 +1321,17 @@ def test_incremental_dedup_fast_mode_same_flags(tmp_path):
                              index_dir=str(tmp_path / "b")).to_pandas()
     assert (sorted(zip(md5.doc_id, md5.dup_of))
             == sorted(zip(fast.doc_id, fast.dup_of)))
+
+
+def test_connected_components_zero_rounds(ray_session):
+    """max_rounds=0 returns the initial labels (each node labelled by its
+    min neighbor) instead of crashing in the post-loop coalesce guard."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hunt_ray.pipelines.dedup import connected_components
+
+    ds = rd.from_arrow(pa.table({"doc_a": [2, 5], "doc_b": [1, 6],
+                                 "jaccard": [1.0, 1.0]}))
+    out = connected_components(ds, max_rounds=0).to_pandas()
+    assert set(out["doc_id"]) == {1, 2, 5, 6}

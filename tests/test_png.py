@@ -153,3 +153,32 @@ def test_band_features_recomputable(ray_session, tmp_path):
     want = np.array([b.mean() / 255.0 for b in
                      np.array_split(flat, FEATURE_DIM, axis=0)], np.float32)
     assert (feat == want).all()
+
+
+def test_real_decoder_flag_mode_survives_torn_png(ray_session):
+    """flag mode must absorb the FULL corrupt-payload surface: a valid
+    PNG signature with non-zlib IDAT bytes raises zlib.error (not
+    ValueError) from decode_png — the decode job must not die on it."""
+    from hunt_ray.pipelines.multimodal import RealDecoder
+    from hunt_ray.pipelines.png import encode_png
+    import numpy as np
+
+    from hunt_ray.pipelines.png import _SIG, _chunk
+    import struct
+    import zlib
+
+    good = encode_png(np.zeros((4, 4), np.uint8))
+    # structurally valid chunk stream whose IDAT payload is not a zlib
+    # stream: decode_png reaches zlib.decompress and raises zlib.error
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    torn = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", b"notzlib!") \
+        + _chunk(b"IEND", b"")
+    with pytest.raises(zlib.error):
+        decode_png(torn)
+    batch = pa.table({"key": pa.array(["good", "torn"], pa.string()),
+                      "payload": pa.array([good, torn], pa.binary())})
+    out = RealDecoder(on_error="flag")(batch)
+    assert out.column("format").to_pylist()[0] == "gray"
+    assert out.column("format").to_pylist()[1] == "error"
+    with pytest.raises(Exception):
+        RealDecoder()(batch)  # raise mode still propagates
