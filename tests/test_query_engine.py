@@ -115,3 +115,81 @@ def test_completion_identity_vs_oracle(engine, oracle):
         got = engine.complete(qs, limit=0 or 10**6)
         want = oracle.complete(qs, limit=10**6)
         assert got == want, (qs, got[:5], want[:5])
+
+
+# ------------------------------------------------- randomized grammar fuzz
+# Seeded generator over the fixture vocabulary covering every grammar
+# production the REFERENCE_QUERIES suite samples pointwise: random
+# words/prefixes/case-markers/quotes/boosts, phrases, context and
+# multi-context restriction, NEAR/FOLLOW, ++ sequences, int ranges, and
+# AND / OR / AND NOT / implicit-AND composition to depth 2. Engine vs the
+# independent oracle, full ranked (url, float32-score) identity. One-off
+# sweeps of 400 (seed 20260819, 300-doc corpus) and 1000 (seed 555,
+# seed-777 500-doc corpus) queries ran green before this bounded version
+# was committed.
+
+
+def _fuzz_queries(n: int, seed: int) -> list[str]:
+    import random
+
+    from hunt_ray.fixtures.pages import build_vocab
+
+    vocab = build_vocab(42, 400)
+    words = ["the", "and", "take", "over", "world", "brain", "mission",
+             "pinky", "data", "text", "search", "index", "query",
+             "tonight"] + vocab[40:120]
+    contexts = ["body", "title", "headlines"]
+    rng = random.Random(seed)
+
+    def word():
+        w = rng.choice(words)
+        r = rng.random()
+        if r < 0.15:
+            return w[: max(1, len(w) - rng.randint(1, 2))]
+        if r < 0.25:
+            return "!" + w
+        if r < 0.32:
+            return f'"{w}"'
+        if r < 0.38:
+            return w + "^" + str(rng.choice([2, 0.5, 4.25]))
+        return w
+
+    def atom():
+        r = rng.random()
+        if r < 0.12:
+            ws = [rng.choice(words) for _ in range(rng.randint(2, 3))]
+            return '"' + " ".join(ws) + '"'
+        if r < 0.2:
+            return f"{rng.choice(contexts)}:{word()}"
+        if r < 0.26:
+            return f"{','.join(rng.sample(contexts, 2))}:{word()}"
+        if r < 0.32:
+            op = rng.choice(["NEAR", "FOLLOW"])
+            return f"({word()} {op} {rng.randint(1, 4)} {word()})"
+        if r < 0.36:
+            ws = [rng.choice(words) for _ in range(rng.randint(2, 3))]
+            return " ++ ".join(ws)
+        if r < 0.40:
+            lo, hi = sorted(rng.sample([40, 99, 512, 1024, 6443264], 2))
+            return f"intcontext:[{lo} TO {hi}]"
+        return word()
+
+    def q(depth=0):
+        if depth >= 2 or rng.random() < 0.45:
+            return atom()
+        op = rng.choice([" AND ", " OR ", " AND NOT ", " "])
+        a, b = q(depth + 1), q(depth + 1)
+        return f"({a}{op}{b})" if rng.random() < 0.5 else a + op + b
+
+    return [q() for _ in range(n)]
+
+
+def test_rank_identity_fuzz(engine, oracle):
+    for qs in _fuzz_queries(150, seed=20260819):
+        got = _engine_results(engine, qs)
+        want = oracle.search(parse_query(qs))
+        assert [u for u, _ in got] == [u for u, _ in want], \
+            f"url order differs for {qs!r}"
+        gs = np.asarray([s for _, s in got], dtype=np.float32)
+        ws = np.asarray([s for _, s in want], dtype=np.float32)
+        assert np.array_equal(gs, ws), f"scores differ for {qs!r}"
