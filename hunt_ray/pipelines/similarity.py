@@ -386,7 +386,7 @@ _KMEANS_CACHE: dict = {}
 
 
 def kmeans_fit(sf_dir: str, *, k: int = 8, iters: int = 5,
-               return_history: bool = False):
+               return_history: bool = False, return_labels: bool = False):
     """Distributed spherical k-means (Lloyd's over cosine): centroids
     init = the normalized embeddings of vec_ids 0..k-1 (deterministic and
     order-independent); each iteration is ONE streamed pass — every batch
@@ -397,7 +397,12 @@ def kmeans_fit(sf_dir: str, *, k: int = 8, iters: int = 5,
     centroid. With ``return_history`` also returns the per-pass objective
     (mean assigned cosine, measured BEFORE each update) — Lloyd's makes
     it non-decreasing, which q_kmeans_objective exposes as a
-    self-checking verdict."""
+    self-checking verdict. With ``return_labels`` also returns the sorted
+    init vec_ids the centroid rows correspond to — on a corpus where some
+    of vec_ids 0..k-1 don't exist (arbitrary real ids), the fit proceeds
+    with the centroids that DO exist and the labels name them; on a
+    contiguous corpus labels == arange(k), so downstream cluster ids are
+    unchanged."""
     import ray
     import ray.data as rd
 
@@ -405,11 +410,18 @@ def kmeans_fit(sf_dir: str, *, k: int = 8, iters: int = 5,
     ckey = (os.path.abspath(sf_dir), st.st_size, st.st_mtime_ns, k, iters)
     hit = _KMEANS_CACHE.get(ckey)
     if hit is not None:
-        cents, history = hit
-        return (cents.copy(), list(history)) if return_history else cents.copy()
+        cents, history, labels = hit
+        out = [cents.copy()]
+        if return_history:
+            out.append(list(history))
+        if return_labels:
+            out.append(labels.copy())
+        return out[0] if len(out) == 1 else tuple(out)
 
     qids, cents = _load_queries(sf_dir, tuple(range(k)))
-    cents = cents[np.argsort(qids)]  # centroid c = embedding of vec_id c
+    order = np.argsort(qids)
+    labels = qids[order].astype(np.int64)  # centroid row i ↔ vec_id labels[i]
+    cents = cents[order]
     history: list[float] = []
 
     for _ in range(iters):
@@ -435,9 +447,9 @@ def kmeans_fit(sf_dir: str, *, k: int = 8, iters: int = 5,
 
         ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"])
-        tot_n = np.zeros(k, np.int64)
+        tot_n = np.zeros(len(cents), np.int64)
         tot_v = np.zeros_like(cents)
-        tot_c = np.zeros(k)
+        tot_c = np.zeros(len(cents))
         # a streamed batch may concatenate several tasks' k-row partials —
         # reduce by the cluster column, not by position
         for b in ds.map_batches(partial, batch_format="pyarrow") \
@@ -452,22 +464,35 @@ def kmeans_fit(sf_dir: str, *, k: int = 8, iters: int = 5,
         means = tot_v[live] / tot_n[live, None]
         means /= np.maximum(np.linalg.norm(means, axis=1, keepdims=True), 1e-12)
         cents[live] = means
-    _KMEANS_CACHE[ckey] = (cents.copy(), list(history))
-    return (cents, history) if return_history else cents
+    _KMEANS_CACHE[ckey] = (cents.copy(), list(history), labels.copy())
+    out = [cents]
+    if return_history:
+        out.append(history)
+    if return_labels:
+        out.append(labels)
+    return out[0] if len(out) == 1 else tuple(out)
 
 
-def kmeans_assign(sf_dir: str, cents: np.ndarray):
+def kmeans_assign(sf_dir: str, cents: np.ndarray,
+                  labels: np.ndarray | None = None):
     """Assign every vector to its nearest centroid (cosine): pure map,
     one matmul per batch against the broadcast k×d centroid matrix.
     Returns (vec_id, cluster, cosine) with np.argmax tie-breaking to the
-    LOWEST cluster id (the oracle's ``ORDER BY cos DESC, cluster ASC``)."""
+    LOWEST cluster id (the oracle's ``ORDER BY cos DESC, cluster ASC``).
+    ``labels`` optionally names centroid row i as cluster labels[i]
+    (default: positional 0..k-1) — labels must be ascending so the
+    argmax tie-break stays lowest-label."""
     import ray
     import ray.data as rd
 
+    if labels is None:
+        labels = np.arange(len(cents), dtype=np.int64)
     ref = ray.put(cents)
+    lref = ray.put(np.asarray(labels, dtype=np.int64))
 
     def assign(batch: pa.Table) -> pa.Table:
         cents_ = ray.get(ref)
+        labels_ = ray.get(lref)
         bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         bm = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)
                       ).astype(np.float64)
@@ -476,7 +501,7 @@ def kmeans_assign(sf_dir: str, cents: np.ndarray):
         cl = sims.argmax(axis=1)
         return pa.table({
             "vec_id": pa.array(bids, pa.int64()),
-            "cluster": pa.array(cl.astype(np.int64), pa.int64()),
+            "cluster": pa.array(labels_[cl], pa.int64()),
             "cosine": pa.array(np.round(sims[np.arange(len(cl)), cl], 6),
                                pa.float64())})
 
@@ -487,10 +512,14 @@ def kmeans_assign(sf_dir: str, cents: np.ndarray):
 
 def kmeans_assign_fixed(sf_dir: str, *, k: int = 8):
     """Zero-iteration assignment under the deterministic init centroids
-    (embeddings of vec_ids 0..k-1) — the exactly-SQL-oracled slice of the
-    k-means pipeline (the iterated fit is float-order-dependent across
-    block boundaries, so it is pytest-verified instead)."""
-    return kmeans_assign(sf_dir, kmeans_fit(sf_dir, k=k, iters=0))
+    (embeddings of vec_ids 0..k-1, skipping ids the corpus doesn't have —
+    clusters are labeled by init vec_id, so the result matches the SQL
+    oracle on contiguous AND gappy corpora) — the exactly-SQL-oracled
+    slice of the k-means pipeline (the iterated fit is
+    float-order-dependent across block boundaries, so it is
+    pytest-verified instead)."""
+    cents, labels = kmeans_fit(sf_dir, k=k, iters=0, return_labels=True)
+    return kmeans_assign(sf_dir, cents, labels=labels)
 
 
 def kmeans_objective(sf_dir: str, *, k: int = 10, iters: int = 5):

@@ -696,6 +696,42 @@ def test_kmeans_fit_improves_objective():
     assert objs[1] <= objs[2] + 1e-5
 
 
+def test_kmeans_assign_fixed_gappy_vec_ids(ray_session, tmp_path):
+    """Real corpora don't guarantee vec_ids 0..k-1 exist: with init ids
+    missing (here 3 and 6 of k=8), the fit must proceed with the
+    centroids that DO exist, label clusters by init vec_id (not by
+    centroid position), and still match the SQL oracle exactly. A
+    perturbed-corpus differential sweep (7% random row drops over
+    sf0.001) caught the positional-label divergence this pins down."""
+    import importlib.util
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SF}/embeddings.parquet")
+    vid = src.column("vec_id").to_numpy(zero_copy_only=False)
+    gappy = src.filter(pa.array(~np.isin(vid, [3, 6])))
+    sf = str(tmp_path)
+    pq.write_table(gappy, f"{sf}/embeddings.parquet")
+
+    spec = importlib.util.spec_from_file_location(
+        "ray_entry_km2", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    got = (m.queries()["q_kmeans_assign"](sf).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    want = (con.execute(m.oracle_sql()["q_kmeans_assign"]).df()
+            .sort_values("vec_id").reset_index(drop=True))
+    assert len(got) == len(want) == gappy.num_rows
+    assert set(got.cluster) <= {0, 1, 2, 4, 5, 7}  # init ids, minus gaps
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
 def test_kmeans_objective_monotone(ray_session):
     """The self-checking Lloyd's probe: one row per pass, objective
     non-decreasing (ok everywhere), and iterating actually helped."""
