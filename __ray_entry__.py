@@ -67,24 +67,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                       "l_extendedprice", "l_discount"])
 
         def revenue(batch: pa.Table) -> pa.Table:
-            rev = pc.multiply(batch.column("l_extendedprice"),
-                              pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
-            return batch.append_column("revenue", rev)
+            # price/discount carry exactly 2 decimals: sum the revenue as
+            # an integer at 1e-4 scale so the group total is EXACT and
+            # independent of block/summation order (float64 partial sums
+            # can straddle a 2dp rounding boundary — a 7% row-drop sweep
+            # produced a group whose engine sum rounded to ....34 while
+            # DuckDB's scan-order sum rounded to ....33); q_events_range
+            # uses the same integer-cent pattern
+            p = pc.cast(pc.round(pc.multiply(
+                batch.column("l_extendedprice"), pa.scalar(100.0))),
+                pa.int64())
+            d = pc.cast(pc.round(pc.multiply(
+                batch.column("l_discount"), pa.scalar(100.0))), pa.int64())
+            rev4 = pc.multiply(p, pc.subtract(pa.scalar(100, pa.int64()), d))
+            return batch.append_column("rev4", rev4)
 
         from ray.data.aggregate import Count, Sum
 
         out = (ds.map_batches(revenue, batch_format="pyarrow")
                .groupby(["l_returnflag", "l_linestatus"])
                .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                          Sum("revenue", alias_name="sum_revenue"),
+                          Sum("rev4", alias_name="rev4"),
                           Count(alias_name="n")))
 
         def round_cols(batch: pa.Table) -> pa.Table:
-            return batch.set_column(
+            # exact half-away-from-zero 1e-4 → cents in int64, then /100
+            # (cents < 2^53: the float64 result is exact) — matches the
+            # oracle's DECIMAL round
+            s = batch.column("rev4").to_numpy(zero_copy_only=False)
+            cents = (s + 50) // 100
+            rev = pa.array(cents / 100.0, pa.float64())
+            batch = batch.set_column(
                 batch.column_names.index("sum_qty"), "sum_qty",
-                pc.round(batch.column("sum_qty"), 4)).set_column(
-                batch.column_names.index("sum_revenue"), "sum_revenue",
-                pc.round(batch.column("sum_revenue"), 2))
+                pc.round(batch.column("sum_qty"), 4))
+            i = batch.column_names.index("rev4")
+            return batch.remove_column(i).add_column(
+                i, "sum_revenue", rev)
 
         return out.map_batches(round_cols, batch_format="pyarrow")
 
@@ -102,18 +120,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             hi = pa.scalar(EVENTS_HI).cast(pa.timestamp("us"))
             m = pc.and_(pc.greater_equal(batch.column("ts"), lo),
                         pc.less(batch.column("ts"), hi))
-            return batch.filter(m)
+            batch = batch.filter(m)
+            # value carries exactly 2 decimals: sum integer cents so the
+            # group total is exact and summation-order-independent (the
+            # oracle does the identical round(value*100)::BIGINT sum)
+            cents = pc.cast(pc.round(pc.multiply(
+                batch.column("value"), pa.scalar(100.0))), pa.int64())
+            return batch.append_column("cents", cents)
 
         out = (ds.map_batches(filt, batch_format="pyarrow")
                .groupby("event_type")
-               .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value")))
+               .aggregate(Count(alias_name="n"), Sum("cents", alias_name="cents")))
 
-        def round_cols(batch: pa.Table) -> pa.Table:
-            return batch.set_column(
-                batch.column_names.index("sum_value"), "sum_value",
-                pc.round(batch.column("sum_value"), 4))
+        def to_value(batch: pa.Table) -> pa.Table:
+            i = batch.column_names.index("cents")
+            v = pc.divide(pc.cast(batch.column("cents"), pa.float64()),
+                          pa.scalar(100.0))
+            return batch.remove_column(i).add_column(i, "sum_value", v)
 
-        return out.map_batches(round_cols, batch_format="pyarrow")
+        return out.map_batches(to_value, batch_format="pyarrow")
 
     from hunt_ray.pipelines import curate, events, graph, sketch
 
@@ -533,14 +558,23 @@ ranked AS (SELECT query_id, vec_id, cos,
            FROM sims)
 SELECT query_id, vec_id, round(cos, 6) AS cosine FROM ranked WHERE rk <= 10
 """,
+        # value carries exactly 2 decimals: sum integer cents (as
+        # q_window_agg already does) so the total is exact and
+        # summation-order-independent; the engine mirrors it
         "q_events_range": (
-            "SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value "
+            "SELECT event_type, count(*)::BIGINT AS n, "
+            "sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value "
             f"FROM events WHERE ts >= TIMESTAMP '{EVENTS_LO}' AND ts < TIMESTAMP '{EVENTS_HI}' "
             "GROUP BY event_type"
         ),
+        # revenue summed in exact DECIMAL (prices/discounts carry 2
+        # decimals) so the total is order-independent; the engine mirrors
+        # it with integer 1e-4-scaled int64 sums — float64 sum() here
+        # would be summation-order-sensitive at the 2dp rounding boundary
         "q_lineitem_q1": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue, "
+            "(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+            "* (1 - CAST(l_discount AS DECIMAL(18,2)))), 2))::DOUBLE AS sum_revenue, "
             "count(*)::BIGINT AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         # lang-id heuristic: per-language stopword hits, argmax with

@@ -1,0 +1,172 @@
+"""Perturbed-corpus differential sweep: rebuild the input tables with a
+seeded perturbation, then run EVERY `queries()` entry against its DuckDB
+oracle on the perturbed copy (rows-only entries must still run and keep
+their self-check column green). Because engine and oracle both read the
+same perturbed parquet, any disagreement is an engine bug, not a fixture
+artifact — this is the sweep that caught the gappy-vec_id k-means crash
+and the cluster-relabel divergence fixed in commit 266bfaa.
+
+Modes (all seeded, byte-reproducible):
+  drop    — drop each row independently with probability --rate
+            (default 0.07); exercises gappy doc_id/vec_id spaces.
+  shuffle — permute row order within each table (ids stay contiguous);
+            every pipeline must be row-order invariant.
+  empty   — blank out the `text` of a --rate fraction of documents;
+            exercises zero-token docs through every tokenizing kernel.
+
+Known, documented contract skips (counted separately, not failures):
+the derived-link-graph family (`graph.n_docs`) refuses non-contiguous
+doc_ids by design — its synthetic edge formula `(src*m+c+1) % n` and the
+SQL oracle's identical formula are only meaningful on 0..n-1 (see
+`hunt_ray/pipelines/graph.py:57-91`); real edge tables go through
+`pagerank_edges()` which has no such requirement. `drop` mode therefore
+expects those queries to raise that exact ValueError.
+
+Usage:
+  PYTHONPATH=. python scripts/perturbed_sweep.py \
+      [--sf /root/testdata/sf0.001] [--mode drop|shuffle|empty|all] \
+      [--rate 0.07] [--seed 1]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+import zlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check_oracles import TABLES, canon, to_df  # noqa: E402
+
+# tables any oracle or pipeline actually reads; the rest are copied as-is
+PERTURBED = ("documents", "embeddings", "events", "lineitem")
+CONTRACT_MSG = "requires contiguous doc_ids"
+
+
+def perturb_table(tbl: pa.Table, name: str, mode: str, rate: float,
+                  rng: np.random.Generator) -> pa.Table:
+    n = tbl.num_rows
+    if mode == "drop":
+        keep = rng.random(n) >= rate
+        keep[rng.integers(0, n)] = True  # never produce an empty table
+        return tbl.filter(pa.array(keep))
+    if mode == "shuffle":
+        return tbl.take(pa.array(rng.permutation(n), pa.int64()))
+    if mode == "empty":
+        if name != "documents":
+            return tbl
+        mask = rng.random(n) < rate
+        text = tbl.column("text").to_pylist()
+        blank = np.flatnonzero(mask)
+        for i in blank:
+            text[i] = ""
+        idx = tbl.schema.get_field_index("text")
+        return tbl.set_column(idx, "text", pa.array(text, pa.string()))
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def build_dir(sf: str, mode: str, rate: float, seed: int) -> str:
+    out = f"/tmp/perturbed_{mode}_{seed}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for t in TABLES:
+        src = f"{sf}/{t}.parquet"
+        if t in PERTURBED:
+            rng = np.random.default_rng((seed, zlib.crc32(t.encode())))
+            pq.write_table(
+                perturb_table(pq.read_table(src), t, mode, rate, rng),
+                f"{out}/{t}.parquet")
+        else:
+            shutil.copy(src, f"{out}/{t}.parquet")
+    return out
+
+
+def run_sweep(m, mode: str, sf_dir: str) -> tuple[list[str], list[str]]:
+    """→ (failures, contract_skips); prints one line per query."""
+    qs, sqls = m.queries(), m.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    fails, skips = [], []
+    for name in sorted(qs):
+        t0 = time.time()
+        try:
+            got = to_df(qs[name](sf_dir))
+            if name in sqls:
+                got = canon(got)
+                want = canon(con.execute(sqls[name]).df())
+                assert list(got.columns) == list(want.columns), \
+                    f"schema {list(got.columns)} != {list(want.columns)}"
+                assert len(got) == len(want), \
+                    f"rows {len(got)} != {len(want)}"
+                pd.testing.assert_frame_equal(
+                    got, want.astype(got.dtypes.to_dict()),
+                    check_exact=False, rtol=0, atol=0)
+                kind = "exact"
+            else:
+                assert len(got) >= 0
+                if "ok" in got.columns:
+                    assert bool(got["ok"].all()), \
+                        "self-check column has False rows"
+                kind = "rows-only"
+            print(f"  ok   {name:<28} {len(got):>7} rows "
+                  f"{time.time() - t0:5.1f}s ({kind})")
+        except ValueError as e:
+            if CONTRACT_MSG in str(e) and mode in ("drop",):
+                skips.append(name)
+                print(f"  skip {name:<28} documented contiguous-id "
+                      "contract (expected under drop)")
+            else:
+                fails.append(name)
+                print(f"  FAIL {name:<28} {str(e).splitlines()[0][:110]}")
+        except Exception as e:  # noqa: BLE001 — report and continue
+            fails.append(name)
+            print(f"  FAIL {name:<28} {str(e).splitlines()[0][:110]}")
+    return fails, skips
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf", default="/root/testdata/sf0.001")
+    p.add_argument("--mode", default="all",
+                   choices=["drop", "shuffle", "empty", "all"])
+    p.add_argument("--rate", type=float, default=0.07)
+    p.add_argument("--seed", type=int, default=1)
+    a = p.parse_args()
+
+    import importlib.util
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    spec = importlib.util.spec_from_file_location("entry", "__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    modes = ["drop", "shuffle", "empty"] if a.mode == "all" else [a.mode]
+    bad = 0
+    for mode in modes:
+        sf_dir = build_dir(a.sf, mode, a.rate, a.seed)
+        print(f"== mode={mode} rate={a.rate} seed={a.seed} → {sf_dir}")
+        fails, skips = run_sweep(m, mode, sf_dir)
+        n = len(m.queries())
+        print(f"== {mode}: {n - len(fails) - len(skips)} ok, "
+              f"{len(skips)} contract-skip, {len(fails)} failed"
+              f"{': ' + ', '.join(fails) if fails else ''}")
+        bad += len(fails)
+    ray.shutdown()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
