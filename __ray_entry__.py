@@ -386,6 +386,13 @@ _TOKENS = ("SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
            "FROM documents")
 _TOKSTR = ("SELECT doc_id, ' ' || array_to_string(regexp_extract_all(lower(text), "
            "'[a-z0-9_]+'), ' ') || ' ' AS s FROM documents")
+# RE2 spelling of the Rust-regex/Python `\s` set (Unicode White_Space =
+# Zs + the control whitespaces + NEL + LS/PS): DuckDB's RE2 `\s` is
+# ASCII-only, so oracles that must mirror an engine-side Rust `\s`/`\S`
+# (polars extract_all) use these classes instead — on non-ASCII text the
+# two definitions disagree (NBSP, ideographic space, …), caught by the
+# unicode perturbation sweep
+_WS_CHARS = r"\t\n\x0B\f\r\x{0085}\x{2028}\x{2029}\p{Zs}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -496,14 +503,19 @@ JOIN sizes sa ON sa.doc_id = inter.doc_a
 JOIN sizes sb ON sb.doc_id = inter.doc_b
 WHERE i / (sa.n + sb.n - i) >= 0.75
 """,
-        # duplicate-substring exposure: every stride-1 length-40 gram per
-        # doc, df = distinct docs containing the gram, dup_grams = gram
-        # positions whose gram occurs in ≥2 docs (docs shorter than 40
-        # chars carry no grams — inner join drops them on both sides)
+        # duplicate-substring exposure: every stride-1 length-40 BYTE gram
+        # per doc (the engine's grams are utf-8 byte windows — at scale
+        # byte windows are the standard choice; on non-ASCII text byte
+        # grams ≠ character grams, so the oracle grams over hex(encode()):
+        # 2 hex chars per byte makes substring() byte-exact), df =
+        # distinct docs containing the gram, dup_grams = gram positions
+        # whose gram occurs in ≥2 docs (docs shorter than 40 bytes carry
+        # no grams — inner join drops them on both sides)
         "q_substring_stats": """
 WITH grams AS (
-  SELECT doc_id, substr(text, i::INT, 40) AS g
-  FROM documents, unnest(range(1, length(text) - 40 + 2)) AS t(i)),
+  SELECT doc_id, substr(hex(encode(text)), 2 * i::INT - 1, 80) AS g
+  FROM documents,
+       unnest(range(1, octet_length(encode(text)) - 40 + 2)) AS t(i)),
 gdf AS (SELECT g, count(DISTINCT doc_id) AS gdf FROM grams GROUP BY g)
 SELECT g2.doc_id, count(*)::BIGINT AS n_grams,
        sum(CASE WHEN d.gdf >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_grams
@@ -642,11 +654,13 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         # FP_OFFSET·Bⁿ + Σ h_i·Bⁿ⁻ⁱ (mod 2^64) — UHUGEINT modular
         # arithmetic with a recursive-CTE power table
         # same RE2-safe pattern string as textstats.BPE_PATTERN
+        # `\s`/`\S` spelled as the explicit White_Space class so RE2
+        # matches the engine's Rust-regex semantics on non-ASCII spaces
         "q_token_count_bpe": (
             "SELECT doc_id, "
-            "len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_ws_tokens, "
+            f"len(regexp_extract_all(text, '[^{_WS_CHARS}]+'))::BIGINT AS n_ws_tokens, "
             "len(regexp_extract_all(text, "
-            "$$'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+$$))::BIGINT AS n_bpe_tokens "
+            f"$$'s|'t|'re|'ve|'m|'ll|'d| ?\\p{{L}}+| ?\\p{{N}}+| ?[^{_WS_CHARS}\\p{{L}}\\p{{N}}]+|[{_WS_CHARS}]+$$))::BIGINT AS n_bpe_tokens "
             "FROM documents"
         ),
         # one-pass clean: same token regex, same filter constants, window
@@ -1290,15 +1304,22 @@ def _index_bm25_oracle_sql() -> str:
         for t in seen:
             qterms.append(f"('{q}', '{t}')")
     values = ", ".join(qterms)
+    # btext mirrors fixtures.pages._body_text, whose " ".join(p.split())
+    # splits on Python's whitespace set = Unicode White_Space + the
+    # \x1C-\x1F separators (RE2 \s is ASCII-only — _WS_CHARS); toks
+    # mirrors the index analyzer's order: ASCII \w+ runs over the RAW
+    # text, THEN LowerCase per token (lower-the-text-first diverges on
+    # İ/K/fullwidth, whose unicode lower lands inside [a-z0-9_])
+    ws = _WS_CHARS + r"\x1C\x1D\x1E\x1F"
     return f"""
 WITH body AS (
   SELECT doc_id, 'doc://' || doc_id AS url,
-         CASE WHEN trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) = ''
+         CASE WHEN trim(regexp_replace(coalesce(text, ''), '[{ws}]+', ' ', 'g')) = ''
               THEN 'doc ' || doc_id || ' heading'
               ELSE 'doc ' || doc_id || ' heading ' ||
-                   trim(regexp_replace(text, '\\s+', ' ', 'g')) END AS btext
+                   trim(regexp_replace(text, '[{ws}]+', ' ', 'g')) END AS btext
   FROM documents),
-toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(btext), '[a-z0-9_]+')) AS term
+toks AS (SELECT doc_id, lower(unnest(regexp_extract_all(btext, '[A-Za-z0-9_]+'))) AS term
          FROM body),
 dl AS (SELECT b.doc_id, b.url, coalesce(t.n, 0)::DOUBLE AS dl
        FROM body b LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t

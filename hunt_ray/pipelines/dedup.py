@@ -465,9 +465,16 @@ _GMIX = (np.uint64(0x9E3779B185EBCA87), np.uint64(0xC2B2AE3D27D4EB4F),
 
 
 def _char_ngram_hashes(text: str, n: int) -> np.ndarray:
-    """Distinct character-n-gram hashes of lower(text) — vectorized per doc
-    (utf-32 view + sliding windows + one mix/unique pass)."""
-    t = (text or "").lower()
+    """Distinct character-n-gram hashes of ALREADY-LOWERCASED text —
+    vectorized per doc (utf-32 view + sliding windows + one mix/unique
+    pass). The caller lowers the column with Arrow's ``utf8_lower``
+    (utf8proc simple case mapping, 1 code point → 1 code point — the
+    same family DuckDB's ``lower`` uses) rather than Python
+    ``str.lower()``: Python's full mapping is context-sensitive (final
+    sigma ΣΙΣΥΦΟΣ → …ς, İ → i + combining dot, changing length), which
+    silently diverged from the SQL oracle on non-ASCII text (caught by
+    the unicode perturbation sweep)."""
+    t = text or ""
     if len(t) < n:
         return np.empty(0, np.uint64)
     u = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
@@ -499,10 +506,15 @@ def _auto_num_buckets(sf_dir: str, gram_fn, *, target_rows_per_bucket: int = 1_0
 
 
 def _char_gram_sets(n: int):
-    """Batch → (doc_ids, list of distinct char-n-gram hash arrays)."""
+    """Batch → (doc_ids, list of distinct char-n-gram hash arrays).
+    Lowercases the whole column once with utf8proc simple mapping (see
+    ``_char_ngram_hashes`` for why not Python ``str.lower``)."""
+    import pyarrow.compute as pc
+
     def fn(batch: pa.Table):
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        return ids, [_char_ngram_hashes(t, n) for t in batch.column("text").to_pylist()]
+        low = pc.utf8_lower(batch.column("text"))
+        return ids, [_char_ngram_hashes(t, n) for t in low.to_pylist()]
     return fn
 
 

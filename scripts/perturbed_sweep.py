@@ -13,6 +13,13 @@ Modes (all seeded, byte-reproducible):
             every pipeline must be row-order invariant.
   empty   — blank out the `text` of a --rate fraction of documents;
             exercises zero-token docs through every tokenizing kernel.
+  unicode — append a gauntlet of non-ASCII material (accents, combining
+            marks, Turkish İ/ı, ẞ/ß, Kelvin K and Å signs — which
+            LOWERCASE INTO ASCII — fullwidth digits, CJK, emoji, NBSP,
+            zero-width joiner, mixed-script confusables) to the text of
+            a --rate fraction of documents; the engine (Rust regex /
+            Arrow utf8proc lower) and DuckDB (its own lower + RE2) must
+            tokenize `lower(text)` → `[a-z0-9_]+` identically on it.
 
 Known, documented contract skips (counted separately, not failures):
 the derived-link-graph family (`graph.n_docs`) refuses non-contiguous
@@ -22,10 +29,18 @@ SQL oracle's identical formula are only meaningful on 0..n-1 (see
 `pagerank_edges()` which has no such requirement. `drop` mode therefore
 expects those queries to raise that exact ValueError.
 
+Bugs this sweep has caught so far: the gappy-vec_id k-means crash and
+cluster-relabel divergence (266bfaa), float-summation-order sensitivity
+in q_lineitem_q1/q_events_range (137a5c4), and four unicode definition
+mismatches — Python context-sensitive lower() vs utf8proc in char-gram
+jaccard, code-point vs byte grams in substring_stats, Rust-\\s vs
+RE2-\\s in token_count_bpe, and lower-then-tokenize vs the analyzer's
+tokenize-then-lower in the q_index_bm25 oracle.
+
 Usage:
   PYTHONPATH=. python scripts/perturbed_sweep.py \
-      [--sf /root/testdata/sf0.001] [--mode drop|shuffle|empty|all] \
-      [--rate 0.07] [--seed 1]
+      [--sf /root/testdata/sf0.001] \
+      [--mode drop|shuffle|empty|unicode|all] [--rate 0.07] [--seed 1]
 """
 from __future__ import annotations
 
@@ -49,6 +64,24 @@ from check_oracles import TABLES, canon, to_df  # noqa: E402
 PERTURBED = ("documents", "embeddings", "events", "lineitem")
 CONTRACT_MSG = "requires contiguous doc_ids"
 
+# Case-conversion landmines (chars whose lower() lands IN or NEXT TO
+# [a-z0-9_]) + separators and confusables; each entry is appended whole
+UNICODE_GAUNTLET = [
+    "CAFÉ naïve Ångström",          # accents; Å (U+00C5)
+    "İstanbul ıı İİ",               # Turkish dotted/dotless I
+    "STRAẞE größe ßß",              # capital sharp S → 'ss'? (lower ẞ=ß)
+    "KELVIN K sign 2K",             # U+212A lowers to ASCII 'k'
+    "ΣΙΣΥΦΟΣ σίσυφος",              # final-sigma casing
+    "ｆｕｌｌｗｉｄｔｈ１２３",        # fullwidth letters+digits
+    "東京都 and русский текст",      # CJK + Cyrillic
+    "emoji 🎉🎊 mix42",
+    "non breaking spaces tab	done",
+    "zero​width‍join ab́c",  # ZWSP/ZWJ + combining acute
+    "ⅣⅦ roman Ⅸ ①②",               # numeric-ish symbols
+    "ideo　space nelbr fssep end",  # ideographic space, NEL, 
+    "ʼn ǅungla ǋemačka",            # titlecase digraphs (lower ǅ=ǆ)
+]
+
 
 def perturb_table(tbl: pa.Table, name: str, mode: str, rate: float,
                   rng: np.random.Generator) -> pa.Table:
@@ -67,6 +100,16 @@ def perturb_table(tbl: pa.Table, name: str, mode: str, rate: float,
         blank = np.flatnonzero(mask)
         for i in blank:
             text[i] = ""
+        idx = tbl.schema.get_field_index("text")
+        return tbl.set_column(idx, "text", pa.array(text, pa.string()))
+    if mode == "unicode":
+        if name != "documents":
+            return tbl
+        mask = rng.random(n) < rate
+        text = tbl.column("text").to_pylist()
+        for j, i in enumerate(np.flatnonzero(mask)):
+            text[i] = text[i] + " " + UNICODE_GAUNTLET[
+                j % len(UNICODE_GAUNTLET)]
         idx = tbl.schema.get_field_index("text")
         return tbl.set_column(idx, "text", pa.array(text, pa.string()))
     raise ValueError(f"unknown mode {mode!r}")
@@ -137,7 +180,7 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--sf", default="/root/testdata/sf0.001")
     p.add_argument("--mode", default="all",
-                   choices=["drop", "shuffle", "empty", "all"])
+                   choices=["drop", "shuffle", "empty", "unicode", "all"])
     p.add_argument("--rate", type=float, default=0.07)
     p.add_argument("--seed", type=int, default=1)
     a = p.parse_args()
@@ -153,7 +196,8 @@ def main() -> int:
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
 
-    modes = ["drop", "shuffle", "empty"] if a.mode == "all" else [a.mode]
+    modes = (["drop", "shuffle", "empty", "unicode"] if a.mode == "all"
+             else [a.mode])
     bad = 0
     for mode in modes:
         sf_dir = build_dir(a.sf, mode, a.rate, a.seed)
