@@ -682,39 +682,21 @@ SELECT doc_id, lang, n_tokens, stopword_ratio, n_copies FROM (
          min(doc_id) OVER (PARTITION BY k) AS keep FROM q)
 WHERE doc_id = keep ORDER BY doc_id
 """,
+        # Horner form of the engine's unrolled OFFSET·Bⁿ + Σ hᵢ·Bⁿ⁻ⁱ —
+        # a linear list_reduce fold per doc. (The previous recursive-CTE
+        # power table re-evaluated its correlated bound per iteration,
+        # going quadratic on long documents: >9 min on a 2,640-token doc
+        # vs 0.2 s here; caught by perturbed_sweep --mode long.)
         "q_fingerprint": """
-WITH RECURSIVE
-toks AS (
-  SELECT doc_id, arr[i.i] AS term, i.i AS pos, len(arr) AS n
-  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS arr
-        FROM documents),
-       unnest(generate_series(1, len(arr))) AS i(i)
-),
-maxn AS (SELECT coalesce(max(n), 0) AS m FROM toks),
-pows(e, v) AS (
-  SELECT 0, 1::UHUGEINT
-  UNION ALL
-  SELECT e + 1, (v * 1099511628211::UHUGEINT) % 18446744073709551616::UHUGEINT
-  FROM pows WHERE e < (SELECT m FROM maxn)
-),
-contrib AS (
-  SELECT t.doc_id, t.n,
-         ((('0x' || substring(md5(t.term), 1, 16))::UBIGINT::UHUGEINT * p.v)
-          % 18446744073709551616::UHUGEINT)::HUGEINT AS c
-  FROM toks t JOIN pows p ON p.e = t.n - t.pos
-),
-fp AS (
-  SELECT c.doc_id,
-         ((sum(c.c)::UHUGEINT
-           + (14695981039346656037::UHUGEINT * pn.v)
-             % 18446744073709551616::UHUGEINT)
-          % 18446744073709551616::UHUGEINT)::UBIGINT AS fingerprint
-  FROM contrib c JOIN pows pn ON pn.e = c.n
-  GROUP BY c.doc_id, pn.v
-)
 SELECT d.doc_id::BIGINT AS doc_id,
-       coalesce(f.fingerprint, 14695981039346656037::UBIGINT) AS fingerprint
-FROM documents d LEFT JOIN fp f USING (doc_id)
+       list_reduce(
+         list_prepend(14695981039346656037::UHUGEINT,
+           list_transform(regexp_extract_all(lower(d.text), '[a-z0-9_]+'),
+             t -> ('0x' || substring(md5(t), 1, 16))::UBIGINT::UHUGEINT)),
+         (acc, h) -> ((acc * 1099511628211::UHUGEINT + h)
+                      % 18446744073709551616::UHUGEINT)
+       )::UBIGINT AS fingerprint
+FROM documents d
 """,
         # index-served BM25 vs corpus-recomputed BM25: the pages corpus
         # derives deterministically from documents (pages_from_documents:

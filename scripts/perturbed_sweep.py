@@ -20,6 +20,21 @@ Modes (all seeded, byte-reproducible):
             a --rate fraction of documents; the engine (Rust regex /
             Arrow utf8proc lower) and DuckDB (its own lower + RE2) must
             tokenize `lower(text)` → `[a-z0-9_]+` identically on it.
+  dup     — append a --rate fraction of documents as fresh-doc_id copies
+            (ids continue n..n+m-1, so contiguity contracts hold): even
+            copies byte-exact, odd copies near-duplicates (one appended
+            marker token). Exercises dedup keep-rules, minhash/simhash
+            duplicate mass, bucket caps, and — because duplicate texts
+            produce byte-equal BM25 scores — every ranking tie-break.
+  ties    — events only: for a --rate fraction of events, copy ts (and
+            value) from the same user's previous event in (ts, event_id)
+            order, forcing equal-timestamp collisions through sessionize
+            boundaries, as-of join "max (ts, event_id) ≤" tie-breaks,
+            and window sums.
+  long    — inflate the text of min(8, rate·n) documents ~30× (the doc
+            repeated with paragraph breaks). Exercises long-document
+            paths: substring/paragraph dedup interval logic, positions
+            varint with large offsets, repetition scores, quantiles.
 
 Known, documented contract skips (counted separately, not failures):
 the derived-link-graph family (`graph.n_docs`) refuses non-contiguous
@@ -112,6 +127,62 @@ def perturb_table(tbl: pa.Table, name: str, mode: str, rate: float,
                 j % len(UNICODE_GAUNTLET)]
         idx = tbl.schema.get_field_index("text")
         return tbl.set_column(idx, "text", pa.array(text, pa.string()))
+    if mode == "dup":
+        if name != "documents":
+            return tbl
+        m = max(1, int(round(n * rate)))
+        src_idx = np.sort(rng.choice(n, size=m, replace=False))
+        base = tbl.take(pa.array(src_idx, pa.int64()))
+        start = int(pa.compute.max(tbl.column("doc_id")).as_py()) + 1
+        text = base.column("text").to_pylist()
+        for j in range(m):
+            if j % 2 == 1:  # odd copies: near-duplicates, not byte-equal
+                text[j] = text[j] + f" nearmark{j}"
+        base = base.set_column(
+            base.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(np.arange(start, start + m), pa.int64()))
+        base = base.set_column(
+            base.schema.get_field_index("text"), "text",
+            pa.array(text, pa.string()))
+        base = base.set_column(
+            base.schema.get_field_index("n_chars"), "n_chars",
+            pa.array([len(t) for t in text], pa.int64()))
+        return pa.concat_tables([tbl, base])
+    if mode == "ties":
+        if name != "events":
+            return tbl
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy().copy()
+        eid = tbl.column("event_id").to_numpy()
+        val = tbl.column("value").to_numpy().copy()
+        order = np.lexsort((eid, ts, uid))
+        hit = rng.random(n) < rate
+        # walk in (uid, ts, eid) order; pull ts/value from the previous
+        # SAME-USER event so collisions are in-domain, not cross-user
+        for k in range(1, n):
+            i, p = order[k], order[k - 1]
+            if hit[i] and uid[i] == uid[p]:
+                ts[i] = ts[p]
+                val[i] = val[p]
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("ts"), "ts",
+            pa.array(ts, pa.int64()).cast(pa.timestamp("us")))
+        return tbl.set_column(
+            tbl.schema.get_field_index("value"), "value",
+            pa.array(val, pa.float64()))
+    if mode == "long":
+        if name != "documents":
+            return tbl
+        k = max(1, min(8, int(round(n * rate))))
+        idx = rng.choice(n, size=k, replace=False)
+        text = tbl.column("text").to_pylist()
+        for i in idx:
+            text[i] = "\n\n".join([text[i]] * 30)
+        pos = tbl.schema.get_field_index("text")
+        tbl = tbl.set_column(pos, "text", pa.array(text, pa.string()))
+        return tbl.set_column(
+            tbl.schema.get_field_index("n_chars"), "n_chars",
+            pa.array([len(t) for t in text], pa.int64()))
     raise ValueError(f"unknown mode {mode!r}")
 
 
@@ -180,7 +251,8 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--sf", default="/root/testdata/sf0.001")
     p.add_argument("--mode", default="all",
-                   choices=["drop", "shuffle", "empty", "unicode", "all"])
+                   choices=["drop", "shuffle", "empty", "unicode",
+                            "dup", "ties", "long", "all"])
     p.add_argument("--rate", type=float, default=0.07)
     p.add_argument("--seed", type=int, default=1)
     a = p.parse_args()
@@ -196,8 +268,8 @@ def main() -> int:
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
 
-    modes = (["drop", "shuffle", "empty", "unicode"] if a.mode == "all"
-             else [a.mode])
+    modes = (["drop", "shuffle", "empty", "unicode", "dup", "ties", "long"]
+             if a.mode == "all" else [a.mode])
     bad = 0
     for mode in modes:
         sf_dir = build_dir(a.sf, mode, a.rate, a.seed)
