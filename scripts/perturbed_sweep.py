@@ -187,16 +187,22 @@ def perturb_table(tbl: pa.Table, name: str, mode: str, rate: float,
 
 
 def build_dir(sf: str, mode: str, rate: float, seed: int) -> str:
-    out = f"/tmp/perturbed_{mode}_{seed}"
+    """``mode`` may be a '+'-chained composition (e.g. ``dup+unicode``):
+    each stage's perturbation is applied to the previous stage's output,
+    with a per-stage-salted rng so compositions stay byte-reproducible."""
+    out = f"/tmp/perturbed_{mode.replace('+', '_')}_{seed}"
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
+    stages = mode.split("+")
     for t in TABLES:
         src = f"{sf}/{t}.parquet"
         if t in PERTURBED:
-            rng = np.random.default_rng((seed, zlib.crc32(t.encode())))
-            pq.write_table(
-                perturb_table(pq.read_table(src), t, mode, rate, rng),
-                f"{out}/{t}.parquet")
+            tbl = pq.read_table(src)
+            for si, stage in enumerate(stages):
+                rng = np.random.default_rng(
+                    (seed, si, zlib.crc32(t.encode())))
+                tbl = perturb_table(tbl, t, stage, rate, rng)
+            pq.write_table(tbl, f"{out}/{t}.parquet")
         else:
             shutil.copy(src, f"{out}/{t}.parquet")
     return out
@@ -234,7 +240,7 @@ def run_sweep(m, mode: str, sf_dir: str) -> tuple[list[str], list[str]]:
             print(f"  ok   {name:<28} {len(got):>7} rows "
                   f"{time.time() - t0:5.1f}s ({kind})")
         except ValueError as e:
-            if CONTRACT_MSG in str(e) and mode in ("drop",):
+            if CONTRACT_MSG in str(e) and "drop" in mode.split("+"):
                 skips.append(name)
                 print(f"  skip {name:<28} documented contiguous-id "
                       "contract (expected under drop)")
@@ -251,8 +257,8 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--sf", default="/root/testdata/sf0.001")
     p.add_argument("--mode", default="all",
-                   choices=["drop", "shuffle", "empty", "unicode",
-                            "dup", "ties", "long", "all"])
+                   help="one of drop/shuffle/empty/unicode/dup/ties/long, "
+                        "a '+'-chained composition (dup+unicode), or all")
     p.add_argument("--rate", type=float, default=0.07)
     p.add_argument("--seed", type=int, default=1)
     a = p.parse_args()
