@@ -552,17 +552,31 @@ reach(u, v) AS (
 SELECT u::BIGINT AS doc_id, least(u, min(v))::BIGINT AS cluster_id
 FROM reach GROUP BY u ORDER BY doc_id
 """,
+        # zero-norm convention (all three cosine oracles): the engine's
+        # epsilon-guarded normalize gives a zero-norm vector cosine 0.0
+        # with everything (similarity.py/dedup.py `np.maximum(norm,
+        # 1e-12)`), while DuckDB's list_cosine_similarity returns -1.0 —
+        # the CASE mirrors the engine so degenerate embeddings stay exact
+        # (pinned by perturbed_sweep --mode zerovec)
         "q_embedding_dedup": (
+            "SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM ("
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
-            "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine "
-            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45"
+            "CASE WHEN list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) = 0 "
+            "OR list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) = 0 THEN 0.0 "
+            "ELSE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) END AS cos "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) "
+            "WHERE cos >= 0.45"
         ),
         "q_knn_cosine": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
            WHERE vec_id IN ({knn_ids})),
 sims AS (SELECT q.query_id, e.vec_id,
-                list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+                CASE WHEN list_dot_product(q.qv, q.qv) = 0
+                       OR list_dot_product(e.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[]) = 0
+                     THEN 0.0
+                     ELSE list_cosine_similarity(q.qv, e.embedding::DOUBLE[])
+                END AS cos
          FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
 ranked AS (SELECT query_id, vec_id, cos,
                   row_number() OVER (PARTITION BY query_id
@@ -970,7 +984,12 @@ FROM grams JOIN df USING (g) GROUP BY doc_id
 WITH c AS (SELECT vec_id AS cluster, embedding::DOUBLE[] AS cv
            FROM embeddings WHERE vec_id < 8),
 a AS (SELECT e.vec_id, c.cluster,
-             list_cosine_similarity(c.cv, e.embedding::DOUBLE[]) AS cos
+             CASE WHEN list_dot_product(c.cv, c.cv) = 0
+                    OR list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]) = 0
+                  THEN 0.0
+                  ELSE list_cosine_similarity(c.cv, e.embedding::DOUBLE[])
+             END AS cos
       FROM embeddings e CROSS JOIN c),
 r AS (SELECT vec_id, cluster, cos,
              row_number() OVER (PARTITION BY vec_id

@@ -67,7 +67,13 @@ def knn_brute(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int 
             if cand.size == 0:
                 continue
             kk = min(k, cand.size)
-            top = cand[np.argpartition(-row[cand], kk - 1)[:kk]]
+            # deterministic partial top-k: (cos desc, vec_id asc) — a bare
+            # argpartition keeps ARBITRARY rows among exact-cos ties (e.g.
+            # duplicate or zero-norm vectors), so the global merge could
+            # lose the tie the oracle keeps (caught by perturbed_sweep
+            # --mode zerovec/vecdup)
+            order = np.lexsort((bids[cand], -row[cand]))
+            top = cand[order[:kk]]
             out["query_id"].extend([int(qids_[qi])] * len(top))
             out["vec_id"].extend(bids[top].tolist())
             out["cosine"].extend(row[top].tolist())
@@ -165,7 +171,8 @@ def knn_ivf(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 
                 continue
             row = bm[cand] @ qn_[qi]
             kk = min(k, cand.size)
-            top = np.argpartition(-row, kk - 1)[:kk]
+            # deterministic ties: (cos desc, vec_id asc) — see knn_brute
+            top = np.lexsort((bids[cand], -row))[:kk]
             out["query_id"].extend([int(qids_[qi])] * kk)
             out["vec_id"].extend(bids[cand[top]].tolist())
             out["cosine"].extend(row[top].tolist())
@@ -281,7 +288,8 @@ def ivf_search(index_dir: str, sf_dir: str,
                 continue
             row = bm[cand] @ qn_[qi]
             kk = min(k, cand.size)
-            top = np.argpartition(-row, kk - 1)[:kk]
+            # deterministic ties: (cos desc, vec_id asc) — see knn_brute
+            top = np.lexsort((bids[cand], -row))[:kk]
             out["query_id"].extend([int(qids_[qi])] * kk)
             out["vec_id"].extend(bids[cand[top]].tolist())
             out["cosine"].extend(row[top].tolist())
@@ -574,7 +582,9 @@ def semantic_dedup(sf_dir: str, *, threshold: float = 0.45, k: int = 8,
                       ).astype(np.float64)
         bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
         sims = bm @ cents_.T
-        top = np.argpartition(-sims, p - 1, axis=1)[:, :p]  # top-p clusters
+        # top-p probe clusters, ties → lower cluster id (stable argsort);
+        # k is small so the full row sort is trivial
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :p]
         rep = np.repeat(np.arange(len(bids)), p)
         return pa.table({
             "cluster": pa.array(top.ravel().astype(np.int64), pa.int64()),

@@ -35,6 +35,15 @@ Modes (all seeded, byte-reproducible):
             repeated with paragraph breaks). Exercises long-document
             paths: substring/paragraph dedup interval logic, positions
             varint with large offsets, repetition scores, quantiles.
+  zerovec — zero out the embedding of a --rate fraction of vectors:
+            degenerate zero-norm rows through every cosine kernel. The
+            engine's epsilon-guarded normalize defines cos(0⃗, ·) = 0.0;
+            the oracles mirror it with a CASE (DuckDB's own
+            list_cosine_similarity would say -1.0).
+  vecdup  — append a --rate fraction of embeddings as byte-identical
+            copies under fresh contiguous vec_ids: exact cosine ties
+            through KNN/kmeans top-k tie-breaks ((cos desc, id asc)
+            must hold end to end, including per-batch partial top-k).
 
 Known, documented contract skips (counted separately, not failures):
 the derived-link-graph family (`graph.n_docs`) refuses non-contiguous
@@ -183,6 +192,28 @@ def perturb_table(tbl: pa.Table, name: str, mode: str, rate: float,
         return tbl.set_column(
             tbl.schema.get_field_index("n_chars"), "n_chars",
             pa.array([len(t) for t in text], pa.int64()))
+    if mode == "zerovec":
+        if name != "embeddings":
+            return tbl
+        mask = rng.random(n) < rate
+        emb = tbl.column("embedding").to_pylist()
+        for i in np.flatnonzero(mask):
+            emb[i] = [0.0] * len(emb[i])
+        idx = tbl.schema.get_field_index("embedding")
+        return tbl.set_column(
+            idx, "embedding",
+            pa.array(emb, tbl.schema.field("embedding").type))
+    if mode == "vecdup":
+        if name != "embeddings":
+            return tbl
+        m = max(1, int(round(n * rate)))
+        src = np.sort(rng.choice(n, size=m, replace=False))
+        dup = tbl.take(pa.array(src, pa.int64()))
+        start = int(pa.compute.max(tbl.column("vec_id")).as_py()) + 1
+        dup = dup.set_column(
+            dup.schema.get_field_index("vec_id"), "vec_id",
+            pa.array(np.arange(start, start + m), pa.int64()))
+        return pa.concat_tables([tbl, dup])
     raise ValueError(f"unknown mode {mode!r}")
 
 
@@ -274,8 +305,8 @@ def main() -> int:
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
 
-    modes = (["drop", "shuffle", "empty", "unicode", "dup", "ties", "long"]
-             if a.mode == "all" else [a.mode])
+    modes = (["drop", "shuffle", "empty", "unicode", "dup", "ties", "long",
+              "zerovec", "vecdup"] if a.mode == "all" else [a.mode])
     bad = 0
     for mode in modes:
         sf_dir = build_dir(a.sf, mode, a.rate, a.seed)

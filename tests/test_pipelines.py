@@ -1371,3 +1371,48 @@ def test_connected_components_zero_rounds(ray_session):
                                  "jaccard": [1.0, 1.0]}))
     out = connected_components(ds, max_rounds=0).to_pandas()
     assert set(out["doc_id"]) == {1, 2, 5, 6}
+
+
+def test_knn_degenerate_ties_deterministic(ray_session, tmp_path):
+    """Zero-norm and byte-duplicate vectors through brute KNN: exact-cos
+    ties must resolve (cos desc, vec_id asc) END TO END — including the
+    per-batch partial top-k, where a bare argpartition keeps arbitrary
+    tied rows (the bug perturbed_sweep --mode zerovec caught). The table
+    is written as several files so partials really run per batch, and
+    the zero-norm convention (epsilon-guarded normalize ⇒ cosine 0.0,
+    matching the CASE the oracles use) is asserted vs a numpy model."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hunt_ray.pipelines.similarity import knn_brute
+
+    rng = np.random.default_rng(5)
+    n, d, k = 120, 8, 10
+    m = rng.normal(size=(n, d))
+    m[0] = rng.normal(size=d)          # query
+    m[40:80] = 0.0                     # a zero-norm block
+    m[80:] = m[0] * 3.0                # 40 exact duplicates of the query
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.array([list(r) for r in m.astype(np.float32)],
+                                        pa.list_(pa.float32())),
+                  "label": pa.array(np.zeros(n, np.int32), pa.int32())})
+    # 4 row groups → multiple read batches, so partial top-k really runs
+    pq.write_table(t, f"{sf}/embeddings.parquet", row_group_size=30)
+
+    out = knn_brute(sf, query_ids=(0,), k=k).to_pandas()
+    # numpy model with the engine's documented conventions
+    f32 = m.astype(np.float32).astype(np.float64)
+    norms = np.linalg.norm(f32, axis=1, keepdims=True)
+    mn = f32 / np.maximum(norms, 1e-12)       # zero rows stay zero
+    sims = mn @ mn[0]
+    order = np.lexsort((np.arange(n), -sims))
+    want = [i for i in order if i != 0][:k]
+    assert out["vec_id"].tolist() == want
+    assert np.allclose(out["cosine"].to_numpy(),
+                       np.round(sims[want], 6))
+    # the duplicate block fills the top-k with the LOWEST dup vec_ids
+    assert out["vec_id"].tolist() == list(range(80, 90))
