@@ -29,9 +29,16 @@ class ParseError(ValueError):
 
 
 class _P:
+    # recursive descent: each '(' nests ~4 Python frames, so unbounded
+    # nesting hits RecursionError around 300 levels — surface adversarial
+    # input as a clean ParseError instead (the server's error channel);
+    # 128 is far beyond any legitimate query
+    MAX_DEPTH = 128
+
     def __init__(self, s: str):
         self.s = s
         self.i = 0
+        self.depth = 0
 
     # -- low level ---------------------------------------------------
 
@@ -51,11 +58,12 @@ class _P:
         self.i += len(lit)
 
     def try_(self, fn):
-        save = self.i
+        save, save_depth = self.i, self.depth
         try:
             return fn()
         except ParseError:
             self.i = save
+            self.depth = save_depth
             return None
 
     def spaces1(self) -> None:
@@ -232,11 +240,16 @@ class _P:
     def primary_query(self) -> A.Query:
         c = self.peek()
         if c == "(":
+            self.depth += 1
+            if self.depth > self.MAX_DEPTH:
+                raise ParseError(
+                    f"query nesting deeper than {self.MAX_DEPTH} at {self.i}")
             self.i += 1
             self.skip_spaces()
             q = self.or_query()
             self.skip_spaces()
             self.expect(")")
+            self.depth -= 1
             return q
         if c == "[":
             return self._range_query()

@@ -197,3 +197,23 @@ def test_builder_matches_parser_shapes():
         [A.q_word_nocase("a"), A.q_word_nocase("b")])
     assert parse_query("title:brain") == A.set_context(
         "title", A.q_word_nocase("brain"))
+
+
+def test_nesting_depth_guard():
+    """Adversarial nesting raises a clean ParseError (the server's error
+    channel), never RecursionError; nesting at the documented bound
+    still parses."""
+    import pytest
+
+    from hunt_ray.query.parser import ParseError, parse_query
+
+    ok = "(" * 128 + "the" + ")" * 128
+    assert parse_query(ok) is not None
+    for depth in (129, 300, 5000):
+        bad = "(" * depth + "the" + ")" * depth
+        with pytest.raises(ParseError, match="nesting deeper"):
+            parse_query(bad)
+    # backtracked alternatives must not leak depth: many sequential
+    # (shallow) groups stay parseable far past MAX_DEPTH in total count
+    wide = " AND ".join(["(the)"] * 500)
+    assert parse_query(wide) is not None
