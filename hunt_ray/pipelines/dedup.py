@@ -25,6 +25,7 @@ import pyarrow.parquet as pq
 
 from ..common.grouped import sorted_groups
 from ..common.hashing import hash64
+from .similarity import unit_rows
 from .textstats import _flat_tokens
 
 # ------------------------------------------------------------------ exact
@@ -882,14 +883,14 @@ def embedding_dedup(sf_dir: str, *, threshold: float = 0.95):
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
     mat = np.stack(tbl.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    mat = unit_rows(mat)
     ref = ray.put((ids, mat))
 
     def block(batch: pa.Table) -> pa.Table:
         all_ids, all_mat = ray.get(ref)
         bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         bm = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
-        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        bm = unit_rows(bm)
         sims = bm @ all_mat.T
         ii, jj = np.nonzero(sims >= threshold)
         keep = bids[ii] < all_ids[jj]  # triangular, no self-pairs
@@ -925,7 +926,7 @@ class LshBucketStage:
             return pa.schema([("table", pa.int32()), ("bucket", pa.int64()),
                               ("vec_id", pa.int64())]).empty_table()
         bm = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float32)
-        nrm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        nrm = unit_rows(bm)
         # one matmul over all tables, vectorized row assembly (no Python
         # loops over rows): bits (n, tables, planes) → bucket codes
         bits = (np.tensordot(nrm, self.planes, axes=([1], [1])) > 0.0)
@@ -1053,7 +1054,7 @@ def embedding_dedup_lsh(sf_dir: str, *, threshold: float = 0.45,
     def carrier_rows(batch: pa.Table) -> pa.Table:
         bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         bm = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float32)
-        nrm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        nrm = unit_rows(bm)
         return pa.table({
             "key": pa.array(bids.astype(np.int64), pa.int64()),
             "vec_a": pa.array(np.zeros(len(bids), np.int64), pa.int64()),

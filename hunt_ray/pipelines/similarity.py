@@ -23,6 +23,33 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+def unit_rows(m: np.ndarray) -> np.ndarray:
+    """Row-normalize for cosine: divide by the TRUE norm; exact-zero rows
+    stay zero, so cos(0⃗, ·) = 0.0 — the convention the DuckDB oracles
+    mirror with a zero-dot CASE. Dividing by the real norm (not an
+    epsilon clamp) keeps tiny-norm vectors exact too: a max(norm, 1e-12)
+    clamp shrank cos(v, ·) for 0 < ‖v‖ < 1e-12 while the oracle computed
+    the true cosine."""
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0.0, 1.0, n)
+
+
+def _topk_ties(row: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Positions of the top-kk rows by (value desc, id asc), resolving
+    exact-value ties deterministically WITHOUT sorting the whole set:
+    argpartition to the kk-th value, widen the slice to every row tying
+    it, lexsort only that slice — O(c + t log t), t ≈ kk + ties. (A bare
+    argpartition keeps arbitrary tied rows; a full lexsort is O(c log c)
+    per query per batch — this is the 100 TB-shaped middle.)"""
+    if row.size <= kk:
+        sel = np.arange(row.size)
+    else:
+        kth = row[np.argpartition(-row, kk - 1)[kk - 1]]
+        sel = np.flatnonzero(row >= kth)
+    order = sel[np.lexsort((ids[sel], -row[sel]))]
+    return order[:kk]
+
+
 def _load_queries(sf_dir: str, query_ids: tuple[int, ...]) -> tuple[np.ndarray, np.ndarray]:
     """Fetch just the query vectors via Parquet predicate pushdown.
 
@@ -36,7 +63,7 @@ def _load_queries(sf_dir: str, query_ids: tuple[int, ...]) -> tuple[np.ndarray, 
     )
     qids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
     q = np.stack(tbl.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
-    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    qn = unit_rows(q)
     return qids, qn
 
 
@@ -57,7 +84,7 @@ def knn_brute(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int 
         qids_, qn_ = ray.get(ref)
         bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         bm = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
-        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        bm = unit_rows(bm)
         sims = qn_ @ bm.T  # (q, batch)
         out = {"query_id": [], "vec_id": [], "cosine": []}
         for qi in range(len(qids_)):
@@ -67,13 +94,10 @@ def knn_brute(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int 
             if cand.size == 0:
                 continue
             kk = min(k, cand.size)
-            # deterministic partial top-k: (cos desc, vec_id asc) — a bare
-            # argpartition keeps ARBITRARY rows among exact-cos ties (e.g.
-            # duplicate or zero-norm vectors), so the global merge could
-            # lose the tie the oracle keeps (caught by perturbed_sweep
-            # --mode zerovec/vecdup)
-            order = np.lexsort((bids[cand], -row[cand]))
-            top = cand[order[:kk]]
+            # deterministic partial top-k: (cos desc, vec_id asc) ties —
+            # duplicate or zero-norm vectors produce exact-cos ties the
+            # global merge must see (caught by perturbed_sweep zerovec)
+            top = cand[_topk_ties(row[cand], bids[cand], kk)]
             out["query_id"].extend([int(qids_[qi])] * len(top))
             out["vec_id"].extend(bids[top].tolist())
             out["cosine"].extend(row[top].tolist())
@@ -138,7 +162,7 @@ def _centroid_sample(sf_dir: str, seed: int, target: int = 4096) -> np.ndarray:
             .map_batches(pick, batch_format="pyarrow").take_all())
     rows.sort(key=lambda r: r["vec_id"])
     smat = np.stack([r["embedding"] for r in rows]).astype(np.float64)
-    smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
+    smat = unit_rows(smat)
     return smat
 
 
@@ -161,7 +185,7 @@ def knn_ivf(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 
         qids_, qn_, cents_, probes_ = ray.get(ref)
         bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         bm = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
-        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        bm = unit_rows(bm)
         buckets = (bm @ cents_.T).argmax(axis=1)
         out = {"query_id": [], "vec_id": [], "cosine": []}
         for qi in range(len(qids_)):
@@ -172,7 +196,7 @@ def knn_ivf(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 
             row = bm[cand] @ qn_[qi]
             kk = min(k, cand.size)
             # deterministic ties: (cos desc, vec_id asc) — see knn_brute
-            top = np.lexsort((bids[cand], -row))[:kk]
+            top = _topk_ties(row, bids[cand], kk)
             out["query_id"].extend([int(qids_[qi])] * kk)
             out["vec_id"].extend(bids[cand[top]].tolist())
             out["cosine"].extend(row[top].tolist())
@@ -232,7 +256,7 @@ def ivf_build(sf_dir: str, index_dir: str, *, n_clusters: int = 16,
         cents_ = ray.get(ref)
         bm = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)
                       ).astype(np.float64)
-        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        bm = unit_rows(bm)
         buckets = (bm @ cents_.T).argmax(axis=1).astype(np.int32)
         return batch.append_column("bucket", pa.array(buckets, pa.int32()))
 
@@ -274,7 +298,7 @@ def ivf_search(index_dir: str, sf_dir: str,
         bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         bm = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)
                       ).astype(np.float64)
-        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        bm = unit_rows(bm)
         # hive writes strip the partition column from data files; re-derive
         # the (deterministic) assignment with one tiny matmul per batch
         buckets = (bm @ cents_.T).argmax(axis=1)
@@ -289,7 +313,7 @@ def ivf_search(index_dir: str, sf_dir: str,
             row = bm[cand] @ qn_[qi]
             kk = min(k, cand.size)
             # deterministic ties: (cos desc, vec_id asc) — see knn_brute
-            top = np.lexsort((bids[cand], -row))[:kk]
+            top = _topk_ties(row, bids[cand], kk)
             out["query_id"].extend([int(qids_[qi])] * kk)
             out["vec_id"].extend(bids[cand[top]].tolist())
             out["cosine"].extend(row[top].tolist())
@@ -349,7 +373,7 @@ def ivf_add(index_dir: str, embeddings_parquet: str) -> int:
         cents_ = ray.get(ref)
         bm = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)
                       ).astype(np.float64)
-        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        bm = unit_rows(bm)
         buckets = (bm @ cents_.T).argmax(axis=1).astype(np.int32)
         return batch.append_column("bucket", pa.array(buckets, pa.int32()))
 
@@ -439,7 +463,7 @@ def kmeans_fit(sf_dir: str, *, k: int = 8, iters: int = 5,
             cents_ = ray.get(ref)
             bm = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)
                           ).astype(np.float64)
-            bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+            bm = unit_rows(bm)
             sims = bm @ cents_.T
             assign = sims.argmax(axis=1)
             sums = np.zeros_like(cents_)
@@ -470,7 +494,7 @@ def kmeans_fit(sf_dir: str, *, k: int = 8, iters: int = 5,
         history.append(float(tot_c.sum() / max(tot_n.sum(), 1)))
         live = tot_n > 0
         means = tot_v[live] / tot_n[live, None]
-        means /= np.maximum(np.linalg.norm(means, axis=1, keepdims=True), 1e-12)
+        means = unit_rows(means)
         cents[live] = means
     _KMEANS_CACHE[ckey] = (cents.copy(), list(history), labels.copy())
     out = [cents]
@@ -504,7 +528,7 @@ def kmeans_assign(sf_dir: str, cents: np.ndarray,
         bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         bm = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)
                       ).astype(np.float64)
-        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        bm = unit_rows(bm)
         sims = bm @ cents_.T
         cl = sims.argmax(axis=1)
         return pa.table({
@@ -580,7 +604,7 @@ def semantic_dedup(sf_dir: str, *, threshold: float = 0.45, k: int = 8,
         bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         bm = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)
                       ).astype(np.float64)
-        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        bm = unit_rows(bm)
         sims = bm @ cents_.T
         # top-p probe clusters, ties → lower cluster id (stable argsort);
         # k is small so the full row sort is trivial

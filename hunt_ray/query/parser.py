@@ -29,11 +29,13 @@ class ParseError(ValueError):
 
 
 class _P:
-    # recursive descent: each '(' nests ~4 Python frames, so unbounded
-    # nesting hits RecursionError around 300 levels — surface adversarial
-    # input as a clean ParseError instead (the server's error channel);
-    # 128 is far beyond any legitimate query
-    MAX_DEPTH = 128
+    # recursive descent: each '(' nests ~7 Python frames (measured: 462
+    # at depth 64), so unbounded nesting hits RecursionError around 130
+    # levels — surface adversarial input as a clean ParseError instead
+    # (the server's error channel). 64 keeps >500 frames of headroom for
+    # deep callers (server handler, Ray task, pytest plugins) and is far
+    # beyond any legitimate query
+    MAX_DEPTH = 64
 
     def __init__(self, s: str):
         self.s = s

@@ -64,7 +64,8 @@ tokenize-then-lower in the q_index_bm25 oracle.
 Usage:
   PYTHONPATH=. python scripts/perturbed_sweep.py \
       [--sf /root/testdata/sf0.001] \
-      [--mode drop|shuffle|empty|unicode|all] [--rate 0.07] [--seed 1]
+      [--mode drop|shuffle|empty|unicode|dup|ties|long|zerovec|vecdup|all \
+       or a '+'-chain like dup+unicode] [--rate 0.07] [--seed 1]
 """
 from __future__ import annotations
 
@@ -168,11 +169,19 @@ def perturb_table(tbl: pa.Table, name: str, mode: str, rate: float,
         hit = rng.random(n) < rate
         # walk in (uid, ts, eid) order; pull ts/value from the previous
         # SAME-USER event so collisions are in-domain, not cross-user
+        applied = 0
         for k in range(1, n):
             i, p = order[k], order[k - 1]
             if hit[i] and uid[i] == uid[p]:
                 ts[i] = ts[p]
                 val[i] = val[p]
+                applied += 1
+        if applied == 0:  # never a vacuous green: force one collision
+            for k in range(1, n):
+                i, p = order[k], order[k - 1]
+                if uid[i] == uid[p]:
+                    ts[i], val[i] = ts[p], val[p]
+                    break
         tbl = tbl.set_column(
             tbl.schema.get_field_index("ts"), "ts",
             pa.array(ts, pa.int64()).cast(pa.timestamp("us")))
@@ -195,10 +204,16 @@ def perturb_table(tbl: pa.Table, name: str, mode: str, rate: float,
     if mode == "zerovec":
         if name != "embeddings":
             return tbl
-        mask = rng.random(n) < rate
+        hit = np.flatnonzero(rng.random(n) < rate)
+        if hit.size == 0:  # never a vacuous green
+            hit = np.array([rng.integers(0, n)])
         emb = tbl.column("embedding").to_pylist()
-        for i in np.flatnonzero(mask):
-            emb[i] = [0.0] * len(emb[i])
+        for j, i in enumerate(hit):
+            # alternate exact-zero rows (cos 0.0 by convention) and
+            # tiny-norm rows (engine/oracle must agree on the TRUE
+            # cosine — a max(norm, eps) clamp would shrink it)
+            emb[i] = ([0.0] * len(emb[i]) if j % 2 == 0
+                      else [v * 1e-20 for v in emb[i]])
         idx = tbl.schema.get_field_index("embedding")
         return tbl.set_column(
             idx, "embedding",
@@ -219,8 +234,10 @@ def perturb_table(tbl: pa.Table, name: str, mode: str, rate: float,
 
 def build_dir(sf: str, mode: str, rate: float, seed: int) -> str:
     """``mode`` may be a '+'-chained composition (e.g. ``dup+unicode``):
-    each stage's perturbation is applied to the previous stage's output,
-    with a per-stage-salted rng so compositions stay byte-reproducible."""
+    each stage's perturbation is applied to the previous stage's output.
+    Single-stage modes keep the ORIGINAL (seed, crc32(table)) rng stream
+    so every recorded single-mode artifact stays byte-reproducible from
+    its documented command; chained stages salt by stage index."""
     out = f"/tmp/perturbed_{mode.replace('+', '_')}_{seed}"
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
@@ -230,9 +247,10 @@ def build_dir(sf: str, mode: str, rate: float, seed: int) -> str:
         if t in PERTURBED:
             tbl = pq.read_table(src)
             for si, stage in enumerate(stages):
-                rng = np.random.default_rng(
-                    (seed, si, zlib.crc32(t.encode())))
-                tbl = perturb_table(tbl, t, stage, rate, rng)
+                key = ((seed, zlib.crc32(t.encode())) if len(stages) == 1
+                       else (seed, si, zlib.crc32(t.encode())))
+                tbl = perturb_table(tbl, t, stage, rate,
+                                    np.random.default_rng(key))
             pq.write_table(tbl, f"{out}/{t}.parquet")
         else:
             shutil.copy(src, f"{out}/{t}.parquet")
@@ -288,8 +306,9 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--sf", default="/root/testdata/sf0.001")
     p.add_argument("--mode", default="all",
-                   help="one of drop/shuffle/empty/unicode/dup/ties/long, "
-                        "a '+'-chained composition (dup+unicode), or all")
+                   help="one of drop/shuffle/empty/unicode/dup/ties/long/"
+                        "zerovec/vecdup, a '+'-chained composition "
+                        "(dup+unicode), or all")
     p.add_argument("--rate", type=float, default=0.07)
     p.add_argument("--seed", type=int, default=1)
     a = p.parse_args()
@@ -305,8 +324,14 @@ def main() -> int:
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
 
-    modes = (["drop", "shuffle", "empty", "unicode", "dup", "ties", "long",
-              "zerovec", "vecdup"] if a.mode == "all" else [a.mode])
+    known = ("drop", "shuffle", "empty", "unicode", "dup", "ties", "long",
+             "zerovec", "vecdup")
+    modes = list(known) if a.mode == "all" else [a.mode]
+    for m_ in modes:  # fail fast, before any table is copied or built
+        for stage in m_.split("+"):
+            if stage not in known:
+                p.error(f"unknown mode {stage!r} (choose from "
+                        f"{'/'.join(known)}, '+'-chainable, or all)")
     bad = 0
     for mode in modes:
         sf_dir = build_dir(a.sf, mode, a.rate, a.seed)

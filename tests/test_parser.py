@@ -207,9 +207,9 @@ def test_nesting_depth_guard():
 
     from hunt_ray.query.parser import ParseError, parse_query
 
-    ok = "(" * 128 + "the" + ")" * 128
+    ok = "(" * 64 + "the" + ")" * 64
     assert parse_query(ok) is not None
-    for depth in (129, 300, 5000):
+    for depth in (65, 300, 5000):
         bad = "(" * depth + "the" + ")" * depth
         with pytest.raises(ParseError, match="nesting deeper"):
             parse_query(bad)

@@ -1374,13 +1374,16 @@ def test_connected_components_zero_rounds(ray_session):
 
 
 def test_knn_degenerate_ties_deterministic(ray_session, tmp_path):
-    """Zero-norm and byte-duplicate vectors through brute KNN: exact-cos
-    ties must resolve (cos desc, vec_id asc) END TO END — including the
-    per-batch partial top-k, where a bare argpartition keeps arbitrary
-    tied rows (the bug perturbed_sweep --mode zerovec caught). The table
-    is written as several files so partials really run per batch, and
-    the zero-norm convention (epsilon-guarded normalize ⇒ cosine 0.0,
-    matching the CASE the oracles use) is asserted vs a numpy model."""
+    """Zero-norm, tiny-norm, and byte-duplicate vectors through brute KNN:
+    exact-cos ties must resolve (cos desc, vec_id asc) END TO END —
+    including the per-batch partial top-k, where a bare argpartition
+    keeps arbitrary tied rows (the bug perturbed_sweep --mode zerovec
+    caught). Written with several row groups so partials really run per
+    batch. Conventions asserted vs a numpy model: exact-zero rows →
+    cosine 0.0 with everything (the CASE the oracles use), and
+    tiny-norm rows (‖v‖ ≈ 1e-20) get their TRUE cosine — the earlier
+    max(norm, 1e-12) clamp silently shrank them while the oracle
+    computed the real value."""
     import os
 
     import pyarrow as pa
@@ -1392,7 +1395,8 @@ def test_knn_degenerate_ties_deterministic(ray_session, tmp_path):
     n, d, k = 120, 8, 10
     m = rng.normal(size=(n, d))
     m[0] = rng.normal(size=d)          # query
-    m[40:80] = 0.0                     # a zero-norm block
+    m[40:70] = 0.0                     # a zero-norm block
+    m[70:80] = m[0] * 1e-20            # tiny-norm near-parallel block
     m[80:] = m[0] * 3.0                # 40 exact duplicates of the query
     sf = str(tmp_path / "sf")
     os.makedirs(sf)
@@ -1407,12 +1411,17 @@ def test_knn_degenerate_ties_deterministic(ray_session, tmp_path):
     # numpy model with the engine's documented conventions
     f32 = m.astype(np.float32).astype(np.float64)
     norms = np.linalg.norm(f32, axis=1, keepdims=True)
-    mn = f32 / np.maximum(norms, 1e-12)       # zero rows stay zero
+    mn = f32 / np.where(norms == 0.0, 1.0, norms)   # zero rows stay zero
     sims = mn @ mn[0]
     order = np.lexsort((np.arange(n), -sims))
     want = [i for i in order if i != 0][:k]
     assert out["vec_id"].tolist() == want
     assert np.allclose(out["cosine"].to_numpy(),
                        np.round(sims[want], 6))
-    # the duplicate block fills the top-k with the LOWEST dup vec_ids
+    # the exact duplicates (cos exactly 1.0) fill the top-k with their
+    # LOWEST vec_ids; the tiny block scores its TRUE cosine — ≈1 but a
+    # few f32-quantization ulps below the duplicates' exact 1.0 (under
+    # the old max(norm, 1e-12) clamp it would have scored ~1e-8)
     assert out["vec_id"].tolist() == list(range(80, 90))
+    tiny = np.sort(sims[70:80])
+    assert tiny[0] > 0.999 and tiny[-1] < 1.0
