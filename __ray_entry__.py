@@ -822,7 +822,10 @@ h AS (SELECT DISTINCT lang, ('0x' || substring(md5(bg), 1, 16))::UBIGINT AS h
 r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rk,
              count(*) OVER (PARTITION BY lang) AS n FROM h)
 SELECT lang, 64::BIGINT AS k,
-       CASE WHEN n <= 64 THEN n::DOUBLE
+       -- n < 64 exact, n >= 64 estimator: mirrors the sketch, whose FULL
+       -- state (exactly k values) cannot be distinguished from a
+       -- truncated one
+       CASE WHEN n < 64 THEN n::DOUBLE
             ELSE round((64 - 1) / (h / 18446744073709551615.0), 4) END
          AS est_distinct
 FROM r WHERE rk = least(64, n)

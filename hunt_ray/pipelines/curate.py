@@ -39,6 +39,8 @@ import numpy as np
 import polars as pl
 import pyarrow as pa
 
+from ..common.grouped import ensure_schema
+
 from ..common.hashing import hash64
 from .textstats import _flat_tokens
 
@@ -153,7 +155,8 @@ def decontaminate(sf_dir: str, *, n: int = 4, eval_mod: int = 19):
                          "n_hit_grams": pa.array(nh[keep], pa.int64())})
 
     ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
-    return ds.map_batches(probe, batch_format="pyarrow")
+    return ensure_schema(ds.map_batches(probe, batch_format="pyarrow"),
+                         pa.schema([("doc_id", pa.int64()), ("n_hit_grams", pa.int64())]))
 
 
 # ------------------------------------------------------- repeated passages
@@ -202,10 +205,12 @@ def repeated_ngrams(sf_dir: str, *, n: int = 6, num_buckets: int = 32):
             ("doc_id", pa.int64()), ("n_rep", pa.int64())]))
 
     ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
-    return (ds.map_batches(gram_rows, batch_format="pyarrow")
-            .groupby("bucket").map_groups(bucket_partial, batch_format="pyarrow")
-            .groupby("doc_id")
-            .aggregate(Sum("n_rep", alias_name="n_repeated_grams")))
+    return ensure_schema(
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+          .groupby("bucket").map_groups(bucket_partial, batch_format="pyarrow")
+          .groupby("doc_id")
+          .aggregate(Sum("n_rep", alias_name="n_repeated_grams")),
+        pa.schema([("doc_id", pa.int64()), ("n_repeated_grams", pa.int64())]))
 
 
 # ---------------------------------------------------------------- repetition
@@ -1216,9 +1221,10 @@ def training_recipe(sf_dir: str, *, min_tokens: int = 20,
         return batch.filter(pa.array((gmax == 0) & (role == 0))) \
             .drop_columns(["role"])
 
-    drops = (comp.map_batches(tag_losers, batch_format="pyarrow")
-             .union(decontaminate(sf_dir, n=decontam_n,
-                                  eval_mod=eval_mod)
+    from ..common.grouped import as_dataset
+    drops = (as_dataset(comp).map_batches(tag_losers, batch_format="pyarrow")
+             .union(as_dataset(decontaminate(sf_dir, n=decontam_n,
+                                             eval_mod=eval_mod))
                     .map_batches(tag_cont, batch_format="pyarrow")))
     corpus = (rd.read_parquet(_doc_path(sf_dir),
                               columns=["doc_id", "text", "lang"])
@@ -1330,7 +1336,8 @@ def decontaminate_bloom(sf_dir: str, *, n: int = 4, eval_mod: int = 19,
                          "n_hit_grams": pa.array(nh[keep], pa.int64())})
 
     ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
-    return ds.map_batches(probe, batch_format="pyarrow")
+    return ensure_schema(ds.map_batches(probe, batch_format="pyarrow"),
+                         pa.schema([("doc_id", pa.int64()), ("n_hit_grams", pa.int64())]))
 
 
 def decontaminate_bloom_audit(sf_dir: str, *, n: int = 4,

@@ -23,7 +23,7 @@ import polars as pl
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..common.grouped import sorted_groups
+from ..common.grouped import as_dataset, ensure_schema, sorted_groups
 from ..common.hashing import hash64
 from .similarity import unit_rows
 from .textstats import _flat_tokens
@@ -454,9 +454,9 @@ def minhash_dedup(sf_dir: str, *, threshold: float = 0.5, seed: int = 7, k: int 
             "doc_b": pa.array(db[rep], pa.int64()),
             "jaccard": pa.array(np.round(jac[keep], 6), pa.float64())})
 
-    return sorted_groups(
+    return ensure_schema(sorted_groups(
         sorted_groups(pairs.union(sigs), "key", attach),
-        ["doc_a", "doc_b"], verify)
+        ["doc_a", "doc_b"], verify), pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]))
 
 
 # ------------------------------------------------------------------ n-gram jaccard (exact)
@@ -766,11 +766,13 @@ def _exact_jaccard_pairs(sf_dir: str, gram_fn, *, threshold: float,
                          "jaccard": pa.array(np.round(jac[keep], 6), pa.float64())})
 
     sizes = read().map_batches(size_rows, batch_format="pyarrow")
-    return (inter.map_batches(explode_pairs, batch_format="pyarrow")
+    return ensure_schema(
+        inter.map_batches(explode_pairs, batch_format="pyarrow")
             .union(sizes)
             .map_batches(add_kpart, batch_format="pyarrow")
             .groupby("kpart").map_groups(attach_part, batch_format="pyarrow")
-            .groupby("kpart").map_groups(combine_part, batch_format="pyarrow"))
+            .groupby("kpart").map_groups(combine_part, batch_format="pyarrow"),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]))
 
 
 # ------------------------------------------------------------------ simhash
@@ -864,7 +866,11 @@ def simhash_dedup(sf_dir: str, *, max_hamming: int = 3):
                           ["quarter", "qval"], bucket_pairs)
     from ray.data.aggregate import Min
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return ensure_schema(
+        pairs.groupby(["doc_a", "doc_b"]).aggregate(
+            Min("hamming", alias_name="hamming")),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("hamming", pa.int32())]))
 
 
 # ------------------------------------------------------------------ embeddings
@@ -901,7 +907,9 @@ def embedding_dedup(sf_dir: str, *, threshold: float = 0.95):
         })
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ds.map_batches(block, batch_format="pyarrow")
+    return ensure_schema(ds.map_batches(block, batch_format="pyarrow"),
+                         pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                                    ("cosine", pa.float64())]))
 
 
 class LshBucketStage:
@@ -1099,9 +1107,12 @@ def embedding_dedup_lsh(sf_dir: str, *, threshold: float = 0.45,
             "vec_b": pa.array(vb_id[rep], pa.int64()),
             "cosine": pa.array(np.round(cos[keep], 6), pa.float64())})
 
-    return sorted_groups(
-        sorted_groups(sides.union(carriers), "key", attach),
-        ["vec_a", "vec_b"], verify)
+    return ensure_schema(
+        sorted_groups(
+            sorted_groups(sides.union(carriers), "key", attach),
+            ["vec_a", "vec_b"], verify),
+        pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                   ("cosine", pa.float64())]))
 
 
 # -------------------------------------------------------- cap stats / recall
@@ -1354,6 +1365,8 @@ def connected_components(pairs, *, max_rounds: int = 32):
             "role": pa.array(np.ones(n, np.int32), pa.int32()),
         })
 
+    # the pair source may be an ensure_schema typed empty table — lift
+    pairs = as_dataset(pairs)
     edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
     # coalesce: a pair source ending in a fine-grained groupby (minhash
     # verify) hands over hundreds of tiny blocks; every propagation round
@@ -1391,7 +1404,8 @@ def connected_components(pairs, *, max_rounds: int = 32):
     out = labels.map_batches(finish, batch_format="pyarrow")
     if new_labels is not None and new_labels.num_blocks() > 4 * target_blocks:
         out = out.repartition(target_blocks)
-    return out.sort("doc_id")
+    return ensure_schema(out.sort("doc_id"), pa.schema(
+        [("doc_id", pa.int64()), ("cluster_id", pa.int64())]))
 
 
 def dedup_components(sf_dir: str, *, threshold: float = 0.75, n: int = 3):
@@ -1754,7 +1768,8 @@ def dedup_against_index(new_ds, index_dir: str, *, hash: str = "md5"):
 
     hist = _ddx_rows(index_dir).map_batches(tag_index, batch_format="pyarrow")
     new = new_ds.map_batches(tag_new, batch_format="pyarrow")
-    return sorted_groups(hist.union(new), "key", flag)
+    return ensure_schema(sorted_groups(hist.union(new), "key", flag),
+                         _DDX_FLAG)
 
 
 def append_to_dedup_index(new_ds, index_dir: str, *, hash: str = "md5",

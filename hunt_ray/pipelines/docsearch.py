@@ -33,8 +33,13 @@ def _token_string(batch: pa.Table) -> pa.Array:
 def _matching(sf_dir: str, fn):
     import ray.data as rd
 
+    from ..common.grouped import ensure_schema
+
     ds = rd.read_parquet(_doc_path(sf_dir), columns=["doc_id", "text"])
-    return ds.map_batches(fn, batch_format="pyarrow")
+    # a query matching NOTHING must still return a (doc_id) result — see
+    # ensure_schema on Ray's empty-dataset column loss
+    return ensure_schema(ds.map_batches(fn, batch_format="pyarrow"),
+                         pa.schema([("doc_id", pa.int64())]))
 
 
 def _has_term_in(s: pa.Array, term: str) -> np.ndarray:

@@ -629,9 +629,14 @@ def semantic_dedup(sf_dir: str, *, threshold: float = 0.45, k: int = 8,
             "cosine": pa.array(np.round(sims[ii[hit], jj[hit]], 6),
                                pa.float64())})
 
-    return (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                            columns=["vec_id", "embedding"])
-            .map_batches(assign, batch_format="pyarrow")
-            .groupby("cluster").map_groups(pairs, batch_format="pyarrow")
-            .groupby(["vec_a", "vec_b"])
-            .aggregate(Max("cosine", alias_name="cosine")))
+    from ..common.grouped import ensure_schema
+
+    return ensure_schema(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+          .map_batches(assign, batch_format="pyarrow")
+          .groupby("cluster").map_groups(pairs, batch_format="pyarrow")
+          .groupby(["vec_a", "vec_b"])
+          .aggregate(Max("cosine", alias_name="cosine")),
+        pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                   ("cosine", pa.float64())]))

@@ -67,7 +67,13 @@ def distinct_bigrams_kmv(sf_dir: str, *, k: int = 64):
 
     def merge(group: pa.Table) -> pa.Table:
         hs = np.unique(group.column("h").to_numpy(zero_copy_only=False))
-        if len(hs) <= k:                    # sketch holds the whole set
+        # STRICTLY fewer than k ⇒ no partial can have truncated ⇒ exact.
+        # A FULL sketch (len == k) is ambiguous — the true count may be
+        # anything ≥ k because partials keep only their k smallest — so
+        # it must take the estimator, and the oracle mirrors with n < k
+        # (caught by perturbed_sweep empty-0.95: a language whose true
+        # distinct fell to 77 arrived as one truncated 64-value partial)
+        if len(hs) < k:
             est = float(len(hs))
         else:
             est = round((k - 1) / (float(hs[k - 1]) / _M64), 4)

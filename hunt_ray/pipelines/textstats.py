@@ -196,7 +196,12 @@ def bm25_topk(sf_dir: str, query_terms: tuple[str, ...], k: int = 20,
         p = postings_batch(batch)
         toks = _flat_tokens(batch)
         cnt = (toks.group_by("doc_id").agg(n=pl.len())
-               if toks.height else pl.DataFrame({"doc_id": [], "n": []}))
+               if toks.height
+               # typed empty: a bare {"doc_id": []} frame is Null-dtype and
+               # the Int64 join below raises (caught by perturbed_sweep
+               # empty-0.95 — an ALL-blank batch reaches this path)
+               else pl.DataFrame(schema={"doc_id": pl.Int64,
+                                         "n": pl.UInt32}))
         ids = pl.DataFrame({"doc_id": batch.column("doc_id")
                             .to_numpy(zero_copy_only=False)})
         dlm = (ids.join(cnt, on="doc_id", how="left").fill_null(0)
